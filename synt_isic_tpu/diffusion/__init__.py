@@ -1,0 +1,22 @@
+from .schedules import (
+    DiffusionSchedule,
+    betas_squaredcos_cap_v2,
+    betas_linear,
+    leading_timesteps,
+)
+from .ddpm import DDPMParams, ddpm_step, add_noise
+from .ddim import ddim_step
+from .sampler import DiffusionSampler, SamplerConfig
+
+__all__ = [
+    "DiffusionSchedule",
+    "betas_squaredcos_cap_v2",
+    "betas_linear",
+    "leading_timesteps",
+    "DDPMParams",
+    "ddpm_step",
+    "add_noise",
+    "ddim_step",
+    "DiffusionSampler",
+    "SamplerConfig",
+]

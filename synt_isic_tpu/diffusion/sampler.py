@@ -1,0 +1,192 @@
+"""Jitted DDPM/DDIM sampler: the TPU replacement of the reference hot loop.
+
+The reference denoises with a Python loop of `model(latents, t)` +
+`scheduler.step(...)` host calls per step (reference
+`core/generator/image_generator.py:395-438`, `xai/XAI.py:798-844`). Here the
+whole reverse trajectory is ONE compiled `lax.scan`: the UNet forward, the
+posterior update (precomputed tables, `ddpm.py`/`ddim.py`) and the per-step
+noise draw fuse into a single XLA program — zero host round-trips, one
+compile per (batch, steps, capture) signature, cached.
+
+Seed discipline preserves the reference bookkeeping exactly
+(`image_generator.py:368-389,586-637`): one integer seed per image, initial
+noise drawn from that seed, per-step posterior noise from `fold_in(seed, k)`,
+and a SHA-256 hash of the initial noise recorded for reproducibility
+(`noise_hash` sidecar field). Bit-level parity with torch's RNG is
+impossible by construction; parity is at the artifact/distribution level
+(see SURVEY.md §7 "Hard parts").
+
+Trajectory capture ('all') stacks every post-step latent as scan ys on
+device and is subsampled host-side (`save_indices`, reference
+`XAI.py:750-779` semantics incl. the absolute-t mode).
+"""
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ddim import DDIMParams, ddim_step
+from .ddpm import DDPMParams, ddpm_step
+from .schedules import DiffusionSchedule
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    num_inference_steps: int = 50
+    scheduler: str = "ddpm"           # ddpm | ddim
+    ddim_eta: float = 0.0
+    image_size: int = 128
+    channels: int = 3
+    dtype: Any = jnp.float32          # compute dtype inside the scan
+    clip_sample: bool = True
+
+    def __post_init__(self):
+        if self.scheduler not in ("ddpm", "ddim"):
+            raise ValueError(f"unknown scheduler: {self.scheduler}")
+
+
+def save_indices(num_steps: int, save_every: int,
+                 timesteps: Optional[np.ndarray] = None) -> List[int]:
+    """Frame indices the XAI trajectory keeps (reference `XAI.py:750-779`).
+
+    Normal mode: every `save_every`-th step index plus always the last.
+    Absolute-t mode (save_every >= num_steps): indices whose train-timestep
+    is closest to each multiple of save_every, plus t=0 and t_max.
+    """
+    idx = set(range(0, num_steps, save_every))
+    idx.add(num_steps - 1)
+    if save_every >= num_steps and timesteps is not None:
+        t_list = [int(t) for t in timesteps]
+        desired = {0, max(t_list)}
+        k = 0
+        while k <= 1000:
+            desired.add(k)
+            k += max(1, int(save_every))
+        for dt in desired:
+            idx.add(min(range(len(t_list)), key=lambda i: abs(t_list[i] - dt)))
+    return sorted(idx)
+
+
+def noise_hash(noise: np.ndarray) -> str:
+    """SHA-256 (first 16 hex chars) of the initial noise, matching the
+    reference reproducibility sidecar (`image_generator.py:383-389`)."""
+    return hashlib.sha256(np.ascontiguousarray(noise, dtype=np.float32).tobytes()).hexdigest()[:16]
+
+
+class DiffusionSampler:
+    """Compiles and caches the sampling scan per (batch, capture) signature.
+
+    `apply_fn(params, x_nhwc, t_batch) -> eps` is any jittable epsilon
+    predictor (the Flax UNet2D's bound apply by default).
+    """
+
+    def __init__(self, apply_fn: Callable, schedule: DiffusionSchedule,
+                 config: SamplerConfig = SamplerConfig()):
+        self.apply_fn = apply_fn
+        self.schedule = schedule
+        self.config = config
+        if config.scheduler == "ddpm":
+            self.params = DDPMParams.create(schedule, config.num_inference_steps,
+                                            clip_sample=config.clip_sample)
+            self._step = ddpm_step
+        else:
+            self.params = DDIMParams.create(schedule, config.num_inference_steps,
+                                            eta=config.ddim_eta,
+                                            clip_sample=config.clip_sample)
+            self._step = ddim_step
+        self.timesteps = np.asarray(self.params.timesteps)
+        self._compiled: Dict[Tuple[int, bool], Callable] = {}
+
+    # -- seed plumbing ------------------------------------------------------------
+    @staticmethod
+    def keys_for_seeds(seeds: Union[int, np.ndarray]) -> jax.Array:
+        seeds = np.atleast_1d(np.asarray(seeds, dtype=np.uint32))
+        return jax.vmap(jax.random.PRNGKey)(seeds)
+
+    def initial_noise(self, seeds: Union[int, np.ndarray]) -> jax.Array:
+        """(B, H, W, C) standard normal, one independent stream per seed."""
+        keys = self.keys_for_seeds(seeds)
+        shape = (self.config.image_size, self.config.image_size, self.config.channels)
+        return jax.vmap(lambda k: jax.random.normal(k, shape, jnp.float32))(keys)
+
+    # -- compiled core -------------------------------------------------------------
+    def _build(self, batch: int, capture: bool) -> Callable:
+        cfg = self.config
+        sched = self.params
+        step_fn = self._step
+        apply_fn = self.apply_fn
+        num_steps = cfg.num_inference_steps
+        shape = (cfg.image_size, cfg.image_size, cfg.channels)
+
+        def sample_fn(model_params, noise, keys):
+            x = noise.astype(cfg.dtype)
+
+            def body(x, k):
+                t = sched.timesteps[k]
+                eps = apply_fn(model_params, x,
+                               jnp.broadcast_to(t, (batch,))).astype(cfg.dtype)
+                # per-image, per-step independent posterior noise
+                z = jax.vmap(
+                    lambda key: jax.random.normal(jax.random.fold_in(key, k + 1),
+                                                  shape, cfg.dtype))(keys)
+                x = step_fn(x, eps, k, sched, z)
+                return x, (x.astype(jnp.float32) if capture else None)
+
+            x, traj = jax.lax.scan(body, x, jnp.arange(num_steps))
+            return x.astype(jnp.float32), traj
+
+        donate = (1,) if cfg.dtype == jnp.float32 else ()
+        return jax.jit(sample_fn, donate_argnums=donate)
+
+    def _get(self, batch: int, capture: bool) -> Callable:
+        key = (batch, capture)
+        if key not in self._compiled:
+            self._compiled[key] = self._build(batch, capture)
+        return self._compiled[key]
+
+    # -- public API ------------------------------------------------------------------
+    def sample(self, model_params, seeds: Union[int, np.ndarray],
+               capture_trajectory: bool = False,
+               initial_noise: Optional[jax.Array] = None) -> Dict[str, Any]:
+        """Denoise from seed(s). Returns final images (B,H,W,C) float32 in
+        ~[-1,1], plus the full per-step trajectory when requested.
+
+        `initial_noise` overrides the seed-derived noise (exact-parity mode
+        for golden tests with externally generated noise).
+        """
+        seeds_arr = np.atleast_1d(np.asarray(seeds, dtype=np.uint32))
+        batch = int(seeds_arr.shape[0])
+        keys = self.keys_for_seeds(seeds_arr)
+        noise = self.initial_noise(seeds_arr) if initial_noise is None else initial_noise
+        noise_np = np.asarray(noise)
+        hashes = [noise_hash(noise_np[i]) for i in range(batch)]
+
+        fn = self._get(batch, capture_trajectory)
+        final, traj = fn(model_params, noise, keys)
+        out: Dict[str, Any] = {
+            "images": final,
+            "noise_hashes": hashes,
+            "timesteps": self.timesteps.copy(),
+            "seeds": seeds_arr.copy(),
+        }
+        if capture_trajectory:
+            out["trajectory"] = traj  # (S, B, H, W, C) float32, device
+        return out
+
+    def sample_single(self, model_params, seed: int,
+                      capture_trajectory: bool = False) -> Dict[str, Any]:
+        return self.sample(model_params, np.asarray([seed], dtype=np.uint32),
+                           capture_trajectory=capture_trajectory)
+
+
+def to_uint8_images(images: jax.Array) -> np.ndarray:
+    """[-1,1] NHWC float -> uint8, the reference's de-normalization
+    (`image_generator.py:440-448`)."""
+    arr = np.asarray(jnp.clip((images + 1.0) / 2.0, 0.0, 1.0))
+    return (arr * 255.0).astype(np.uint8)
