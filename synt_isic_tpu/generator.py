@@ -1,0 +1,357 @@
+"""ImageGenerator — the end-to-end generation engine and public facade.
+
+API parity with reference `ImageGenerator`
+(`core/generator/image_generator.py:28-835`): `set_progress_callback`,
+`set_log_callback`, `set_xai_hook`, `set_xai_frequency`,
+`set_save_trajectory`, `set_xai_analyzer`, `set_generation_seed`,
+`get_available_classes`, `validate_models`, `generate_single_image`,
+`generate_images`, `stop_generation`, `get_generation_status`, `cleanup`.
+
+Behavioral parity:
+  * seed bookkeeping — per-class offset = MD5(class)[:8] & 0x7fffffff,
+    per-image seed = (base + offset + i) & 0x7fffffff; random mode draws a
+    *recorded* seed via `secrets.randbelow(0x7fffffff)`
+    (`image_generator.py:586-637`);
+  * artifacts — `ISIC_%07d.png` per-class numbering, sidecar JSON with the
+    SHA-256 noise hash, `synthetic_dataset.csv` rows, per-class color
+    postprocessing, cooperative `stop_requested` cancellation, per-N-images
+    integrated XAI trigger (`class_image_count % xai_frequency == 0`).
+
+TPU-native redesign (NOT a port):
+  * the denoise loop is the jitted `lax.scan` sampler (`diffusion/sampler.py`)
+    — one device program per image batch instead of `inference_steps` host
+    round-trips per image;
+  * images are generated in BATCHES: seeds for a whole block of images go
+    through one compiled sampler call. Noise is derived per-seed
+    (`fold_in` streams), so batched output matches one-at-a-time
+    generation up to XLA's batch-dependent float tiling — batching is
+    pure throughput, not a semantic change;
+  * trajectory capture is the scan's stacked ys (device), sliced per image
+    for the XAI hook.
+"""
+from __future__ import annotations
+
+import hashlib
+import secrets
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .io.color_stats import load_color_statistics, apply_color_postprocessing
+from .io.csv_io import append_synthetic_row, initialize_synthetic_csv
+from .io.images import save_image, tensor_to_pil, write_sidecar_metadata
+from .model_manager import ModelManager
+from .cache import CacheManager
+from .diffusion.sampler import to_uint8_images
+from .utils.config import ConfigManager
+from .utils.logging import Logger
+from .utils.paths import PathManager
+
+
+def class_seed_offset(class_name: str) -> int:
+    """MD5-derived 31-bit per-class offset (`image_generator.py:586-592`)."""
+    h = hashlib.md5(class_name.encode("utf-8")).hexdigest()
+    return int(h[:8], 16) & 0x7FFFFFFF
+
+
+class ImageGenerator:
+    def __init__(self, config: Optional[ConfigManager] = None,
+                 checkpoints_dir: Optional[str] = None,
+                 device: Optional[jax.Device] = None,
+                 compute_dtype=jnp.float32,
+                 model_config=None):
+        self.config = config
+        project_root = config.project_root if config else None
+        self.path_manager = PathManager(project_root)
+        log_dir = config.get_path("logs") if config else None
+        self.logger = Logger("image_generator", log_dir=log_dir)
+        cache_dir = config.get_path("cache") if config else None
+        self.cache_manager = CacheManager(cache_dir) if cache_dir else None
+        ckpt_dir = checkpoints_dir or (config.get_path("checkpoints") if config
+                                       else str(self.path_manager.get_checkpoints_dir()))
+        self.model_manager = ModelManager(
+            checkpoints_dir=ckpt_dir, cache_manager=self.cache_manager,
+            logger=self.logger, device=device, dtype=compute_dtype,
+            model_config=model_config)
+
+        self.inference_steps = int(config.get_generation_param("inference_timesteps")) \
+            if config else 50
+        self.inference_steps = max(1, min(1000, self.inference_steps))
+        self.batch_size = int(config.get("generation.batch_size", 1)) if config else 1
+        self.scheduler_kind = (config.get("compute.scheduler", "ddpm")
+                               if config else "ddpm")
+        self.ddim_eta = float(config.get("compute.ddim_eta", 0.0)) if config else 0.0
+
+        stats_path = Path(ckpt_dir) / "color_statistics.json"
+        self.color_statistics = load_color_statistics(stats_path)
+
+        self.base_seed: Optional[int] = None
+        self.save_trajectory = True
+        self.xai_frequency = int(config.get_generation_param("xai_frequency")) \
+            if config else 1
+        self.xai_analyzer = None
+        self.xai_hook: Optional[Callable] = None
+        self.xai_hook_every_n = 10
+
+        self.progress_callback: Optional[Callable[[int, int, str], None]] = None
+        self.log_callback: Optional[Callable[[str, str], None]] = None
+
+        self.is_generating = False
+        self.stop_requested = False
+
+    # -- wiring (reference image_generator.py:85-140) -----------------------------
+    def set_progress_callback(self, cb: Callable[[int, int, str], None]) -> None:
+        self.progress_callback = cb
+
+    def set_log_callback(self, cb: Callable[[str, str], None]) -> None:
+        self.log_callback = cb
+
+    def set_xai_hook(self, hook: Callable, every_n: int = 10) -> None:
+        """Legacy hook surface kept for API parity (the reference keeps it
+        wired but inactive, `image_generator.py:714-715`)."""
+        self.xai_hook = hook
+        self.xai_hook_every_n = every_n
+
+    def set_xai_frequency(self, n: int) -> None:
+        self.xai_frequency = max(1, int(n))
+
+    def set_save_trajectory(self, flag: bool) -> None:
+        self.save_trajectory = bool(flag)
+
+    def set_xai_analyzer(self, analyzer) -> None:
+        """analyzer must expose `analyze_trajectory(trajectory, class_name,
+        seed, inference_steps, filename, file_path)` (the integrated-XAI
+        adapter protocol, `xai/xai_integration.py:84`)."""
+        self.xai_analyzer = analyzer
+
+    def set_generation_seed(self, seed: Optional[int]) -> None:
+        self.base_seed = None if seed is None else int(seed)
+
+    def set_inference_steps(self, steps: int) -> None:
+        self.inference_steps = max(1, min(1000, int(steps)))
+
+    # -- logging / progress ----------------------------------------------------------
+    def _log(self, msg: str, level: str = "info") -> None:
+        getattr(self.logger, f"log_{level}", self.logger.log_info)(msg)
+        if self.log_callback:
+            try:
+                self.log_callback(msg, level)
+            except Exception:
+                pass
+
+    def _progress(self, done: int, total: int, msg: str) -> None:
+        if self.progress_callback:
+            try:
+                self.progress_callback(done, total, msg)
+            except Exception:
+                pass
+
+    # -- discovery / validation ---------------------------------------------------------
+    def get_available_classes(self) -> List[str]:
+        return self.model_manager.get_available_classes()
+
+    def validate_models(self, class_names: Optional[List[str]] = None) -> Dict[str, bool]:
+        class_names = class_names or self.get_available_classes()
+        results = {}
+        for cls in class_names:
+            ok = self.model_manager.load_model(cls)
+            results[cls] = bool(ok and self.model_manager.validate_model(cls))
+        return results
+
+    # -- seed plumbing ---------------------------------------------------------------------
+    def _seed_for(self, class_name: str, index: int,
+                  offsets: Dict[str, int]) -> int:
+        if self.base_seed is not None:
+            return (int(self.base_seed) + offsets.get(class_name, 0) + index) & 0x7FFFFFFF
+        return secrets.randbelow(0x7FFFFFFF)
+
+    # -- core generation --------------------------------------------------------------------
+    def _sample_batch(self, class_name: str, seeds: np.ndarray,
+                      capture_trajectory: bool) -> Optional[Dict[str, Any]]:
+        if class_name not in self.model_manager.loaded_params:
+            if not self.model_manager.load_model(class_name):
+                return None
+        sampler = self.model_manager.create_sampler(
+            self.inference_steps, scheduler=self.scheduler_kind,
+            ddim_eta=self.ddim_eta)
+        params = self.model_manager.loaded_params[class_name]
+        return sampler.sample(params, seeds, capture_trajectory=capture_trajectory)
+
+    def generate_single_image(self, class_name: str, output_path: str,
+                              postprocess: bool = True,
+                              seed: Optional[int] = None
+                              ) -> Tuple[bool, Optional[np.ndarray]]:
+        """One image end-to-end. Returns (success, trajectory or None);
+        trajectory is (S, H, W, C) float32 — every denoise step, matching
+        the integrated-XAI capture (`image_generator.py:406-407`)."""
+        if self.stop_requested:
+            return False, None
+        try:
+            seed = int(seed) if seed is not None else secrets.randbelow(0x7FFFFFFF)
+            out = self._sample_batch(class_name, np.asarray([seed], np.uint32),
+                                     self.save_trajectory)
+            if out is None:
+                return False, None
+            self._write_image_artifacts(out, 0, class_name, output_path,
+                                        postprocess, seed)
+            traj = np.asarray(out["trajectory"][:, 0]) if self.save_trajectory else None
+            self._log(f"image generated for class {class_name}: {output_path}")
+            return True, traj
+        except Exception as exc:
+            self._log(f"generation failed for {class_name}: {exc}", "error")
+            return False, None
+
+    def _write_image_artifacts(self, sample_out: Dict[str, Any], idx: int,
+                               class_name: str, output_path: str,
+                               postprocess: bool, seed: int) -> None:
+        img = np.asarray(sample_out["images"][idx])
+        arr = to_uint8_images(img[None])[0]
+        if postprocess:
+            arr = apply_color_postprocessing(
+                arr, self.color_statistics.get(class_name))
+        from PIL import Image as PILImage
+        save_image(PILImage.fromarray(arr), output_path)
+        write_sidecar_metadata(
+            output_path, class_name=class_name, seed=seed,
+            inference_steps=self.inference_steps,
+            model_metadata=self.model_manager.model_metadata.get(class_name, {}),
+            device=str(self.model_manager.device),
+            noise_hash=sample_out["noise_hashes"][idx])
+
+    def generate_images(self, class_configs: List[Tuple[str, int]],
+                        output_dir: str, postprocess: bool = True) -> Dict[str, Any]:
+        """Batch driver (reference `generate_images`,
+        `image_generator.py:547-740`), with device-batched sampling."""
+        if self.is_generating:
+            self._log("generation already running", "warning")
+            return {"error": "generation already running"}
+        self.is_generating = True
+        self.stop_requested = False
+        t_start = time.time()
+        try:
+            output_path = Path(output_dir)
+            output_path.mkdir(parents=True, exist_ok=True)
+            csv_path = output_path / "synthetic_dataset.csv"
+            initialize_synthetic_csv(csv_path)
+
+            offsets = {cls: class_seed_offset(cls) for cls, _ in class_configs} \
+                if self.base_seed is not None else {}
+            total_images = sum(count for _, count in class_configs)
+            generated = 0
+            self._log(f"starting generation of {total_images} images")
+
+            for class_name, count in class_configs:
+                if self.stop_requested:
+                    break
+                class_dir = output_path / class_name
+                class_dir.mkdir(exist_ok=True)
+                class_image_count = 0
+                self._log(f"generating {count} images for class {class_name}")
+
+                index = 0
+                while index < count and not self.stop_requested:
+                    block = min(self.batch_size, count - index)
+                    seeds = np.asarray(
+                        [self._seed_for(class_name, index + j, offsets)
+                         for j in range(block)], dtype=np.uint32)
+                    need_traj = self.save_trajectory and self.xai_analyzer is not None
+                    out = self._sample_batch(class_name, seeds, need_traj)
+                    if out is None:
+                        self._log(f"model unavailable for {class_name}", "error")
+                        break
+                    for j in range(block):
+                        if self.stop_requested:
+                            break
+                        isic_number = class_image_count + 1
+                        filename = self.path_manager.get_isic_filename(isic_number)
+                        file_path = class_dir / filename
+                        self._write_image_artifacts(out, j, class_name,
+                                                    str(file_path), postprocess,
+                                                    int(seeds[j]))
+                        append_synthetic_row(csv_path, {
+                            "filename": filename,
+                            "class": class_name,
+                            "isic_number": isic_number,
+                            "source": "synthetic",
+                            "generated_at": str(file_path.stat().st_mtime),
+                        })
+                        generated += 1
+                        class_image_count += 1
+                        self._progress(generated, total_images,
+                                       f"generated {generated}/{total_images}")
+
+                        if (self.xai_analyzer is not None and need_traj
+                                and class_image_count % self.xai_frequency == 0):
+                            try:
+                                self._log(f"integrated XAI for {class_name} "
+                                          f"(image {class_image_count})")
+                                traj = np.asarray(out["trajectory"][:, j])
+                                xai_results = self.xai_analyzer.analyze_trajectory(
+                                    trajectory=traj, class_name=class_name,
+                                    seed=int(seeds[j]),
+                                    inference_steps=self.inference_steps,
+                                    filename=filename, file_path=str(file_path))
+                                if xai_results:
+                                    self._save_xai_results(xai_results, class_name,
+                                                           filename, str(file_path))
+                            except Exception as exc:
+                                self._log(f"integrated XAI failed: {exc}", "warning")
+                    index += block
+
+            elapsed = time.time() - t_start
+            result = {
+                "generated": generated,
+                "requested": total_images,
+                "elapsed_seconds": round(elapsed, 2),
+                "images_per_second": round(generated / elapsed, 3) if elapsed > 0 else 0,
+                "stopped": self.stop_requested,
+                "output_dir": str(output_path),
+            }
+            self._log(f"generation finished: {result}")
+            return result
+        except Exception as exc:
+            self._log(f"generation error: {exc}", "error")
+            return {"error": str(exc)}
+        finally:
+            self.is_generating = False
+
+    def _save_xai_results(self, xai_results: Dict[str, Any], class_name: str,
+                          filename: str, file_path: str) -> None:
+        """`xai_results/<class>/xai_<stem>_<ts>.json`
+        (reference `image_generator.py:866-886`)."""
+        import json
+        from datetime import datetime
+
+        xai_dir = Path(file_path).parent.parent / "xai_results" / class_name
+        xai_dir.mkdir(parents=True, exist_ok=True)
+        stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        out = xai_dir / f"xai_{Path(filename).stem}_{stamp}.json"
+        from .xai.pipeline import json_safe
+        with open(out, "w", encoding="utf-8") as f:
+            json.dump(json_safe(xai_results), f, indent=2, ensure_ascii=False,
+                      default=str)
+        self._log(f"XAI results saved: {out}")
+
+    # -- control ---------------------------------------------------------------------------
+    def stop_generation(self) -> None:
+        self.stop_requested = True
+        self._log("stop requested")
+
+    def get_generation_status(self) -> Dict[str, Any]:
+        return {
+            "is_generating": self.is_generating,
+            "stop_requested": self.stop_requested,
+            "loaded_models": list(self.model_manager.loaded_params.keys()),
+            "device": str(self.model_manager.device),
+        }
+
+    def cleanup(self) -> None:
+        self.stop_generation()
+        self.model_manager.cleanup()
+        if self.cache_manager:
+            self.cache_manager.cleanup_temp_files()
+        self._log("ImageGenerator cleaned up")

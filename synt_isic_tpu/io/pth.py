@@ -123,12 +123,11 @@ class _ProbeUnpickler(pickle.Unpickler):
         return np.zeros(0, dtype=np.uint8)
 
     def find_class(self, module, name):
-        try:
-            return _RestrictedUnpickler._ALLOWED[(module, name)]
-        except KeyError:
-            if module == "torch" and name.endswith("Storage"):
-                return name
-            return lambda *a, **k: None  # permissive: probing only
+        if (module, name) == ("collections", "OrderedDict"):
+            return OrderedDict
+        if module == "torch" and name.endswith("Storage"):
+            return name
+        return lambda *a, **k: None  # permissive no-op: probing only
 
 
 def _load_zip_pth(path: str) -> Dict[str, Any]:

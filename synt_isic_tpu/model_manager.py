@@ -1,0 +1,206 @@
+"""Model registry: per-class UNet checkpoints -> device parameter pytrees.
+
+Parity with reference `ModelManager` (`core/generator/model_manager.py`):
+`get_available_classes` (glob `unet_*_best.pth`, :39), cache-first
+`load_model` (:89-171), scheduler/sampler creation with the training
+config (:196-226), `unload_model`/`unload_all_models` (:228-273),
+`validate_model` (:275-303), `get_loaded_models_info` with parameter
+counts (:305-317), `change_device` (:319-345), `cleanup` (:347).
+
+TPU-native: a "loaded model" is an immutable params pytree placed on the
+target JAX device plus one shared UNet2D module definition — no stateful
+nn.Module, no eval()/device drift to validate away (validation checks
+device placement of the arrays and architecture-shape consistency
+instead). Conversion (zip-pickle parse + OIHW->HWIO transposes) happens
+once per checkpoint content hash; the converted arrays are cached as .npz
+by `CacheManager` and memory-mapped on later loads.
+"""
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cache import CacheManager
+from .diffusion import DiffusionSchedule, DiffusionSampler, SamplerConfig
+from .io.convert import torch_to_flax
+from .io.pth import load_pth
+from .models.unet2d import UNet2D, UNet2DConfig
+from .utils.logging import Logger
+from .utils.paths import PathManager
+
+
+def _flatten(tree: Dict[str, Any], prefix: str = "") -> Dict[str, np.ndarray]:
+    flat: Dict[str, np.ndarray] = {}
+    for k, v in tree.items():
+        key = f"{prefix}/{k}" if prefix else k
+        if isinstance(v, dict):
+            flat.update(_flatten(v, key))
+        else:
+            flat[key] = np.asarray(v)
+    return flat
+
+
+def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        node = tree
+        parts = key.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+class ModelManager:
+    def __init__(self, checkpoints_dir: Optional[str] = None,
+                 cache_manager: Optional[CacheManager] = None,
+                 logger: Optional[Logger] = None,
+                 device: Optional[jax.Device] = None,
+                 model_config: Optional[UNet2DConfig] = None,
+                 dtype: Any = jnp.float32):
+        self.path_manager = PathManager()
+        self.checkpoints_dir = Path(checkpoints_dir) if checkpoints_dir \
+            else self.path_manager.get_checkpoints_dir()
+        self.cache = cache_manager
+        self.logger = logger or Logger("model_manager")
+        self.device = device or jax.devices()[0]
+        self.model = UNet2D(config=model_config or UNet2DConfig(), dtype=dtype)
+        self.schedule = DiffusionSchedule.create()
+        self.loaded_params: Dict[str, Any] = {}
+        self.model_metadata: Dict[str, Dict[str, Any]] = {}
+        self._samplers: Dict[int, DiffusionSampler] = {}
+
+    # -- discovery ----------------------------------------------------------------
+    def get_available_classes(self) -> List[str]:
+        return self.path_manager.get_available_classes(str(self.checkpoints_dir))
+
+    def checkpoint_path(self, class_name: str) -> Path:
+        return self.checkpoints_dir / f"unet_{class_name}_best.pth"
+
+    # -- load / unload ---------------------------------------------------------------
+    def load_model(self, class_name: str,
+                   checkpoint_path: Optional[str] = None) -> bool:
+        if class_name in self.loaded_params:
+            return True
+        path = Path(checkpoint_path) if checkpoint_path else self.checkpoint_path(class_name)
+        if not path.exists():
+            self.logger.log_error(f"checkpoint not found for {class_name}: {path}")
+            return False
+        try:
+            t0 = time.time()
+            tree = None
+            if self.cache is not None:
+                flat = self.cache.get_converted(class_name, str(path))
+                if flat is not None:
+                    tree = _unflatten(flat)
+            if tree is None:
+                tree = torch_to_flax(load_pth(str(path)))
+                if self.cache is not None:
+                    self.cache.cache_model(class_name, str(path))
+                    self.cache.cache_converted(class_name, str(path), _flatten(tree))
+            params = jax.device_put(
+                jax.tree_util.tree_map(jnp.asarray, tree), self.device)
+            self.loaded_params[class_name] = params
+            self.model_metadata[class_name] = {
+                "model_path": str(path),
+                "loaded_at": time.time(),
+                "device": str(self.device),
+                "load_seconds": round(time.time() - t0, 3),
+            }
+            self.logger.log_info(f"model loaded for class {class_name} "
+                                 f"({self.model_metadata[class_name]['load_seconds']}s)")
+            return True
+        except Exception as exc:
+            self.logger.log_error(f"failed to load model for {class_name}: {exc}")
+            return False
+
+    def unload_model(self, class_name: str) -> bool:
+        if class_name not in self.loaded_params:
+            return False
+        del self.loaded_params[class_name]
+        self.model_metadata.pop(class_name, None)
+        self.logger.log_info(f"model unloaded for class {class_name}")
+        return True
+
+    def unload_all_models(self) -> bool:
+        for cls in list(self.loaded_params):
+            self.unload_model(cls)
+        return True
+
+    # -- samplers -------------------------------------------------------------------------
+    def create_sampler(self, inference_steps: int = 50,
+                       scheduler: str = "ddpm", ddim_eta: float = 0.0,
+                       dtype: Any = jnp.float32) -> DiffusionSampler:
+        """Sampler with the training schedule (T=1000, squaredcos_cap_v2,
+        epsilon) and clamped inference steps (reference
+        `model_manager.py:196-209`). Cached per step count."""
+        steps = max(1, min(1000, int(inference_steps)))
+        key = (steps, scheduler, ddim_eta, str(dtype))
+        if key not in self._samplers:
+            cfg = SamplerConfig(num_inference_steps=steps, scheduler=scheduler,
+                                ddim_eta=ddim_eta,
+                                image_size=self.model.config.sample_size,
+                                channels=self.model.config.in_channels,
+                                dtype=dtype)
+            apply_fn = lambda params, x, t: self.model.apply({"params": params}, x, t)
+            self._samplers[key] = DiffusionSampler(apply_fn, self.schedule, cfg)
+        return self._samplers[key]
+
+    # -- validation / info ------------------------------------------------------------------
+    def validate_model(self, class_name: str) -> bool:
+        if class_name not in self.loaded_params:
+            self.logger.log_warning(f"model for {class_name} not loaded")
+            return False
+        params = self.loaded_params[class_name]
+        leaves = jax.tree_util.tree_leaves(params)
+        if not leaves:
+            return False
+        devices = {list(leaf.devices())[0] for leaf in leaves}
+        if devices != {self.device}:
+            self.logger.log_warning(
+                f"model {class_name} on wrong device(s): {devices} != {self.device}")
+            return False
+        # architecture consistency: conv_in kernel must match config
+        try:
+            kern = params["conv_in"]["kernel"]
+            cfg = self.model.config
+            if kern.shape != (3, 3, cfg.in_channels, cfg.block_out_channels[0]):
+                return False
+        except (KeyError, TypeError):
+            return False
+        return True
+
+    def get_loaded_models_info(self) -> Dict[str, Dict[str, Any]]:
+        info = {}
+        for cls, params in self.loaded_params.items():
+            n_params = sum(int(np.prod(l.shape))
+                           for l in jax.tree_util.tree_leaves(params))
+            info[cls] = {
+                "parameters": n_params,
+                "parameters_millions": round(n_params / 1e6, 2),
+                **self.model_metadata.get(cls, {}),
+            }
+        return info
+
+    def change_device(self, device: jax.Device) -> bool:
+        """Move all loaded params to another device (reference
+        `model_manager.py:319-345`)."""
+        try:
+            self.device = device
+            for cls in list(self.loaded_params):
+                self.loaded_params[cls] = jax.device_put(self.loaded_params[cls],
+                                                         device)
+                self.model_metadata[cls]["device"] = str(device)
+            return True
+        except Exception as exc:
+            self.logger.log_error(f"change_device failed: {exc}")
+            return False
+
+    def cleanup(self) -> None:
+        self.unload_all_models()
+        self._samplers.clear()

@@ -1,0 +1,312 @@
+"""Attribution methods: Integrated Gradients, patch-SHAP, Time-SHAP.
+
+Parity targets in the reference (`xai/XAI.py`):
+  * `compute_integrated_gradients` :1039-1109 — Captum IG with
+    `riemann_right` quadrature over a noise baseline (0.1·N(0,1), cached per
+    shape), gradient-attribution fallback;
+  * `compute_shap_approximation` :1111-1177 — Kernel-SHAP-style random
+    16-px patch masks, zero baseline, mean masked-score contribution over
+    n_samples (the reference's hottest loop: 512 sequential classifier
+    forwards per frame plus a Python double loop building each mask);
+  * `compute_time_shap` :1179-1234 — per-frame classifier confidence +
+    per-class score, min-max-normalized importance;
+  * `compute_combined_attribution` :1236-1291 — weighted sum (0.5 IG +
+    0.5 SHAP in the pipeline).
+
+TPU-native design: every method is a *batched device computation*:
+  * IG evaluates the whole α-grid as one vmapped forward+backward batch
+    (n_steps × image in a single XLA launch) instead of n sequential
+    Captum passes;
+  * patch-SHAP draws all masks with one `jax.random.bernoulli`, upsamples
+    them with a reshape-broadcast (no Python mask loops), and scores all
+    masked images in large fused batches;
+  * Time-SHAP scores the whole trajectory as one batch.
+An extended, axiom-faithful Shapley estimator over timesteps (permutation
+sampling, vmapped) is provided as `compute_time_shap_coalitional` — the
+reference's README describes this formulation (README.md:198-207) but its
+code only implements the per-frame score proxy; we ship both.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.classifier import LesionClassifier, SCORE_EPS
+
+
+def _as_batched(image: jnp.ndarray) -> jnp.ndarray:
+    return image[None] if image.ndim == 3 else image
+
+
+class XAIAnalyzer:
+    """Attribution engine over a `LesionClassifier`.
+
+    All heavy math is jitted once per (method, shape) and replayed; RNG is
+    an explicit JAX key chain seeded at construction for reproducibility.
+    """
+
+    def __init__(self, classifier: LesionClassifier,
+                 ig_n_steps: int = 50,
+                 shap_n_samples: int = 512,
+                 shap_patch_size: int = 16,
+                 batch_size: int = 128,
+                 seed: int = 0,
+                 verbose: bool = False):
+        self.classifier = classifier
+        self.ig_n_steps = ig_n_steps
+        self.shap_n_samples = shap_n_samples
+        self.shap_patch_size = shap_patch_size
+        self.batch_size = batch_size
+        self.verbose = verbose
+        self._key = jax.random.PRNGKey(seed)
+        self._baseline_cache: Dict[Tuple, jnp.ndarray] = {}
+        self._jit_cache: Dict[Tuple, Any] = {}
+
+    # -- RNG ------------------------------------------------------------------------
+    def _next_key(self) -> jax.Array:
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # -- baselines (reference XAI.py:1010-1037) ---------------------------------------
+    def _get_baseline(self, image: jnp.ndarray, baseline_type: str = "noise") -> jnp.ndarray:
+        cache_key = (baseline_type, tuple(image.shape))
+        if cache_key not in self._baseline_cache:
+            if baseline_type == "noise":
+                base = 0.1 * jax.random.normal(self._next_key(), image.shape, image.dtype)
+            elif baseline_type == "blur":
+                base = _avg_pool_same(image, 31)
+            else:  # 'zero' and unknown types
+                base = jnp.zeros_like(image)
+            self._baseline_cache[cache_key] = base
+        return self._baseline_cache[cache_key]
+
+    # -- Integrated Gradients ------------------------------------------------------------
+    def compute_integrated_gradients(self, image: jnp.ndarray, target_class: int,
+                                     n_steps: Optional[int] = None,
+                                     baseline_type: str = "noise") -> jnp.ndarray:
+        """IG_i(x) = (x_i - x'_i) · (1/n) Σ_k ∂F(x' + α_k (x-x'))/∂x_i with
+        α_k = k/n, k = 1..n (riemann_right, matching Captum's quadrature)."""
+        image = _as_batched(image)
+        n = int(n_steps or self.ig_n_steps)
+        baseline = self._get_baseline(image, baseline_type)
+        fn = self._get_jitted("ig", n, int(target_class), image.shape)
+        return fn(self.classifier.params, image, baseline)
+
+    def compute_gradient_attribution(self, image: jnp.ndarray,
+                                     target_class: int) -> jnp.ndarray:
+        """Plain input-gradient fallback (reference `XAI.py:1089-1109`)."""
+        return self.classifier.input_gradient(_as_batched(image), target_class)
+
+    # -- patch SHAP ------------------------------------------------------------------------
+    def compute_shap_approximation(self, image: jnp.ndarray, target_class: int,
+                                   n_samples: Optional[int] = None,
+                                   patch_size: Optional[int] = None) -> jnp.ndarray:
+        image = _as_batched(image)
+        n = int(n_samples or self.shap_n_samples)
+        p = int(patch_size or self.shap_patch_size)
+        fn = self._get_jitted("shap", n, int(target_class), image.shape, p)
+        return fn(self.classifier.params, image, self._next_key())
+
+    # -- Time-SHAP ---------------------------------------------------------------------------
+    def compute_time_shap(self, trajectory: Union[jnp.ndarray, Sequence[jnp.ndarray]],
+                          timesteps: Sequence[float], target_class: int
+                          ) -> Tuple[np.ndarray, Dict[str, Any]]:
+        """Per-frame importance over the denoising trajectory.
+
+        One batched classifier pass over all frames (the reference loops
+        them one by one on host, `XAI.py:1201-1211`).
+        """
+        frames = _stack_trajectory(trajectory)
+        probs, scores = [], []
+        for start in range(0, frames.shape[0], self.batch_size):
+            chunk = frames[start:start + self.batch_size]
+            p = self.classifier.get_probabilities(chunk)
+            probs.append(np.asarray(p[:, target_class]))
+            scores.append(np.asarray(jnp.log(p[:, target_class] + SCORE_EPS)))
+        prob_scores = np.concatenate(probs)
+        confidence_scores = np.concatenate(scores)
+
+        rng = confidence_scores.max() - confidence_scores.min()
+        if len(confidence_scores) > 1 and rng > 1e-6:
+            importance = (confidence_scores - confidence_scores.min()) / rng
+        else:
+            importance = np.ones_like(confidence_scores) / len(confidence_scores)
+
+        raw = {
+            "confidence_scores": confidence_scores,
+            "probability_scores": prob_scores,
+            "timesteps": list(timesteps),
+        }
+        return importance, raw
+
+    def compute_time_shap_coalitional(self, trajectory, timesteps, target_class: int,
+                                      n_permutations: int = 64,
+                                      baseline: str = "first") -> Dict[str, Any]:
+        """True Shapley values over timesteps via permutation sampling.
+
+        Coalition semantics: a coalition S of frames "reveals" the latest
+        (closest to t=0) frame in S; the value v(S) is the classifier score
+        of that frame (v(∅) = score of the baseline frame). Marginal
+        contributions are averaged over sampled permutations. Efficiency
+        axiom holds by construction: Σφ = v(full) − v(∅).
+        """
+        frames = _stack_trajectory(trajectory)
+        S = frames.shape[0]
+        # one batched pass: score every frame once
+        scores = []
+        for start in range(0, S, self.batch_size):
+            p = self.classifier.get_probabilities(frames[start:start + self.batch_size])
+            scores.append(np.asarray(jnp.log(p[:, target_class] + SCORE_EPS)))
+        frame_scores = np.concatenate(scores)  # v of "latest revealed = i"
+        v_empty = frame_scores[0] if baseline == "first" else 0.0
+
+        # permutation sampling entirely in numpy over the precomputed scores
+        # (v(S) depends only on max frame index in S, so marginals reduce to
+        # running-max bookkeeping — no extra classifier calls needed)
+        rng = np.random.default_rng(int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1)))
+        phi = np.zeros(S)
+        for _ in range(n_permutations):
+            perm = rng.permutation(S)
+            current = v_empty
+            running_max = -1
+            for idx in perm:
+                if idx > running_max:
+                    new_v = frame_scores[idx]
+                    running_max = idx
+                else:
+                    new_v = current
+                phi[idx] += new_v - current
+                current = new_v
+        phi /= n_permutations
+        return {
+            "shapley_values": phi,
+            "efficiency_gap": float(phi.sum() - (frame_scores[-1] - v_empty)),
+            "frame_scores": frame_scores,
+            "timesteps": list(timesteps),
+            "n_permutations": n_permutations,
+        }
+
+    # -- combined ------------------------------------------------------------------------------
+    def compute_combined_attribution(self, image: jnp.ndarray, target_class: int,
+                                     methods: Sequence[str] = ("ig", "shap"),
+                                     weights: Optional[Sequence[float]] = None
+                                     ) -> Tuple[jnp.ndarray, Dict[str, Any]]:
+        """Weighted combination (reference `XAI.py:1236-1291`)."""
+        if weights is None:
+            weights = [1.0 / len(methods)] * len(methods)
+        attributions: List[jnp.ndarray] = []
+        details: Dict[str, Any] = {}
+        for method, weight in zip(methods, weights):
+            if method == "ig":
+                attr = self.compute_integrated_gradients(image, target_class)
+            elif method == "shap":
+                attr = self.compute_shap_approximation(image, target_class)
+            elif method == "gradient":
+                attr = self.compute_gradient_attribution(image, target_class)
+            else:
+                continue
+            attributions.append(attr * weight)
+            details[method] = {
+                "weight": float(weight),
+                "mean_attribution": float(jnp.mean(jnp.abs(attr))),
+                "max_attribution": float(jnp.max(jnp.abs(attr))),
+            }
+        if not attributions:
+            raise RuntimeError("no attribution method produced a result")
+        return jnp.sum(jnp.stack(attributions), axis=0), details
+
+    # -- jit kernel builders ---------------------------------------------------------------------
+    def _get_jitted(self, kind: str, *sig):
+        key = (kind,) + tuple(sig)
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+        if kind == "ig":
+            fn = self._build_ig(*sig)
+        elif kind == "shap":
+            fn = self._build_shap(*sig)
+        else:
+            raise KeyError(kind)
+        self._jit_cache[key] = fn
+        return fn
+
+    def _build_ig(self, n_steps: int, target_class: int, shape):
+        clf = self.classifier
+        chunk = max(1, min(n_steps, self.batch_size))
+        if n_steps % chunk != 0:
+            chunk = n_steps  # fall back to one batch when not evenly divisible
+
+        def single_grad(params, x):
+            def score(xi):
+                probs = jax.nn.softmax(clf._logits_impl(params, xi[None]), axis=-1)
+                return jnp.log(probs[0, target_class] + SCORE_EPS)
+            return jax.grad(score)(x)
+
+        def ig(params, image, baseline):
+            x0, b0 = image[0], baseline[0]
+            alphas = (jnp.arange(1, n_steps + 1, dtype=jnp.float32) / n_steps)
+            points = b0[None] + alphas[:, None, None, None] * (x0 - b0)[None]
+            # chunked vmap keeps peak memory bounded for large n_steps
+            grads = jax.lax.map(
+                lambda xs: jax.vmap(lambda x: single_grad(params, x))(xs),
+                points.reshape(n_steps // chunk, chunk, *x0.shape))
+            avg_grad = jnp.mean(grads.reshape(n_steps, *x0.shape), axis=0)
+            return ((x0 - b0) * avg_grad)[None]
+
+        return jax.jit(ig)
+
+    def _build_shap(self, n_samples: int, target_class: int, shape, patch_size: int):
+        clf = self.classifier
+        _, H, W, C = shape
+        ph, pw = H // patch_size, W // patch_size
+        chunk = max(1, min(n_samples, self.batch_size))
+        if n_samples % chunk != 0:
+            chunk = n_samples
+
+        def shap(params, image, key):
+            x0 = image[0]
+            patch_masks = jax.random.bernoulli(key, 0.5, (n_samples, ph, pw))
+            # upsample patch grid -> pixel mask via broadcast
+            masks = jnp.repeat(jnp.repeat(patch_masks, patch_size, axis=1),
+                               patch_size, axis=2).astype(x0.dtype)  # (n, H, W)
+
+            def score_batch(ms):
+                xs = x0[None] * ms[:, :, :, None]
+                probs = jax.nn.softmax(clf._logits_impl(params, xs), axis=-1)
+                return jnp.log(probs[:, target_class] + SCORE_EPS)
+
+            n_chunks = max(1, n_samples // chunk)
+            scores = jax.lax.map(score_batch,
+                                 masks.reshape(n_chunks, chunk, H, W)).reshape(n_samples)
+            baseline_probs = jax.nn.softmax(
+                clf._logits_impl(params, jnp.zeros_like(image)), axis=-1)
+            baseline_score = jnp.log(baseline_probs[0, target_class] + SCORE_EPS)
+            contrib = (scores - baseline_score)  # (n,)
+            attr2d = jnp.einsum("n,nhw->hw", contrib, masks) / n_samples
+            return jnp.broadcast_to(attr2d[None, :, :, None], image.shape)
+
+        return jax.jit(shap)
+
+
+def _stack_trajectory(trajectory) -> jnp.ndarray:
+    """list of (H,W,C)/(1,H,W,C) frames or an (S,[1,]H,W,C) array -> (S,H,W,C)."""
+    if isinstance(trajectory, (list, tuple)):
+        frames = jnp.stack([f[0] if f.ndim == 4 else f for f in trajectory])
+    else:
+        frames = jnp.asarray(trajectory)
+        if frames.ndim == 5:  # (S, 1, H, W, C)
+            frames = frames[:, 0]
+    return frames
+
+
+def _avg_pool_same(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Average pool stride 1, zero padding, count_include_pad=True — matches
+    `F.avg_pool2d(..., stride=1, padding=k//2)` used by the reference for
+    the blur baseline/intervention."""
+    pad = k // 2
+    window = (1, k, k, 1)
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, (1, 1, 1, 1),
+                                   [(0, 0), (pad, pad), (pad, pad), (0, 0)])
+    return summed / (k * k)
