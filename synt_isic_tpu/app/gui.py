@@ -1,0 +1,291 @@
+"""Thin PyQt5 GUI client over the TPU generation backend.
+
+Rebuild of the reference desktop app (`main.py`, 1779 LoC): the same
+4-panel layout — top controls (model/output dirs, device, XAI mode,
+inference steps 1-1000, seed mode/value, XAI frequency; `main.py:437-535`),
+left class checkboxes with counts (:555-634), center preview + progress
+(:636-675), right results browser (:677-743), bottom log panel (:745-799)
+— wired to `ImageGenerator` through a QThread worker (GenerationWorker,
+`main.py:31-61`).
+
+Differences by design (north star: "GUI becomes a thin client"):
+  * the XAI path runs in-process through `IntegratedXAIAnalyzer`
+    (the reference's subprocess+env-var XAIWorker protocol is preserved in
+    `xai/standalone.py` for headless use — no Qt dependency there);
+  * device selection toggles between available JAX devices;
+  * import of this module is gated on PyQt5 — the framework core never
+    requires Qt.
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+try:
+    from PyQt5.QtCore import Qt, QThread, QTimer, pyqtSignal
+    from PyQt5.QtGui import QPixmap
+    from PyQt5.QtWidgets import (
+        QApplication, QCheckBox, QComboBox, QFileDialog, QGridLayout,
+        QGroupBox, QHBoxLayout, QLabel, QLineEdit, QListWidget, QMainWindow,
+        QProgressBar, QPushButton, QSpinBox, QSplitter, QTextEdit,
+        QVBoxLayout, QWidget)
+    PYQT_AVAILABLE = True
+except ImportError:  # headless environments
+    PYQT_AVAILABLE = False
+
+    class QThread:  # type: ignore[no-redef]
+        pass
+
+
+if PYQT_AVAILABLE:
+
+    class GenerationWorker(QThread):
+        """Runs `generator.generate_images` off the GUI thread
+        (reference `main.py:31-61`)."""
+        progress = pyqtSignal(int, int, str)
+        log = pyqtSignal(str, str)
+        finished_ok = pyqtSignal(dict)
+
+        def __init__(self, generator, class_configs, output_dir, postprocess):
+            super().__init__()
+            self.generator = generator
+            self.class_configs = class_configs
+            self.output_dir = output_dir
+            self.postprocess = postprocess
+
+        def run(self):
+            self.generator.set_progress_callback(
+                lambda done, total, msg: self.progress.emit(done, total, msg))
+            self.generator.set_log_callback(
+                lambda msg, level: self.log.emit(msg, level))
+            result = self.generator.generate_images(
+                self.class_configs, self.output_dir, self.postprocess)
+            self.finished_ok.emit(result or {})
+
+    class SyntheticDataGeneratorWindow(QMainWindow):
+        def __init__(self):
+            super().__init__()
+            from ..generator import ImageGenerator
+            from ..utils.config import CLASS_NAMES, ConfigManager
+
+            self.config = ConfigManager()
+            self.generator = ImageGenerator(config=self.config)
+            self.class_names = CLASS_NAMES
+            self.worker = None
+            self.setWindowTitle("SYNT-ISIC TPU — synthetic dermatology generator")
+            self.resize(1280, 840)
+            self._build_ui()
+            self._refresh_classes()
+
+        # -- layout -------------------------------------------------------------
+        def _build_ui(self):
+            central = QWidget()
+            root = QVBoxLayout(central)
+
+            # top controls
+            top = QGroupBox("Generation settings")
+            grid = QGridLayout(top)
+            self.ckpt_edit = QLineEdit(str(Path("checkpoints").resolve()))
+            ckpt_btn = QPushButton("…")
+            ckpt_btn.clicked.connect(lambda: self._pick_dir(self.ckpt_edit))
+            self.out_edit = QLineEdit(str(Path("generated_images").resolve()))
+            out_btn = QPushButton("…")
+            out_btn.clicked.connect(lambda: self._pick_dir(self.out_edit))
+            self.device_combo = QComboBox()
+            import jax
+            for d in jax.devices():
+                self.device_combo.addItem(str(d))
+            self.steps_spin = QSpinBox()
+            self.steps_spin.setRange(1, 1000)
+            self.steps_spin.setValue(int(self.config.get_generation_param(
+                "inference_timesteps")))
+            self.seed_mode = QComboBox()
+            self.seed_mode.addItems(["random", "fixed"])
+            self.seed_mode.setCurrentText(
+                self.config.get_generation_param("seed_mode"))
+            self.seed_spin = QSpinBox()
+            self.seed_spin.setRange(0, 2**31 - 1)
+            self.seed_spin.setValue(int(self.config.get_generation_param("seed_value")))
+            self.xai_check = QCheckBox("Integrated XAI")
+            self.xai_freq = QSpinBox()
+            self.xai_freq.setRange(1, 1000)
+            self.xai_freq.setValue(int(self.config.get_generation_param("xai_frequency")))
+            grid.addWidget(QLabel("Checkpoints:"), 0, 0)
+            grid.addWidget(self.ckpt_edit, 0, 1)
+            grid.addWidget(ckpt_btn, 0, 2)
+            grid.addWidget(QLabel("Output:"), 0, 3)
+            grid.addWidget(self.out_edit, 0, 4)
+            grid.addWidget(out_btn, 0, 5)
+            grid.addWidget(QLabel("Device:"), 1, 0)
+            grid.addWidget(self.device_combo, 1, 1)
+            grid.addWidget(QLabel("Steps:"), 1, 2)
+            grid.addWidget(self.steps_spin, 1, 3)
+            grid.addWidget(QLabel("Seed:"), 1, 4)
+            seed_row = QHBoxLayout()
+            seed_row.addWidget(self.seed_mode)
+            seed_row.addWidget(self.seed_spin)
+            seed_holder = QWidget()
+            seed_holder.setLayout(seed_row)
+            grid.addWidget(seed_holder, 1, 5)
+            grid.addWidget(self.xai_check, 2, 0)
+            grid.addWidget(QLabel("XAI every N:"), 2, 1)
+            grid.addWidget(self.xai_freq, 2, 2)
+            root.addWidget(top)
+
+            split = QSplitter(Qt.Horizontal)
+
+            # left: class selection
+            left = QGroupBox("Classes")
+            lv = QVBoxLayout(left)
+            self.class_rows = {}
+            for cls in self.class_names:
+                row = QHBoxLayout()
+                cb = QCheckBox(cls)
+                count = QSpinBox()
+                count.setRange(1, 100000)
+                count.setValue(10)
+                row.addWidget(cb)
+                row.addWidget(count)
+                holder = QWidget()
+                holder.setLayout(row)
+                lv.addWidget(holder)
+                self.class_rows[cls] = (cb, count)
+            lv.addStretch(1)
+            split.addWidget(left)
+
+            # center: preview + progress + buttons
+            center = QWidget()
+            cv = QVBoxLayout(center)
+            self.preview = QLabel("preview")
+            self.preview.setAlignment(Qt.AlignCenter)
+            self.preview.setMinimumSize(420, 420)
+            self.progress = QProgressBar()
+            self.status_label = QLabel("idle")
+            btns = QHBoxLayout()
+            self.start_btn = QPushButton("Start generation")
+            self.start_btn.clicked.connect(self.start_generation)
+            self.stop_btn = QPushButton("Stop")
+            self.stop_btn.clicked.connect(self.stop_generation)
+            self.stop_btn.setEnabled(False)
+            btns.addWidget(self.start_btn)
+            btns.addWidget(self.stop_btn)
+            cv.addWidget(self.preview, 1)
+            cv.addWidget(self.progress)
+            cv.addWidget(self.status_label)
+            cv.addLayout(btns)
+            split.addWidget(center)
+
+            # right: results browser
+            right = QGroupBox("Results")
+            rv = QVBoxLayout(right)
+            self.files_list = QListWidget()
+            self.files_list.itemClicked.connect(self._show_selected)
+            refresh_btn = QPushButton("Refresh")
+            refresh_btn.clicked.connect(self._refresh_files)
+            rv.addWidget(self.files_list, 1)
+            rv.addWidget(refresh_btn)
+            split.addWidget(right)
+            split.setSizes([220, 600, 300])
+            root.addWidget(split, 1)
+
+            # bottom: logs
+            self.logs = QTextEdit()
+            self.logs.setReadOnly(True)
+            self.logs.setMaximumHeight(160)
+            root.addWidget(self.logs)
+
+            self.setCentralWidget(central)
+
+        # -- helpers ---------------------------------------------------------------
+        def _pick_dir(self, edit: "QLineEdit"):
+            path = QFileDialog.getExistingDirectory(self, "Select directory",
+                                                    edit.text())
+            if path:
+                edit.setText(path)
+
+        def _refresh_classes(self):
+            available = set(self.generator.get_available_classes())
+            for cls, (cb, _) in self.class_rows.items():
+                cb.setEnabled(cls in available)
+                if cls not in available:
+                    cb.setChecked(False)
+                    cb.setToolTip("no checkpoint found")
+
+        def _refresh_files(self):
+            self.files_list.clear()
+            out = Path(self.out_edit.text())
+            if out.exists():
+                for p in sorted(out.rglob("*.png"))[:500]:
+                    self.files_list.addItem(str(p))
+
+        def _show_selected(self, item):
+            pix = QPixmap(item.text())
+            if not pix.isNull():
+                self.preview.setPixmap(pix.scaled(
+                    self.preview.size(), Qt.KeepAspectRatio,
+                    Qt.SmoothTransformation))
+
+        def _append_log(self, msg: str, level: str = "info"):
+            self.logs.append(f"[{level}] {msg}")
+
+        # -- actions ---------------------------------------------------------------
+        def start_generation(self):
+            if self.worker is not None and self.worker.isRunning():
+                return
+            configs = [(cls, count.value())
+                       for cls, (cb, count) in self.class_rows.items()
+                       if cb.isChecked()]
+            if not configs:
+                self._append_log("select at least one class", "warning")
+                return
+            self.generator.set_inference_steps(self.steps_spin.value())
+            if self.seed_mode.currentText() == "fixed":
+                self.generator.set_generation_seed(self.seed_spin.value())
+            else:
+                self.generator.set_generation_seed(None)
+            if self.xai_check.isChecked():
+                from ..xai.integration import create_integrated_xai_analyzer
+                self.generator.set_xai_analyzer(create_integrated_xai_analyzer(
+                    classifier_path=str(Path(self.ckpt_edit.text()) / "classifier.pth")))
+                self.generator.set_xai_frequency(self.xai_freq.value())
+            else:
+                self.generator.set_xai_analyzer(None)
+
+            self.worker = GenerationWorker(self.generator, configs,
+                                           self.out_edit.text(), True)
+            self.worker.progress.connect(self._on_progress)
+            self.worker.log.connect(self._append_log)
+            self.worker.finished_ok.connect(self._on_finished)
+            self.start_btn.setEnabled(False)
+            self.stop_btn.setEnabled(True)
+            self.worker.start()
+
+        def stop_generation(self):
+            self.generator.stop_generation()
+
+        def _on_progress(self, done: int, total: int, msg: str):
+            self.progress.setMaximum(total)
+            self.progress.setValue(done)
+            self.status_label.setText(msg)
+
+        def _on_finished(self, result: dict):
+            self.start_btn.setEnabled(True)
+            self.stop_btn.setEnabled(False)
+            self.status_label.setText(f"done: {result}")
+            self._refresh_files()
+
+
+def main() -> int:
+    if not PYQT_AVAILABLE:
+        print("PyQt5 is not installed; the GUI client requires it.\n"
+              "Headless alternatives: `python -m synt_isic_tpu.cli` for batch "
+              "generation, `python -m synt_isic_tpu.xai.standalone` for XAI.")
+        return 1
+    app = QApplication(sys.argv)
+    win = SyntheticDataGeneratorWindow()
+    win.show()
+    return app.exec_()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,73 @@
+"""Data-parallel sampling and attribution fan-out over a device mesh.
+
+Replaces the reference's serial one-image-at-a-time loop
+(`core/generator/image_generator.py:612-648`) with SPMD batches: seeds are
+split across the 'data' mesh axis, model params are replicated, and the
+jitted sampling scan runs as one partitioned XLA program — per-image RNG
+streams (PRNGKey(seed) + fold_in) make the result independent of the
+device layout, so an 8-chip batch equals eight 1-chip batches.
+
+`sharded_scores` gives the same treatment to classifier-heavy XAI
+workloads (Time-SHAP frame scoring, SHAP mask batches, fairness-corpus
+audits): any per-sample pure function, vmapped and partitioned over the
+mesh.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional, Union
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..diffusion.sampler import DiffusionSampler
+from .mesh import batch_sharding, replicated_sharding
+
+
+class ShardedSampler:
+    """Wraps a `DiffusionSampler` with mesh placement.
+
+    Batch size must be a multiple of the 'data' axis size; seeds are padded
+    (with discarded extras) when not.
+    """
+
+    def __init__(self, sampler: DiffusionSampler, mesh: Mesh, axis: str = "data"):
+        self.sampler = sampler
+        self.mesh = mesh
+        self.axis = axis
+        self.n_shards = mesh.shape[axis]
+
+    def sample(self, model_params, seeds: Union[int, np.ndarray],
+               capture_trajectory: bool = False) -> Dict[str, Any]:
+        seeds_arr = np.atleast_1d(np.asarray(seeds, dtype=np.uint32))
+        n = len(seeds_arr)
+        padded = ((n + self.n_shards - 1) // self.n_shards) * self.n_shards
+        if padded != n:
+            seeds_arr = np.concatenate([seeds_arr,
+                                        seeds_arr[: padded - n]])  # pad, drop later
+        noise = self.sampler.initial_noise(seeds_arr)
+        noise = jax.device_put(noise, batch_sharding(self.mesh, self.axis))
+        params = jax.device_put(model_params, replicated_sharding(self.mesh))
+        out = self.sampler.sample(params, seeds_arr, capture_trajectory,
+                                  initial_noise=noise)
+        if padded != n:
+            out["images"] = out["images"][:n]
+            out["noise_hashes"] = out["noise_hashes"][:n]
+            out["seeds"] = out["seeds"][:n]
+            if capture_trajectory:
+                out["trajectory"] = out["trajectory"][:, :n]
+        return out
+
+
+def sharded_scores(fn: Callable, batch: np.ndarray, mesh: Mesh,
+                   axis: str = "data", extra_args=()) -> np.ndarray:
+    """Run `fn(batch, *extra_args)` (a jittable batched function) with the
+    batch sharded over the mesh. Pads the batch to the axis size."""
+    n = batch.shape[0]
+    shards = mesh.shape[axis]
+    padded = ((n + shards - 1) // shards) * shards
+    if padded != n:
+        batch = np.concatenate([batch, batch[: padded - n]])
+    placed = jax.device_put(batch, batch_sharding(mesh, axis))
+    out = np.asarray(fn(placed, *extra_args))
+    return out[:n]

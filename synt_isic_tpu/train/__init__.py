@@ -1,0 +1,5 @@
+from .train_ddpm import TrainConfig, TrainState, create_train_state, train_step, train_class
+from .data import SingleClassDataset, enhance_color, augment_batch
+
+__all__ = ["TrainConfig", "TrainState", "create_train_state", "train_step",
+           "train_class", "SingleClassDataset", "enhance_color", "augment_batch"]

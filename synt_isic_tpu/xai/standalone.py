@@ -1,0 +1,101 @@
+"""Standalone XAI run: regenerate a trajectory from its seed and analyze it.
+
+This is the rebuild of the reference's XAI-as-a-script mode — `xai/XAI.py`
+executed as a subprocess by the GUI's XAIWorker (`main.py:62-127`), driven
+entirely by environment variables (`XAI_TARGET_CLASS`, `XAI_GENERATION_SEED`,
+`XAI_INFERENCE_STEPS`, `XAI_SAVE_EVERY_N`, `XAI_DDPM_MODEL_PATH`;
+`XAI.py:243-262,588,639`): load the classifier and the target class's DDPM,
+re-denoise from the SAME seed saving every N-th frame (plus always the last
+and the absolute-t mode when save_every >= steps, `XAI.py:750-779`), then
+run the comprehensive pipeline.
+
+Unlike the reference (module-level side effects on import), this is an
+explicit `main()` — importable without running anything.
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from ..model_manager import ModelManager
+from ..models.classifier import LesionClassifier
+from ..utils.config import CLASS_NAMES, NUM_CLASSES
+from .attribution import XAIAnalyzer
+from .pipeline import run_comprehensive_xai_pipeline
+from ..diffusion.sampler import save_indices
+
+
+def run_standalone_xai(target_class: str = "MEL",
+                       seed: int = 42,
+                       inference_steps: int = 50,
+                       save_every: int = 5,
+                       checkpoints_dir: Optional[str] = None,
+                       ddpm_model_path: Optional[str] = None,
+                       results_dir: Optional[str] = None,
+                       model_config=None,
+                       num_classes: int = NUM_CLASSES + 1,
+                       log=print) -> Optional[dict]:
+    """Full standalone analysis; returns the pipeline results dict."""
+    ckpt_dir = Path(checkpoints_dir) if checkpoints_dir else Path("checkpoints")
+    log(f"[xai-standalone] class={target_class} seed={seed} "
+        f"steps={inference_steps} save_every={save_every}")
+
+    # classifier with fallback chain (XAI.py builds NUM_CLASSES+1 outputs)
+    clf_path = ckpt_dir / "classifier.pth"
+    if clf_path.exists():
+        classifier, counts = LesionClassifier.from_checkpoint(
+            str(clf_path), num_classes=num_classes)
+        log(f"[xai-standalone] classifier loaded: {counts}")
+    else:
+        classifier = LesionClassifier.random_init(num_classes=num_classes)
+        log("[xai-standalone] classifier checkpoint missing — random init")
+
+    mm = ModelManager(checkpoints_dir=str(ckpt_dir), model_config=model_config)
+    ok = mm.load_model(target_class, checkpoint_path=ddpm_model_path)
+    if not ok:
+        log(f"[xai-standalone] no DDPM checkpoint for {target_class}")
+        return None
+
+    sampler = mm.create_sampler(inference_steps)
+    out = sampler.sample(mm.loaded_params[target_class],
+                         np.asarray([seed], np.uint32), capture_trajectory=True)
+    full_traj = np.asarray(out["trajectory"][:, 0])          # (S, H, W, C)
+    idx = save_indices(inference_steps, save_every, out["timesteps"])
+    frames = full_traj[idx]
+    frame_ts = [float(out["timesteps"][i]) for i in idx]
+    log(f"[xai-standalone] trajectory: {len(frames)} frames saved "
+        f"(t={['%.0f' % t for t in frame_ts]})")
+
+    try:
+        target_id = CLASS_NAMES.index(target_class)
+    except ValueError:
+        target_id = 0
+
+    analyzer = XAIAnalyzer(classifier, seed=seed)
+    return run_comprehensive_xai_pipeline(
+        trajectory=frames, timesteps=frame_ts, xai_analyzer=analyzer,
+        classifier=classifier, target_class_id=target_id,
+        target_class_name=target_class, save_results=True,
+        results_dir=results_dir, log=log)
+
+
+def main() -> int:
+    """Env-var driven entry point (the subprocess protocol)."""
+    import os
+
+    target = os.environ.get("XAI_TARGET_CLASS", "MEL")
+    seed = int(os.environ.get("XAI_GENERATION_SEED", "42"))
+    steps = int(os.environ.get("XAI_INFERENCE_STEPS", "50"))
+    save_every = int(os.environ.get("XAI_SAVE_EVERY_N", "5"))
+    ddpm_path = os.environ.get("XAI_DDPM_MODEL_PATH") or None
+    results = run_standalone_xai(target_class=target, seed=seed,
+                                 inference_steps=steps, save_every=save_every,
+                                 ddpm_model_path=ddpm_path)
+    return 0 if results is not None else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -23,6 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The env var alone is NOT honored here (the preinstalled 'axon' TPU plugin
+# overrides platform selection), so force it through the config API too —
+# otherwise the whole suite silently runs over the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on CPU"
+
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                           ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)

@@ -1,0 +1,81 @@
+"""Training-loop tests: loss decreases on a fixed target; checkpoints are
+torch-readable (the reference app must be able to load our outputs)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from synt_isic_tpu.diffusion.schedules import DiffusionSchedule
+from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig
+from synt_isic_tpu.train.train_ddpm import (
+    TrainConfig, create_train_state, make_train_step, save_checkpoint_torch_format)
+from synt_isic_tpu.train.data import enhance_color, augment_image
+
+TINY = UNet2DConfig(sample_size=16, layers_per_block=1,
+                    block_out_channels=(8, 16, 16), attention_head_dim=4,
+                    norm_num_groups=2,
+                    down_block_types=("DownBlock2D", "AttnDownBlock2D", "DownBlock2D"),
+                    up_block_types=("UpBlock2D", "AttnUpBlock2D", "UpBlock2D"))
+
+
+def test_train_step_decreases_loss():
+    model = UNet2D(config=TINY)
+    cfg = TrainConfig(image_size=16, batch_size=4, learning_rate=2e-3,
+                      bf16_compute=False)
+    state, tx = create_train_state(model, cfg)
+    step = make_train_step(model, DiffusionSchedule.create(), tx, cfg)
+    batch = jnp.asarray(np.random.default_rng(0)
+                        .uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    losses = []
+    for i in range(30):
+        state, loss = step(state, batch, jax.random.fold_in(key, i % 3))
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+    assert int(state.step) == 30
+
+
+def test_checkpoint_roundtrip_torch(tmp_path):
+    torch = pytest.importorskip("torch")
+    from tests.torch_oracle.unet2d_torch import UNet2DTorch, tiny_config
+
+    tc = tiny_config()
+    model = UNet2D(config=UNet2DConfig(
+        sample_size=tc["sample_size"], layers_per_block=tc["layers_per_block"],
+        block_out_channels=tc["block_out_channels"],
+        down_block_types=tc["down_block_types"],
+        up_block_types=tc["up_block_types"],
+        attention_head_dim=tc["attention_head_dim"],
+        norm_num_groups=tc["norm_num_groups"]))
+    cfg = TrainConfig(image_size=16, bf16_compute=False)
+    state, _ = create_train_state(model, cfg)
+    path = str(tmp_path / "unet_TEST_best.pth")
+    save_checkpoint_torch_format(state.params, path)
+
+    # torch must load it into the oracle module without missing keys
+    tmodel = UNet2DTorch(**tiny_config())
+    loaded = torch.load(path, map_location="cpu", weights_only=True)
+    missing, unexpected = tmodel.load_state_dict(loaded, strict=False)
+    assert not missing, f"missing keys: {missing[:5]}"
+    assert not unexpected, f"unexpected keys: {unexpected[:5]}"
+
+
+def test_enhance_color_ranges():
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 1, (32, 32, 3)).astype(np.float32)
+    for cid in range(7):
+        out = enhance_color(img, cid)
+        assert out.min() >= 0 and out.max() <= 1
+        assert out.shape == img.shape
+    # uint8 input accepted too
+    out = enhance_color((img * 255).astype(np.uint8), 0)
+    assert out.max() <= 1.0
+
+
+def test_augment_image_output_contract():
+    rng = np.random.default_rng(1)
+    img = rng.uniform(0, 1, (128, 128, 3)).astype(np.float32)
+    out = augment_image(img, rng, out_size=64)
+    assert out.shape == (64, 64, 3)
+    assert out.min() >= -1 - 1e-6 and out.max() <= 1 + 1e-6
