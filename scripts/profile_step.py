@@ -1,4 +1,9 @@
-"""Step-time breakdown on the real TPU: UNet fwd vs RNG vs full sampler step.
+"""Step-time breakdown on the real TPU.
+
+Measurements chain each iteration's output into the next input (forcing
+real sequential execution — the axon backend appears to coalesce identical
+async dispatches, which makes naive repeat-timing report impossible
+numbers).
 
 Run: python scripts/profile_step.py [batch]
 """
@@ -16,77 +21,64 @@ jax.config.update("jax_compilation_cache_dir",
                   str(Path(__file__).resolve().parents[1] / ".jax_cache"))
 
 from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig, init_unet_params
-from synt_isic_tpu.diffusion import DiffusionSchedule
-from synt_isic_tpu.diffusion.ddpm import DDPMParams, ddpm_step
 
 B = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 N_ITERS = 20
 
 
-def timeit(fn, *args, n=N_ITERS):
-    out = fn(*args)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+def chain_time(fn, x0, n=N_ITERS):
+    """fn: x -> y with y.shape == x.shape; returns seconds/iter."""
+    x = fn(x0)
+    x.block_until_ready()
     t0 = time.time()
     for _ in range(n):
-        out = fn(*args)
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
+        x = fn(x)
+    x.block_until_ready()
     return (time.time() - t0) / n
 
 
 def main():
     model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16)
     params = init_unet_params(model, jax.random.PRNGKey(0))
-    x = jnp.zeros((B, 128, 128, 3), jnp.bfloat16)
     t = jnp.full((B,), 500, jnp.int32)
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, 128, 128, 3), jnp.bfloat16)
 
-    fwd = jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))
-    t_fwd = timeit(fwd, params, x, t)
-    print(f"unet fwd           b{B}: {t_fwd*1000:8.2f} ms")
+    fwd = jax.jit(lambda x: model.apply({"params": params}, x, t)
+                  .astype(jnp.bfloat16))
+    t_fwd = chain_time(fwd, x)
+    print(f"unet fwd chained      b{B}: {t_fwd*1000:8.2f} ms "
+          f"-> {B/(t_fwd*1000):.3f} img/s at T=1000")
 
-    # threefry per-step noise (what the sampler does today)
-    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(B, dtype=jnp.uint32))
-
-    @jax.jit
-    def noise_threefry(keys, k):
-        return jax.vmap(lambda key: jax.random.normal(
-            jax.random.fold_in(key, k), (128, 128, 3), jnp.bfloat16))(keys)
-
-    t_rng = timeit(noise_threefry, keys, jnp.int32(3))
-    print(f"threefry noise     b{B}: {t_rng*1000:8.2f} ms")
-
-    # rbg noise
-    rbg_keys = jax.vmap(lambda s: jax.random.key(s, impl="rbg"))(
-        jnp.arange(B, dtype=jnp.uint32))
-
-    @jax.jit
-    def noise_rbg(keys, k):
-        return jax.vmap(lambda key: jax.random.normal(
-            jax.random.fold_in(key, k), (128, 128, 3), jnp.bfloat16))(keys)
-
-    t_rbg = timeit(noise_rbg, rbg_keys, jnp.int32(3))
-    print(f"rbg noise          b{B}: {t_rbg*1000:8.2f} ms")
-
-    # ddpm update math only
-    sched = DDPMParams.create(DiffusionSchedule.create(), 1000)
-    eps = jnp.zeros_like(x)
-    z = jnp.zeros_like(x)
-    upd = jax.jit(lambda x, e, k, z: ddpm_step(x, e, k, sched, z))
-    t_upd = timeit(upd, x, eps, jnp.int32(5), z)
-    print(f"ddpm update        b{B}: {t_upd*1000:8.2f} ms")
-
-    # attention block standalone at 32x32x256 (the biggest attention)
+    # attention at 32x32x256 (5 of these per forward) — chained
     from synt_isic_tpu.models.unet2d import AttentionBlock
     attn = AttentionBlock(256, head_dim=8, dtype=jnp.bfloat16)
-    a_in = jnp.zeros((B, 32, 32, 256), jnp.bfloat16)
+    a_in = jax.random.normal(jax.random.PRNGKey(2), (B, 32, 32, 256), jnp.bfloat16)
     a_params = attn.init(jax.random.PRNGKey(0), a_in)["params"]
-    attn_fn = jax.jit(lambda p, x: attn.apply({"params": p}, x))
-    t_attn = timeit(attn_fn, a_params, a_in)
-    print(f"attn 32x32x256     b{B}: {t_attn*1000:8.2f} ms (x5 layers/fwd)")
+    attn_fn = jax.jit(lambda x: attn.apply({"params": a_params}, x)
+                      .astype(jnp.bfloat16))
+    t_attn = chain_time(attn_fn, a_in)
+    print(f"attn 32x32x256 chained b{B}: {t_attn*1000:8.2f} ms (x5/fwd)")
 
-    print(f"\nstep estimate: fwd {t_fwd*1000:.1f} + rng {t_rng*1000:.1f} + "
-          f"upd {t_upd*1000:.1f} ms; x1000 steps = "
-          f"{(t_fwd+t_rng+t_upd)*1000:.1f} s/batch -> "
-          f"{B/((t_fwd+t_rng+t_upd)*1000):.3f} img/s")
+    # mid-size attention 16x16x256 (1 per forward)
+    a16 = jax.random.normal(jax.random.PRNGKey(3), (B, 16, 16, 256), jnp.bfloat16)
+    attn16_fn = jax.jit(lambda x: attn.apply({"params": a_params}, x)
+                        .astype(jnp.bfloat16))
+    t_attn16 = chain_time(attn16_fn, a16)
+    print(f"attn 16x16x256 chained b{B}: {t_attn16*1000:8.2f} ms (x1/fwd)")
+
+    # resnet block at the widest spatial stage 128x128x64 — chained
+    from synt_isic_tpu.models.unet2d import ResnetBlock2D
+    res = ResnetBlock2D(64, 64, dtype=jnp.bfloat16)
+    r_in = jax.random.normal(jax.random.PRNGKey(4), (B, 128, 128, 64), jnp.bfloat16)
+    temb = jnp.zeros((B, 256), jnp.bfloat16)
+    r_params = res.init(jax.random.PRNGKey(0), r_in, temb)["params"]
+    res_fn = jax.jit(lambda x: res.apply({"params": r_params}, x, temb)
+                     .astype(jnp.bfloat16))
+    t_res = chain_time(res_fn, r_in)
+    print(f"resnet 128x128x64      b{B}: {t_res*1000:8.2f} ms")
+
+    print(f"\nattention share estimate: "
+          f"{(5*t_attn + t_attn16)/t_fwd*100:.0f}% of forward")
 
 
 if __name__ == "__main__":

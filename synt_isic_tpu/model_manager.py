@@ -70,6 +70,10 @@ class ModelManager:
         self.logger = logger or Logger("model_manager")
         self.device = device or jax.devices()[0]
         self.model = UNet2D(config=model_config or UNet2DConfig(), dtype=dtype)
+        # sampling variant: Pallas fused attention on TPU (identical math
+        # and identical param tree — only the attention core changes)
+        self.sample_model = UNet2D(config=self.model.config, dtype=dtype,
+                                   use_fused_attention=self.device.platform == "tpu")
         self.schedule = DiffusionSchedule.create()
         self.loaded_params: Dict[str, Any] = {}
         self.model_metadata: Dict[str, Dict[str, Any]] = {}
@@ -147,7 +151,7 @@ class ModelManager:
                                 image_size=self.model.config.sample_size,
                                 channels=self.model.config.in_channels,
                                 dtype=dtype)
-            apply_fn = lambda params, x, t: self.model.apply({"params": params}, x, t)
+            apply_fn = lambda params, x, t: self.sample_model.apply({"params": params}, x, t)
             self._samplers[key] = DiffusionSampler(apply_fn, self.schedule, cfg)
         return self._samplers[key]
 

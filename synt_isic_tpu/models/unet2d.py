@@ -125,12 +125,18 @@ class AttentionBlock(nn.Module):
     Matches diffusers' deprecated-attn-block semantics: GroupNorm, per-head
     qkv projections (heads = channels // head_dim), fp32 softmax, output
     projection, additive residual.
+
+    `use_fused=True` routes the softmax(QK^T)V core through the Pallas VMEM
+    kernel (`ops/pallas/attention.py`) — identical math, no HBM-resident
+    (B, heads, T, T) logits. The einsum path remains the default (CPU tests
+    and autodiff through training).
     """
     channels: int
     head_dim: int = 8
     groups: int = 32
     eps: float = 1e-5
     dtype: Any = jnp.float32
+    use_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -148,12 +154,17 @@ class AttentionBlock(nn.Module):
             return z.reshape(b, h * w, heads, self.head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        scale = 1.0 / math.sqrt(self.head_dim)
-        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
-                            preferred_element_type=jnp.float32) * scale
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
-                         preferred_element_type=jnp.float32).astype(self.dtype)
+        if self.use_fused:
+            from ..ops.pallas.attention import fused_attention
+
+            out = fused_attention(q, k, v).astype(self.dtype)
+        else:
+            scale = 1.0 / math.sqrt(self.head_dim)
+            logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+            out = jnp.einsum("bhqk,bhkd->bhqd", probs, v,
+                             preferred_element_type=jnp.float32).astype(self.dtype)
         out = out.transpose(0, 2, 1, 3).reshape(b, h * w, c)
         out = nn.Dense(c, dtype=self.dtype, name="to_out_0")(out)
         return residual + out.reshape(b, h, w, c)
@@ -192,6 +203,7 @@ class DownBlock2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     dtype: Any = jnp.float32
+    use_fused_attention: bool = False
 
     def setup(self):
         resnets = []
@@ -206,6 +218,7 @@ class DownBlock2D(nn.Module):
                                                  head_dim=self.attention_head_dim,
                                                  groups=self.groups, eps=self.eps,
                                                  dtype=self.dtype,
+                                                 use_fused=self.use_fused_attention,
                                                  name=f"attentions_{i}"))
         self.resnets = resnets
         self.attentions = attentions
@@ -232,6 +245,7 @@ class UNetMidBlock2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     dtype: Any = jnp.float32
+    use_fused_attention: bool = False
 
     def setup(self):
         self.resnets_0 = ResnetBlock2D(self.channels, self.channels,
@@ -240,7 +254,8 @@ class UNetMidBlock2D(nn.Module):
             self.attentions_0 = AttentionBlock(self.channels,
                                                head_dim=self.attention_head_dim,
                                                groups=self.groups, eps=self.eps,
-                                               dtype=self.dtype)
+                                               dtype=self.dtype,
+                                               use_fused=self.use_fused_attention)
         self.resnets_1 = ResnetBlock2D(self.channels, self.channels,
                                        groups=self.groups, eps=self.eps, dtype=self.dtype)
 
@@ -262,6 +277,7 @@ class UpBlock2D(nn.Module):
     groups: int = 32
     eps: float = 1e-5
     dtype: Any = jnp.float32
+    use_fused_attention: bool = False
 
     def setup(self):
         resnets = []
@@ -278,6 +294,7 @@ class UpBlock2D(nn.Module):
                                                  head_dim=self.attention_head_dim,
                                                  groups=self.groups, eps=self.eps,
                                                  dtype=self.dtype,
+                                                 use_fused=self.use_fused_attention,
                                                  name=f"attentions_{i}"))
         self.resnets = resnets
         self.attentions = attentions
@@ -297,9 +314,15 @@ class UpBlock2D(nn.Module):
 
 
 class UNet2D(nn.Module):
-    """Top-level epsilon-prediction UNet. Input/output NHWC."""
+    """Top-level epsilon-prediction UNet. Input/output NHWC.
+
+    `use_fused_attention=True` enables the Pallas VMEM attention kernel in
+    every attn block (TPU inference path; the einsum path stays default
+    for CPU and autodiff).
+    """
     config: UNet2DConfig = UNet2DConfig()
     dtype: Any = jnp.float32
+    use_fused_attention: bool = False
 
     def setup(self):
         cfg = self.config
@@ -320,14 +343,17 @@ class UNet2D(nn.Module):
                 with_attention=block_type == "AttnDownBlock2D",
                 attention_head_dim=cfg.attention_head_dim,
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
-                dtype=self.dtype, name=f"down_blocks_{i}"))
+                dtype=self.dtype,
+                use_fused_attention=self.use_fused_attention,
+                name=f"down_blocks_{i}"))
         self.down_blocks = down_blocks
 
         self.mid_block = UNetMidBlock2D(cfg.block_out_channels[-1],
                                         attention_head_dim=cfg.attention_head_dim,
                                         add_attention=cfg.add_mid_attention,
                                         groups=cfg.norm_num_groups, eps=cfg.norm_eps,
-                                        dtype=self.dtype)
+                                        dtype=self.dtype,
+                                        use_fused_attention=self.use_fused_attention)
 
         up_blocks = []
         reversed_channels = tuple(reversed(cfg.block_out_channels))
@@ -346,7 +372,9 @@ class UNet2D(nn.Module):
                 with_attention=block_type == "AttnUpBlock2D",
                 attention_head_dim=cfg.attention_head_dim,
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
-                dtype=self.dtype, name=f"up_blocks_{i}"))
+                dtype=self.dtype,
+                use_fused_attention=self.use_fused_attention,
+                name=f"up_blocks_{i}"))
         self.up_blocks = up_blocks
 
         self.conv_norm_out = nn.GroupNorm(num_groups=cfg.norm_num_groups,

@@ -1,0 +1,69 @@
+"""Pallas TPU kernel: fused spatial self-attention for the UNet attn blocks.
+
+The UNet's attention (deprecated-attn-block semantics, see
+`models/unet2d.py:AttentionBlock`) runs at 32x32 (T=1024) and 16x16
+(T=256) feature maps with 32 heads of dim 8. The XLA einsum path
+materializes the (B, 32, T, T) logits AND probs in HBM — ~0.5 GB of
+traffic per 32x32 attention at batch 8, which dominates the layer cost.
+
+This kernel keeps the whole per-(batch, head) attention resident in VMEM:
+Q/K/V tiles are tiny (T x 8), the T x T logits live only in a VMEM scratch,
+and HBM sees just the inputs and the output. Softmax is computed in fp32
+(parity with the model's upcast-softmax semantics).
+
+Memory per program: logits fp32 T² = 4 MB at T=1024 — fits VMEM with the
+Q/K/V tiles alongside.
+"""
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
+    # blocks: (1, 1, T, D)
+    q = q_ref[0, 0].astype(jnp.float32)           # (T, D)
+    k = k_ref[0, 0].astype(jnp.float32)
+    v = v_ref[0, 0].astype(jnp.float32)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale          # (T, T)
+    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+    exp = jnp.exp(logits)
+    probs = exp / jnp.sum(exp, axis=-1, keepdims=True)
+    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                    interpret: bool = False) -> jnp.ndarray:
+    """softmax(q k^T / sqrt(D)) v, fused in VMEM.
+
+    q, k, v: (B, H, T, D). Returns (B, H, T, D) in q's dtype.
+    """
+    b, h, t, d = q.shape
+    scale = 1.0 / math.sqrt(d)
+    kernel = functools.partial(_attention_kernel, scale=scale)
+    block = pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h),
+        in_specs=[block, block, block],
+        out_specs=block,
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(1.2 * (4 * t * t + 4 * 3 * t * max(d, 128))
+                                 + (1 << 20))),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * t * t * d,
+            bytes_accessed=b * h * t * d * 4 * 2,
+            transcendentals=b * h * t * t),
+        interpret=interpret,
+    )(q, k, v)

@@ -1,0 +1,215 @@
+"""Infrastructure-layer tests: config, paths, logger, cache, IO."""
+import json
+import os
+import time
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from synt_isic_tpu.utils.config import (ConfigManager, default_config,
+                                        apply_env_overrides, CLASS_NAMES)
+from synt_isic_tpu.utils.logging import Logger
+from synt_isic_tpu.utils.paths import PathManager
+from synt_isic_tpu.cache import CacheManager
+from synt_isic_tpu.io.csv_io import (initialize_synthetic_csv, append_synthetic_row,
+                                     initialize_groundtruth_csv,
+                                     append_groundtruth_row)
+from synt_isic_tpu.io.color_stats import (apply_color_postprocessing,
+                                          apply_mean_shift_postprocessing,
+                                          load_color_statistics)
+from synt_isic_tpu.diffusion.sampler import save_indices, noise_hash
+
+
+def test_default_config_keys():
+    cfg = default_config()
+    assert cfg["generation"]["inference_timesteps"] == 50
+    assert cfg["generation"]["image_size"] == 128
+    assert cfg["xai"]["shap_n_samples"] == 512
+    assert cfg["xai"]["intervention_types"] == ["blur"]
+    assert len(CLASS_NAMES) == 7
+
+
+def test_config_manager_roundtrip(tmp_path):
+    cfg_file = tmp_path / "config.json"
+    cm = ConfigManager(config_file=str(cfg_file), project_root=str(tmp_path))
+    cm.update_generation_param("inference_timesteps", 100)
+    cm2 = ConfigManager(config_file=str(cfg_file), project_root=str(tmp_path))
+    assert cm2.get_generation_param("inference_timesteps") == 100
+    # user overlay merge keeps unknown keys
+    cm2.set("custom.section", {"a": 1})
+    cm3 = ConfigManager(config_file=str(cfg_file), project_root=str(tmp_path))
+    assert cm3.get("custom.section") == {"a": 1}
+
+
+def test_config_paths_resolved(tmp_path):
+    cm = ConfigManager(config_file=str(tmp_path / "c.json"),
+                       project_root=str(tmp_path))
+    ckpt = cm.get_path("checkpoints")
+    assert os.path.isabs(ckpt)
+    assert ckpt.startswith(str(tmp_path))
+    assert os.path.isdir(ckpt)
+
+
+def test_env_overrides():
+    cfg = default_config()
+    apply_env_overrides(cfg, {
+        "XAI_SAVE_EVERY_N": "7", "XAI_INFERENCE_STEPS": "120",
+        "XAI_GENERATION_SEED": "9", "XAI_TARGET_CLASS": "DF",
+        "XAI_DDPM_MODEL_PATH": "/tmp/m.pth"})
+    assert cfg["xai"]["save_every_n_steps"] == 7
+    assert cfg["xai"]["inference_steps"] == 120
+    assert cfg["xai"]["generation_seed"] == 9
+    assert cfg["xai"]["target_class"] == "DF"
+    assert cfg["xai"]["ddpm_model_path"] == "/tmp/m.pth"
+    # invalid values ignored
+    cfg2 = default_config()
+    apply_env_overrides(cfg2, {"XAI_INFERENCE_STEPS": "-1",
+                               "XAI_SAVE_EVERY_N": "junk"})
+    assert cfg2["xai"]["inference_steps"] == 50
+    assert cfg2["xai"]["save_every_n_steps"] == 5
+
+
+def test_path_manager(tmp_path):
+    pm = PathManager(str(tmp_path))
+    assert pm.get_isic_filename(7) == "ISIC_0000007.png"
+    assert pm.get_isic_filename(7, "jpg") == "ISIC_0000007.jpg"
+    out = tmp_path / "out"
+    out.mkdir()
+    (out / "ISIC_0000005.png").touch()
+    (out / "ISIC_0000012.jpg").touch()
+    (out / "garbage.png").touch()
+    assert pm.get_next_isic_number(str(out)) == 13
+    # class discovery
+    ckpt = tmp_path / "checkpoints"
+    ckpt.mkdir()
+    (ckpt / "unet_NV_best.pth").touch()
+    (ckpt / "unet_MEL_best.pth").touch()
+    (ckpt / "unet_MEL_epoch5.pth").touch()
+    (ckpt / "classifier.pth").touch()
+    assert pm.get_available_classes() == ["MEL", "NV"]
+
+
+def test_logger_callback(tmp_path):
+    logger = Logger("test_logger_cb", log_dir=str(tmp_path), console=False)
+    seen = []
+    logger.set_gui_callback(lambda msg, level: seen.append((msg, level)))
+    logger.log_info("hello")
+    logger.log_error("bad")
+    assert ("hello", "info") in seen and ("bad", "error") in seen
+    log_file = tmp_path / "test_logger_cb.log"
+    assert log_file.exists() and "hello" in log_file.read_text()
+    # broken callback must not raise
+    logger.set_gui_callback(lambda m, l: 1 / 0)
+    logger.log_info("still fine")
+
+
+def test_cache_manager(tmp_path):
+    src = tmp_path / "unet_NV_best.pth"
+    src.write_bytes(b"fake-checkpoint-bytes")
+    cache = CacheManager(str(tmp_path / "cache"))
+    cached = cache.cache_model("NV", str(src))
+    assert cached.exists()
+    hit = cache.get_cached_model("NV", str(src))
+    assert hit == cached
+    # stale eviction when source changes
+    src.write_bytes(b"different-bytes")
+    assert cache.get_cached_model("NV", str(src)) is None
+    # converted-pytree cache
+    src.write_bytes(b"v2")
+    flat = {"a/b": np.ones((2, 2), np.float32)}
+    cache.cache_converted("NV", str(src), flat)
+    back = cache.get_converted("NV", str(src))
+    np.testing.assert_array_equal(back["a/b"], flat["a/b"])
+    stats = cache.get_cache_stats()
+    assert stats["cached_models"] >= 0
+    cache.clear_all_cache()
+    assert cache.get_cache_stats()["cached_models"] == 0
+
+
+def test_cache_temp_lifecycle(tmp_path):
+    cache = CacheManager(str(tmp_path / "cache"))
+    tf = tmp_path / "cache" / "temp" / "t.bin"
+    tf.write_bytes(b"x")
+    cache.register_temp_file(str(tf), "test")
+    assert cache.cleanup_temp_files(max_age_s=1e9) == 0
+    cache.metadata["temp_files"][str(tf)]["created_at"] = time.time() - 1e6
+    assert cache.cleanup_temp_files(max_age_s=10) == 1
+    assert not tf.exists()
+
+
+def test_csv_writers(tmp_path):
+    syn = tmp_path / "synthetic_dataset.csv"
+    initialize_synthetic_csv(syn)
+    append_synthetic_row(syn, {"filename": "a.png", "class": "NV",
+                               "isic_number": 1, "source": "synthetic",
+                               "generated_at": "123"})
+    lines = syn.read_text().strip().splitlines()
+    assert lines[0].split(",") == ["filename", "class", "isic_number",
+                                  "source", "generated_at"]
+    assert lines[1] == "a.png,NV,1,synthetic,123"
+
+    gt = tmp_path / "gt.csv"
+    initialize_groundtruth_csv(gt)
+    append_groundtruth_row(gt, "ISIC_0034321.jpg", "BCC")
+    lines = gt.read_text().strip().splitlines()
+    assert lines[0] == "image,MEL,NV,BCC,AKIEC,BKL,DF,VASC"
+    assert lines[1] == "ISIC_0034321.jpg,0.0,0.0,1.0,0.0,0.0,0.0,0.0"
+    # re-init must not truncate (console appends across runs)
+    initialize_groundtruth_csv(gt)
+    assert len(gt.read_text().strip().splitlines()) == 2
+
+
+def test_color_postprocessing(tmp_path):
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+    stats = {"rgb": {"mean": [180.0, 140.0, 130.0], "std": [40.0, 35.0, 35.0]}}
+    out = apply_color_postprocessing(img, stats)
+    assert out.dtype == np.uint8 and out.shape == img.shape
+    # pushes the mean towards the target (alpha-blended, so partially)
+    assert abs(out[..., 0].mean() - 180) < abs(img[..., 0].mean() - 180) + 1
+    # mean-shift variant moves the mean strongly toward the target
+    # (exact centering is prevented by uint8 clipping, as in the reference)
+    out2 = apply_mean_shift_postprocessing(img, stats)
+    assert out2[..., 0].mean() > img[..., 0].mean() + 40
+    # missing stats = identity
+    np.testing.assert_array_equal(apply_color_postprocessing(img, None), img)
+    np.testing.assert_array_equal(apply_mean_shift_postprocessing(img, {}), img)
+    # loader tolerates missing files
+    assert load_color_statistics(tmp_path / "nope.json") == {}
+
+
+def test_save_indices_modes():
+    # normal mode: every 5th + last
+    idx = save_indices(50, 5)
+    assert idx[0] == 0 and 49 in idx
+    assert set(range(0, 50, 5)).issubset(set(idx))
+    # save_every >= steps: absolute-t mode picks frames near t multiples
+    ts = np.asarray(list(range(980, -1, -20)))  # 50 leading timesteps
+    idx2 = save_indices(50, 250, ts)
+    assert 49 in idx2  # t=0 frame
+    assert 0 in idx2   # t=980 (closest to 1000)
+    sel_ts = {int(ts[i]) for i in idx2}
+    assert 500 in sel_ts and 740 in sel_ts or 760 in sel_ts
+
+
+def test_noise_hash_stability():
+    arr = np.ones((3, 4), np.float32)
+    h1 = noise_hash(arr)
+    h2 = noise_hash(arr.copy())
+    assert h1 == h2 and len(h1) == 16
+    assert noise_hash(arr + 1) != h1
+
+
+def test_cli_parse_class_counts():
+    from synt_isic_tpu.cli import _parse_class_counts, build_parser
+    assert _parse_class_counts("MEL:50,NV:20") == {"MEL": 50, "NV": 20}
+    assert _parse_class_counts(" MEL : 5 ") == {"MEL": 5}
+    args = build_parser().parse_args(["--class-counts", "MEL:2", "--steps", "10"])
+    assert args.class_counts == "MEL:2" and args.steps == 10
+
+
+def test_gui_module_importable_headless():
+    from synt_isic_tpu.app import gui
+    if not gui.PYQT_AVAILABLE:
+        assert gui.main() == 1
