@@ -38,8 +38,11 @@ def bench_tpu() -> float:
     from synt_isic_tpu.diffusion import DiffusionSchedule, DiffusionSampler, SamplerConfig
     from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig, init_unet_params
 
-    model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16)
-    params = init_unet_params(model, jax.random.PRNGKey(0))
+    on_tpu = jax.devices()[0].platform == "tpu"
+    model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16,
+                   use_fused_attention=on_tpu)
+    init_model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16)
+    params = init_unet_params(init_model, jax.random.PRNGKey(0))
     apply_fn = lambda p, x, t: model.apply({"params": p}, x, t)
     sampler = DiffusionSampler(
         apply_fn, DiffusionSchedule.create(),

@@ -1,0 +1,77 @@
+"""Fréchet distance between image-set feature distributions (FID machinery).
+
+Needed for the rebuild's benchmark contract ("FID parity with the PyTorch
+reference at fixed seeds", BASELINE.md). The standard FID embedding is
+InceptionV3-pool3; pretrained Inception weights are not shippable here, so
+the extractor is pluggable: by default the lesion classifier's penultimate
+512-d features (`ResNet18.penultimate`). With the SAME extractor on both
+sides the Fréchet distance is a valid comparison metric between sample
+sets; absolute values are not comparable to Inception-FID numbers and are
+labeled accordingly.
+
+Feature extraction is a jitted batched device computation (chunked);
+Fréchet math (covariance sqrtm) runs on host via scipy.
+"""
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from scipy import linalg
+
+from ..models.classifier import LesionClassifier, preprocess_for_classifier
+
+
+class FeatureExtractor:
+    """Batched image -> feature embedding on device."""
+
+    def __init__(self, classifier: Optional[LesionClassifier] = None,
+                 batch_size: int = 64):
+        self.classifier = classifier or LesionClassifier.random_init()
+        self.batch_size = batch_size
+        model = self.classifier.model
+
+        def feats(params, x):
+            return model.apply({"params": params},
+                               preprocess_for_classifier(x),
+                               method=model.penultimate)
+
+        self._feats = jax.jit(feats)
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        """images: (N,H,W,3) float in [-1,1] -> (N,512) float32."""
+        chunks = []
+        for start in range(0, len(images), self.batch_size):
+            x = jnp.asarray(images[start:start + self.batch_size])
+            chunks.append(np.asarray(self._feats(self.classifier.params, x)))
+        return np.concatenate(chunks) if chunks else np.zeros((0, 512), np.float32)
+
+
+def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
+                     mu2: np.ndarray, sigma2: np.ndarray,
+                     eps: float = 1e-6) -> float:
+    """||mu1-mu2||² + Tr(S1 + S2 - 2 (S1 S2)^{1/2})."""
+    diff = mu1 - mu2
+    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    if not np.isfinite(covmean).all():
+        offset = np.eye(sigma1.shape[0]) * eps
+        covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))
+    if np.iscomplexobj(covmean):
+        covmean = covmean.real
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2)
+                 - 2 * np.trace(covmean))
+
+
+def compute_fid(images_a: np.ndarray, images_b: np.ndarray,
+                extractor: Optional[Callable[[np.ndarray], np.ndarray]] = None
+                ) -> float:
+    """Fréchet distance between two image sets ((N,H,W,3) in [-1,1])."""
+    extractor = extractor or FeatureExtractor()
+    fa = np.asarray(extractor(images_a), np.float64)
+    fb = np.asarray(extractor(images_b), np.float64)
+    mu_a, mu_b = fa.mean(axis=0), fb.mean(axis=0)
+    sigma_a = np.cov(fa, rowvar=False)
+    sigma_b = np.cov(fb, rowvar=False)
+    return frechet_distance(mu_a, sigma_a, mu_b, sigma_b)

@@ -132,6 +132,15 @@ class ResNet18(nn.Module):
                 x = self._blocks[f"layer{stage}_{i}"](x)
         return self._head(x)
 
+    def penultimate(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Global-average-pooled 512-d features (pre-fc) — used as the FID
+        feature embedding."""
+        x = self._stem(x)
+        for stage, size in enumerate(self.config.stage_sizes, start=1):
+            for i in range(size):
+                x = self._blocks[f"layer{stage}_{i}"](x)
+        return jnp.mean(x, axis=(1, 2)).astype(jnp.float32)
+
     def features_and_logits(self, x: jnp.ndarray):
         """Returns (logits, act, block_input) where act is layer4[-1].conv2's
         output — the reference Grad-CAM target layer (`XAI.py:2947`) — and

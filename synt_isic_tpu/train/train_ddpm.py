@@ -59,8 +59,9 @@ def create_train_state(model: UNet2D, config: TrainConfig,
                        ) -> Tuple[TrainState, optax.GradientTransformation]:
     tx = optax.adam(config.learning_rate)
     if params is None:
-        params = init_unet_params(model, rng or jax.random.PRNGKey(config.seed),
-                                  image_size=config.image_size)
+        if rng is None:
+            rng = jax.random.PRNGKey(config.seed)
+        params = init_unet_params(model, rng, image_size=config.image_size)
     return TrainState(params=params, opt_state=tx.init(params),
                       step=jnp.zeros((), jnp.int32)), tx
 
@@ -96,6 +97,29 @@ def make_train_step(model: UNet2D, schedule: DiffusionSchedule,
 train_step = make_train_step
 
 
+def save_train_state(state: TrainState, path: str) -> None:
+    """Full mid-run checkpoint (params + optimizer state + step) — training
+    resume the reference lacks (its best-loss `.pth` drops optimizer state,
+    `train_diffusion.py:251-258`)."""
+    leaves, _ = jax.tree_util.tree_flatten(state)
+    np.savez(path, n_leaves=len(leaves),
+             **{f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)})
+
+
+def restore_train_state(template: TrainState, path: str) -> TrainState:
+    """Restore into a freshly built state of identical structure."""
+    leaves, treedef = jax.tree_util.tree_flatten(template)
+    with np.load(path) as data:
+        n = int(data["n_leaves"])
+        if n != len(leaves):
+            raise ValueError(f"checkpoint has {n} leaves, state needs {len(leaves)}")
+        new_leaves = [jnp.asarray(data[f"leaf_{i}"]) for i in range(n)]
+    for old, new in zip(leaves, new_leaves):
+        if np.shape(old) != np.shape(new):
+            raise ValueError(f"leaf shape mismatch: {np.shape(old)} vs {np.shape(new)}")
+    return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+
 def save_checkpoint_torch_format(params: Any, path: str) -> None:
     """Write params as a torch-style state_dict `.pth` the reference app
     can `torch.load` + `load_state_dict` directly."""
@@ -106,8 +130,10 @@ def save_checkpoint_torch_format(params: Any, path: str) -> None:
 def train_class(class_name: str, dataset, checkpoint_dir: str,
                 config: TrainConfig = TrainConfig(),
                 model: Optional[UNet2D] = None,
+                resume: bool = False,
                 log=print) -> Dict[str, Any]:
-    """Full per-class training loop with best-loss + periodic checkpoints."""
+    """Full per-class training loop with best-loss + periodic checkpoints
+    and optional mid-run resume (params + optimizer state)."""
     model = model or UNet2D(
         config=UNet2DConfig(sample_size=config.image_size),
         dtype=jnp.bfloat16 if config.bf16_compute else jnp.float32)
@@ -118,6 +144,11 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
     ckpt_dir = Path(checkpoint_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     best_path = ckpt_dir / f"unet_{class_name}_best.pth"
+    resume_path = ckpt_dir / f"train_state_{class_name}.npz"
+    if resume and resume_path.exists():
+        state = restore_train_state(state, str(resume_path))
+        log(f"[train:{class_name}] resumed from {resume_path} "
+            f"(step {int(state.step)})")
 
     key = jax.random.PRNGKey(config.seed)
     data_rng = np.random.default_rng(config.seed)
@@ -142,5 +173,7 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
         if epoch % config.snapshot_every == 0:
             snap = ckpt_dir / f"unet_{class_name}_epoch{epoch}.pth"
             save_checkpoint_torch_format(state.params, str(snap))
+            save_train_state(state, str(resume_path))
+    save_train_state(state, str(resume_path))
     return {"class": class_name, "best_loss": best_loss, "history": history,
             "checkpoint": str(best_path), "steps": int(state.step)}

@@ -1,0 +1,145 @@
+"""Fairness audit over large synthetic-sample batches.
+
+The reference's research claims include an ~8000-sample dark-phototype
+fairness audit (reference `README.md:31`; benchmark config 5 in
+BASELINE.md) but ships no audit code. This module provides that
+capability TPU-natively: classifier probabilities for thousands of images
+run as sharded device batches (optionally over a multi-chip mesh via
+`parallel.sharded_scores`), and group comparisons reuse the statistical
+battery (`xai/stats.py`).
+
+Audit contents per group pair (e.g. dark-phototype vs rest):
+  * prediction distribution + demographic-parity gaps per class;
+  * confidence and per-class-score distributions with the full
+    statistical-significance battery;
+  * equalized-odds-style gaps when ground-truth labels are provided.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.classifier import LesionClassifier, SCORE_EPS
+from ..utils.config import CLASS_NAMES
+from .stats import statistical_validation_comprehensive
+
+
+class FairnessAuditor:
+    def __init__(self, classifier: LesionClassifier, batch_size: int = 128,
+                 mesh=None, class_names: Optional[Sequence[str]] = None):
+        self.classifier = classifier
+        self.batch_size = batch_size
+        self.mesh = mesh
+        self.class_names = list(class_names or CLASS_NAMES)
+
+    # -- scoring ---------------------------------------------------------------
+    def probabilities(self, images: np.ndarray) -> np.ndarray:
+        """(N,H,W,3) in [-1,1] -> (N, num_classes) softmax probabilities,
+        computed in device batches (sharded over the mesh when provided)."""
+        fn = jax.jit(lambda x: jax.nn.softmax(
+            self.classifier._logits_impl(self.classifier.params, x), axis=-1))
+        outs = []
+        for start in range(0, len(images), self.batch_size):
+            chunk = np.asarray(images[start:start + self.batch_size])
+            if self.mesh is not None:
+                from ..parallel.sharded_sampler import sharded_scores
+                outs.append(sharded_scores(fn, chunk, self.mesh))
+            else:
+                outs.append(np.asarray(fn(jnp.asarray(chunk))))
+        return np.concatenate(outs) if outs else np.zeros((0, len(self.class_names)))
+
+    # -- audit -------------------------------------------------------------------
+    def audit(self, images: np.ndarray, group_mask: np.ndarray,
+              target_class: Optional[int] = None,
+              labels: Optional[np.ndarray] = None,
+              alpha: float = 0.1) -> Dict[str, Any]:
+        """Compare classifier behavior between group (mask=True) and the
+        complement. `target_class` defaults to per-sample argmax scoring."""
+        group_mask = np.asarray(group_mask, bool)
+        probs = self.probabilities(images)
+        preds = probs.argmax(axis=1)
+        conf = probs.max(axis=1)
+
+        g, r = group_mask, ~group_mask
+        results: Dict[str, Any] = {
+            "n_group": int(g.sum()),
+            "n_rest": int(r.sum()),
+        }
+
+        # prediction distribution + demographic parity gaps
+        dist_g = np.bincount(preds[g], minlength=len(self.class_names)) / max(g.sum(), 1)
+        dist_r = np.bincount(preds[r], minlength=len(self.class_names)) / max(r.sum(), 1)
+        results["prediction_distribution"] = {
+            "group": dist_g.tolist(),
+            "rest": dist_r.tolist(),
+            "parity_gap_per_class": (dist_g - dist_r).tolist(),
+            "max_parity_gap": float(np.abs(dist_g - dist_r).max()),
+        }
+
+        # confidence comparison with the full statistical battery
+        results["confidence"] = {
+            "group_mean": float(conf[g].mean()) if g.any() else None,
+            "rest_mean": float(conf[r].mean()) if r.any() else None,
+            "statistics": statistical_validation_comprehensive(
+                conf[g], conf[r], alpha=alpha, n_bootstrap=500,
+                n_permutations=2000) if g.sum() > 2 and r.sum() > 2 else None,
+        }
+
+        # per-class score comparison for the target class
+        if target_class is not None:
+            scores = np.log(probs[:, target_class] + SCORE_EPS)
+            results["target_class_scores"] = {
+                "class": self.class_names[target_class],
+                "group_mean": float(scores[g].mean()) if g.any() else None,
+                "rest_mean": float(scores[r].mean()) if r.any() else None,
+                "statistics": statistical_validation_comprehensive(
+                    scores[g], scores[r], alpha=alpha, n_bootstrap=500,
+                    n_permutations=2000) if g.sum() > 2 and r.sum() > 2 else None,
+            }
+
+        # accuracy / equalized-odds gaps when labels exist
+        if labels is not None:
+            labels = np.asarray(labels)
+            acc_g = float((preds[g] == labels[g]).mean()) if g.any() else None
+            acc_r = float((preds[r] == labels[r]).mean()) if r.any() else None
+            per_class_tpr = {}
+            for cid, name in enumerate(self.class_names):
+                mg = g & (labels == cid)
+                mr = r & (labels == cid)
+                per_class_tpr[name] = {
+                    "group_tpr": float((preds[mg] == cid).mean()) if mg.any() else None,
+                    "rest_tpr": float((preds[mr] == cid).mean()) if mr.any() else None,
+                }
+            results["accuracy"] = {
+                "group": acc_g, "rest": acc_r,
+                "gap": (acc_g - acc_r) if acc_g is not None and acc_r is not None else None,
+                "per_class_tpr": per_class_tpr,
+            }
+
+        verdict = "balanced"
+        if results["prediction_distribution"]["max_parity_gap"] > 0.1:
+            verdict = "parity_gap"
+        stats = results["confidence"]["statistics"]
+        if stats and stats["overall_conclusion"]["significant"]:
+            verdict = "significant_confidence_gap" if verdict == "balanced" \
+                else verdict + "+confidence_gap"
+        results["verdict"] = verdict
+        return results
+
+
+def estimate_phototype_mask(images: np.ndarray,
+                            luminance_threshold: float = -0.25) -> np.ndarray:
+    """Heuristic dark-phototype selector: mean luminance of the border ring
+    (skin around the lesion) below threshold ([-1,1] space). This stands in
+    for the curated phototype labels the reference's corpus has; callers
+    with real labels should pass their own mask."""
+    imgs = np.asarray(images)
+    lum = (0.299 * imgs[..., 0] + 0.587 * imgs[..., 1] + 0.114 * imgs[..., 2])
+    h, w = lum.shape[1:3]
+    ring = np.ones((h, w), bool)
+    ring[h // 4: 3 * h // 4, w // 4: 3 * w // 4] = False
+    ring_mean = lum[:, ring].mean(axis=1)
+    return ring_mean < luminance_threshold

@@ -120,10 +120,15 @@ def run_xai_analysis(image_path: str) -> Tuple[Any, str]:
 
     img_path = Path(image_path)
     class_name = img_path.parent.name
-    base = (img_path.parents[2] / "xai_results" if len(img_path.parents) >= 3
-            else Path.cwd() / "xai_results")
-    cand_dir = base / class_name
-    if cand_dir.exists():
+    bases = []
+    if len(img_path.parents) >= 2:
+        bases.append(img_path.parents[1] / "xai_results")  # where the adapter writes
+    if len(img_path.parents) >= 3:
+        bases.append(img_path.parents[2] / "xai_results")
+    for base in bases:
+        cand_dir = base / class_name
+        if not cand_dir.exists():
+            continue
         for pattern in (f"{img_path.stem}_*/xai_step_*.png",
                         f"{img_path.stem}_*/gradcam_most_important_*.png",
                         f"{img_path.stem}_*/time_shap_analysis.png"):

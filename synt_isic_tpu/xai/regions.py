@@ -29,7 +29,11 @@ def _collapse_channels(attr: np.ndarray) -> np.ndarray:
 def select_regions_advanced(attribution_map, k_percent: float = 10,
                             region_type: str = "top",
                             morphology_cleanup: bool = True,
-                            connectivity: int = 8) -> Dict[str, Any]:
+                            connectivity: int = 8,
+                            use_native: bool = None) -> Dict[str, Any]:
+    """use_native: route morphology through the framework's C++ kernels
+    (`synt_isic_tpu/native/`); None = auto (native when buildable). The
+    two backends are bit-identical (tests/test_native_morphology.py)."""
     attr_np = np.asarray(attribution_map, dtype=np.float64)
     original_shape = attr_np.shape
     attr_np = _collapse_channels(attr_np)
@@ -45,15 +49,29 @@ def select_regions_advanced(attribution_map, k_percent: float = 10,
         raise ValueError(f"unknown region_type: {region_type}")
 
     if morphology_cleanup:
-        structure = ndimage.generate_binary_structure(2, 1 if connectivity == 4 else 2)
-        mask = ndimage.binary_closing(mask, structure=structure, iterations=2)
-        mask = ndimage.binary_opening(mask, structure=structure, iterations=1)
-        labeled, num = ndimage.label(mask, structure=structure)
-        if num > 0:
-            sizes = ndimage.sum(mask, labeled, range(1, num + 1))
-            min_size = max(10, int(0.01 * mask.size))
-            keep = np.where(sizes >= min_size)[0] + 1
-            mask = np.isin(labeled, keep)
+        conn12 = 1 if connectivity == 4 else 2
+        min_size = max(10, int(0.01 * mask.size))
+        if use_native is None or use_native:
+            from .. import native
+            native_ok = native.available()
+        else:
+            native_ok = False
+        if use_native and not native_ok:
+            raise RuntimeError("native morphology requested but unavailable")
+        if native_ok and (use_native or use_native is None):
+            mask = native.binary_closing(mask, connectivity=conn12, iterations=2)
+            mask = native.binary_opening(mask, connectivity=conn12, iterations=1)
+            mask = native.remove_small_components(mask, min_size,
+                                                  connectivity=conn12)
+        else:
+            structure = ndimage.generate_binary_structure(2, conn12)
+            mask = ndimage.binary_closing(mask, structure=structure, iterations=2)
+            mask = ndimage.binary_opening(mask, structure=structure, iterations=1)
+            labeled, num = ndimage.label(mask, structure=structure)
+            if num > 0:
+                sizes = ndimage.sum(mask, labeled, range(1, num + 1))
+                keep = np.where(sizes >= min_size)[0] + 1
+                mask = np.isin(labeled, keep)
 
     total = attr_np.size
     selected = int(np.sum(mask))

@@ -1,0 +1,111 @@
+"""FID machinery + fairness audit + profiling utils + train resume tests."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from synt_isic_tpu.metrics.fid import compute_fid, frechet_distance
+from synt_isic_tpu.xai.fairness import FairnessAuditor, estimate_phototype_mask
+from synt_isic_tpu.models.classifier import LesionClassifier
+from synt_isic_tpu.utils.profiling import StepTimer, device_memory_stats
+
+
+def test_frechet_distance_identity():
+    mu = np.zeros(4)
+    sigma = np.eye(4)
+    assert frechet_distance(mu, sigma, mu, sigma) == pytest.approx(0.0, abs=1e-8)
+    assert frechet_distance(mu + 1, sigma, mu, sigma) == pytest.approx(4.0, abs=1e-6)
+    # scale difference: Tr(2I + 0.5I - 2*I) with sqrt(2*0.5)=1 per dim
+    d = frechet_distance(mu, 2 * sigma, mu, 0.5 * sigma)
+    assert d == pytest.approx(4 * (2 + 0.5 - 2), abs=1e-6)
+
+
+def test_compute_fid_separates_distributions():
+    class ToyExtractor:
+        def __call__(self, images):
+            flat = images.reshape(len(images), -1)
+            return np.stack([flat.mean(axis=1), flat.std(axis=1),
+                             flat.min(axis=1), flat.max(axis=1)], axis=1)
+
+    rng = np.random.default_rng(0)
+    a1 = rng.normal(0, 0.3, (64, 8, 8, 3)).astype(np.float32)
+    a2 = rng.normal(0, 0.3, (64, 8, 8, 3)).astype(np.float32)
+    b = rng.normal(0.5, 0.6, (64, 8, 8, 3)).astype(np.float32)
+    ext = ToyExtractor()
+    d_same = compute_fid(a1, a2, ext)
+    d_diff = compute_fid(a1, b, ext)
+    assert d_diff > d_same * 5
+
+
+@pytest.fixture(scope="module")
+def small_clf():
+    return LesionClassifier.random_init(num_classes=7, seed=0)
+
+
+def test_fairness_audit(small_clf):
+    rng = np.random.default_rng(1)
+    # group images darker than rest
+    rest = np.clip(rng.normal(0.3, 0.2, (24, 128, 128, 3)), -1, 1).astype(np.float32)
+    group = np.clip(rng.normal(-0.5, 0.2, (24, 128, 128, 3)), -1, 1).astype(np.float32)
+    images = np.concatenate([group, rest])
+    mask = np.asarray([True] * 24 + [False] * 24)
+    auditor = FairnessAuditor(small_clf, batch_size=16)
+    res = auditor.audit(images, mask, target_class=0,
+                        labels=np.zeros(48, np.int64))
+    assert res["n_group"] == 24 and res["n_rest"] == 24
+    assert len(res["prediction_distribution"]["group"]) == 7
+    assert res["confidence"]["statistics"] is not None
+    assert "verdict" in res
+    assert res["accuracy"]["group"] is not None
+
+
+def test_phototype_mask_heuristic():
+    light = np.full((4, 32, 32, 3), 0.5, np.float32)
+    dark = np.full((4, 32, 32, 3), -0.6, np.float32)
+    mask = estimate_phototype_mask(np.concatenate([dark, light]))
+    assert mask[:4].all() and not mask[4:].any()
+
+
+def test_step_timer():
+    import time
+
+    timer = StepTimer()
+    with timer.phase("a"):
+        time.sleep(0.01)
+    with timer.phase("a"):
+        time.sleep(0.01)
+    s = timer.summary()
+    assert s["a"]["count"] == 2
+    assert s["a"]["total_s"] >= 0.02
+    assert "a:" in timer.report()
+
+
+def test_device_memory_stats_shape():
+    stats = device_memory_stats()
+    assert isinstance(stats, dict)  # may be empty on CPU
+
+
+def test_train_state_resume(tmp_path):
+    from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig
+    from synt_isic_tpu.train.train_ddpm import (
+        TrainConfig, create_train_state, save_train_state, restore_train_state)
+
+    cfg = UNet2DConfig(sample_size=8, layers_per_block=1,
+                       block_out_channels=(8, 8), attention_head_dim=4,
+                       norm_num_groups=2,
+                       down_block_types=("DownBlock2D", "DownBlock2D"),
+                       up_block_types=("UpBlock2D", "UpBlock2D"))
+    model = UNet2D(config=cfg)
+    tcfg = TrainConfig(image_size=8, bf16_compute=False)
+    state, _ = create_train_state(model, tcfg)
+    state = state._replace(step=jnp.asarray(17, jnp.int32))
+    path = str(tmp_path / "ts.npz")
+    save_train_state(state, path)
+    fresh, _ = create_train_state(model, tcfg, rng=jax.random.PRNGKey(99))
+    restored = restore_train_state(fresh, path)
+    assert int(restored.step) == 17
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(restored.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
