@@ -1,0 +1,103 @@
+"""Extended benchmark suite on the real TPU -> BENCHMARKS.md.
+
+Covers the BASELINE.md measurement configs: DDPM T=1000 at several batch
+sizes, DDIM-50 batch-64 (the 7-class accelerated config), classifier
+forward throughput (IG/SHAP/Time-SHAP building block) and Grad-CAM frame
+throughput.
+"""
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from synt_isic_tpu.diffusion import DiffusionSchedule, DiffusionSampler, SamplerConfig
+from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig, init_unet_params
+from synt_isic_tpu.models.classifier import LesionClassifier
+
+RESULTS = []
+
+
+def record(name, value, unit, note=""):
+    RESULTS.append({"name": name, "value": round(value, 4), "unit": unit,
+                    "note": note})
+    print(f"{name}: {value:.4f} {unit}  {note}", flush=True)
+
+
+def bench_sampler(batch, steps, scheduler, runs=2):
+    model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16,
+                   use_fused_attention=jax.devices()[0].platform == "tpu")
+    params = init_unet_params(
+        UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16), jax.random.PRNGKey(0))
+    sampler = DiffusionSampler(
+        lambda p, x, t: model.apply({"params": p}, x, t),
+        DiffusionSchedule.create(),
+        SamplerConfig(num_inference_steps=steps, scheduler=scheduler,
+                      dtype=jnp.bfloat16))
+    seeds = np.arange(batch, dtype=np.uint32)
+    out = sampler.sample(params, seeds)
+    out["images"].block_until_ready()
+    t0 = time.time()
+    for r in range(runs):
+        out = sampler.sample(params, seeds + (r + 1) * batch)
+        out["images"].block_until_ready()
+    dt = time.time() - t0
+    return batch * runs / dt
+
+
+def main():
+    platform = jax.devices()[0].platform
+    print(f"device: {jax.devices()[0]} ({platform})", flush=True)
+
+    for batch, steps, sched in [(8, 1000, "ddpm"), (32, 1000, "ddpm"),
+                                (64, 50, "ddim"), (64, 50, "ddpm")]:
+        ips = bench_sampler(batch, steps, sched)
+        record(f"sampler_{sched}_T{steps}_b{batch}", ips, "img/s")
+
+    # classifier forward throughput (the XAI building block)
+    clf = LesionClassifier.random_init(num_classes=7)
+    for batch in (64, 256):
+        x = jax.random.normal(jax.random.PRNGKey(0), (batch, 128, 128, 3))
+        p = clf.get_probabilities(x)
+        p.block_until_ready()
+        t0 = time.time()
+        n = 10
+        for i in range(n):
+            p = clf.get_probabilities(x + i * 1e-6)
+            p.block_until_ready()
+        dt = (time.time() - t0) / n
+        record(f"classifier_fwd_b{batch}", batch / dt, "img/s",
+               "IG cost ~= 3x fwd per alpha-step")
+
+    # Grad-CAM over a 50-frame trajectory (batched)
+    from synt_isic_tpu.xai.gradcam import compute_gradcam
+    frames = jax.random.normal(jax.random.PRNGKey(1), (50, 128, 128, 3))
+    cams = compute_gradcam(clf, frames, 0)
+    t0 = time.time()
+    cams = compute_gradcam(clf, frames, 0)
+    dt = time.time() - t0
+    record("gradcam_50frames", 50 / dt, "frames/s")
+
+    out_path = REPO / "BENCHMARKS.md"
+    lines = ["# Benchmarks (single TPU chip)", "",
+             f"Device: `{jax.devices()[0]}`", "",
+             "| metric | value | unit | note |", "|---|---|---|---|"]
+    for r in RESULTS:
+        lines.append(f"| {r['name']} | {r['value']} | {r['unit']} | {r['note']} |")
+    out_path.write_text("\n".join(lines) + "\n")
+    print(f"\nwritten {out_path}")
+
+
+if __name__ == "__main__":
+    main()

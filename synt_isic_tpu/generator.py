@@ -336,6 +336,21 @@ class ImageGenerator:
                       default=str)
         self._log(f"XAI results saved: {out}")
 
+    def generate_batch_images(self, class_name: str, output_dir: str,
+                              count: int, batch_size: Optional[int] = None,
+                              postprocess: bool = True) -> Dict[str, Any]:
+        """Batch API carried forward from the reference's legacy generator
+        shape (`diffusion/diffusion_generator.py:175-257` — dead code there,
+        first-class here: one class, explicit device batch size)."""
+        if batch_size is not None:
+            old, self.batch_size = self.batch_size, max(1, int(batch_size))
+            try:
+                return self.generate_images([(class_name, count)], output_dir,
+                                            postprocess)
+            finally:
+                self.batch_size = old
+        return self.generate_images([(class_name, count)], output_dir, postprocess)
+
     # -- control ---------------------------------------------------------------------------
     def stop_generation(self) -> None:
         self.stop_requested = True

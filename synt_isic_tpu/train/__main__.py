@@ -1,0 +1,82 @@
+"""Training entry point: `python -m synt_isic_tpu.train`.
+
+Parity with reference `diffusion/train_diffusion.py`'s run surface:
+interactive class-selection menu (:142-197; numbered list, 'all', comma
+lists) plus non-interactive flags. Trains per-class DDPMs with the
+reference hyperparameters by default (batch 2, Adam 1e-4, 50 epochs,
+<=500 images/class) and writes torch-format `unet_<CLASS>_best.pth`.
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List
+
+from ..utils.config import CLASS_NAMES
+from .data import SingleClassDataset
+from .train_ddpm import TrainConfig, train_class
+
+
+def select_classes_interactive() -> List[str]:
+    print("available classes:")
+    for i, cls in enumerate(CLASS_NAMES, 1):
+        print(f"  {i}. {cls}")
+    print("select: numbers/names (comma-separated) or 'all'")
+    line = input("> ").strip()
+    if not line:
+        return []
+    if line.lower() == "all":
+        return list(CLASS_NAMES)
+    chosen = []
+    for tok in line.split(","):
+        tok = tok.strip()
+        if tok.isdigit() and 1 <= int(tok) <= len(CLASS_NAMES):
+            chosen.append(CLASS_NAMES[int(tok) - 1])
+        elif tok.upper() in CLASS_NAMES:
+            chosen.append(tok.upper())
+    return chosen
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="synt-isic-train")
+    p.add_argument("--classes", nargs="*", help="class names (default: ask)")
+    p.add_argument("--data-dir", required=False,
+                   default="data/ISIC2018_Task3_Training_Input")
+    p.add_argument("--csv", required=False,
+                   default="data/ISIC2018_Task3_Training_GroundTruth.csv")
+    p.add_argument("--checkpoints", default="checkpoints")
+    p.add_argument("--epochs", type=int, default=50)
+    p.add_argument("--batch", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--image-size", type=int, default=128)
+    p.add_argument("--max-samples", type=int, default=500)
+    p.add_argument("--no-bf16", action="store_true")
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    classes = args.classes or select_classes_interactive()
+    if not classes:
+        print("no classes selected")
+        return 1
+
+    cfg = TrainConfig(image_size=args.image_size, batch_size=args.batch,
+                      learning_rate=args.lr, epochs=args.epochs,
+                      bf16_compute=not args.no_bf16, seed=args.seed)
+    for cls in classes:
+        class_id = CLASS_NAMES.index(cls)
+        dataset = SingleClassDataset(args.data_dir, args.csv, class_id,
+                                     image_size=args.image_size,
+                                     max_samples=args.max_samples)
+        if len(dataset) == 0:
+            print(f"!! no data for {cls}, skipping")
+            continue
+        print(f"== training {cls}: {len(dataset)} images ==")
+        result = train_class(cls, dataset, args.checkpoints, cfg,
+                             resume=args.resume)
+        print(f"== {cls} done: best_loss={result['best_loss']:.5f} ==")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
