@@ -255,6 +255,13 @@ class ImageGenerator:
                 index = 0
                 while index < count and not self.stop_requested:
                     block = min(self.batch_size, count - index)
+                    # trajectory capture holds (steps, block, H, W, C) on
+                    # device — cap the block so HBM stays bounded
+                    # (~steps*block*64KB fp32 at 128²)
+                    if self.save_trajectory and self.xai_analyzer is not None:
+                        max_traj_block = max(1, (4 << 30) //
+                                             (self.inference_steps * 64 * 1024))
+                        block = min(block, max_traj_block)
                     seeds = np.asarray(
                         [self._seed_for(class_name, index + j, offsets)
                          for j in range(block)], dtype=np.uint32)

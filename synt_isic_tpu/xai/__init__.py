@@ -7,6 +7,10 @@ from .sanity import sanity_check_comprehensive
 from .gradcam import compute_gradcam, overlay_cam_on_image
 from .pipeline import run_comprehensive_xai_pipeline, json_safe
 
+# Familiar names for users migrating from the reference
+# (`xai/XAI.py:ModernXAIAnalyzer`, re-exported at `xai/__init__.py:1-2`).
+ModernXAIAnalyzer = XAIAnalyzer
+
 __all__ = [
     "XAIAnalyzer",
     "select_regions_advanced",

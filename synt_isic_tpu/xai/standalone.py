@@ -37,6 +37,12 @@ def run_standalone_xai(target_class: str = "MEL",
                        results_dir: Optional[str] = None,
                        model_config=None,
                        num_classes: int = NUM_CLASSES + 1,
+                       ig_n_steps: int = 50,
+                       shap_n_samples: int = 512,
+                       n_bootstrap: int = 1000,
+                       n_permutations: int = 10000,
+                       with_gradcam: bool = True,
+                       with_sanity: bool = True,
                        log=print) -> Optional[dict]:
     """Full standalone analysis; returns the pipeline results dict."""
     ckpt_dir = Path(checkpoints_dir) if checkpoints_dir else Path("checkpoints")
@@ -74,12 +80,15 @@ def run_standalone_xai(target_class: str = "MEL",
     except ValueError:
         target_id = 0
 
-    analyzer = XAIAnalyzer(classifier, seed=seed)
+    analyzer = XAIAnalyzer(classifier, ig_n_steps=ig_n_steps,
+                           shap_n_samples=shap_n_samples, seed=seed)
     return run_comprehensive_xai_pipeline(
         trajectory=frames, timesteps=frame_ts, xai_analyzer=analyzer,
         classifier=classifier, target_class_id=target_id,
         target_class_name=target_class, save_results=True,
-        results_dir=results_dir, log=log)
+        results_dir=results_dir, n_bootstrap=n_bootstrap,
+        n_permutations=n_permutations, with_gradcam=with_gradcam,
+        with_sanity=with_sanity, log=log)
 
 
 def main() -> int:

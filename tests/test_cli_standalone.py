@@ -1,0 +1,79 @@
+"""End-to-end tests for the console CLI and the standalone XAI entry,
+using fabricated tiny checkpoints."""
+import json
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from synt_isic_tpu.cli import ConsoleGenerator
+from synt_isic_tpu.models.unet2d import UNet2DConfig
+from synt_isic_tpu.xai.standalone import run_standalone_xai
+
+from tests.torch_oracle.unet2d_torch import UNet2DTorch, tiny_config
+
+TINY = tiny_config()
+TINY_JAX = UNet2DConfig(
+    sample_size=TINY["sample_size"], layers_per_block=TINY["layers_per_block"],
+    block_out_channels=TINY["block_out_channels"],
+    down_block_types=TINY["down_block_types"],
+    up_block_types=TINY["up_block_types"],
+    attention_head_dim=TINY["attention_head_dim"],
+    norm_num_groups=TINY["norm_num_groups"])
+
+
+@pytest.fixture(scope="module")
+def base_dir(tmp_path_factory):
+    base = tmp_path_factory.mktemp("base")
+    ckpt = base / "checkpoints"
+    ckpt.mkdir()
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_MEL_best.pth")
+    return base
+
+
+def test_console_generator_dataset(base_dir):
+    gen = ConsoleGenerator(base_dir=str(base_dir), inference_steps=3,
+                           batch_size=2, seed=0, model_config=TINY_JAX)
+    produced = gen.generate({"MEL": 3})
+    assert produced == {"MEL": 3}
+    files = sorted((base_dir / "ISIC2018_Task3_synt").glob("ISIC_*.jpg"))
+    assert [f.name for f in files] == ["ISIC_0034321.jpg", "ISIC_0034322.jpg",
+                                      "ISIC_0034323.jpg"]
+    csv_lines = (base_dir / "ISIC2018_Task3_GroundTruth_synt.csv") \
+        .read_text().strip().splitlines()
+    assert csv_lines[0] == "image,MEL,NV,BCC,AKIEC,BKL,DF,VASC"
+    assert csv_lines[1].startswith("ISIC_0034321.jpg,1.0,0.0")
+    # numbering resumes across instances
+    gen2 = ConsoleGenerator(base_dir=str(base_dir), inference_steps=3,
+                            batch_size=2, seed=1, model_config=TINY_JAX)
+    assert gen2.last_isic_number == 34323
+    gen2.generate({"MEL": 1})
+    assert (base_dir / "ISIC2018_Task3_synt" / "ISIC_0034324.jpg").exists()
+    assert len((base_dir / "ISIC2018_Task3_GroundTruth_synt.csv")
+               .read_text().strip().splitlines()) == 5
+
+
+def test_console_generator_missing_class(base_dir):
+    gen = ConsoleGenerator(base_dir=str(base_dir), inference_steps=2,
+                           model_config=TINY_JAX)
+    produced = gen.generate({"VASC": 2})
+    assert produced == {"VASC": 0}
+
+
+def test_standalone_xai(base_dir, tmp_path):
+    results = run_standalone_xai(
+        target_class="MEL", seed=11, inference_steps=4, save_every=2,
+        checkpoints_dir=str(base_dir / "checkpoints"),
+        results_dir=str(tmp_path / "xai_out"),
+        model_config=TINY_JAX, ig_n_steps=2, shap_n_samples=4,
+        n_bootstrap=20, n_permutations=50, with_gradcam=False,
+        with_sanity=False, log=lambda *a: None)
+    assert results is not None
+    # save_every=2 over 4 steps -> frames at step idx {0, 2, 3}
+    assert results["metadata"]["n_timesteps"] == 3
+    out = tmp_path / "xai_out"
+    assert (out / "analysis_results.json").exists()
+    assert (out / "time_shap_analysis.png").exists()
