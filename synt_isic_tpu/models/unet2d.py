@@ -89,28 +89,60 @@ class TimestepEmbedding(nn.Module):
         return nn.Dense(self.time_embed_dim, dtype=self.dtype, name="linear_2")(h)
 
 
+class _NormParams(nn.Module):
+    """Declares GroupNorm affine params with the same tree layout as
+    nn.GroupNorm ({'scale','bias'}) for the fused-kernel path."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return (self.param("scale", nn.initializers.ones, (self.features,)),
+                self.param("bias", nn.initializers.zeros, (self.features,)))
+
+
 class ResnetBlock2D(nn.Module):
-    """norm1 -> silu -> conv1 -> (+ FiLM temb) -> norm2 -> silu -> conv2, residual."""
+    """norm1 -> silu -> conv1 -> (+ FiLM temb) -> norm2 -> silu -> conv2, residual.
+
+    `use_fused_norm=True` replaces the two GroupNorm+SiLU chains (and the
+    FiLM add before norm2) with the Pallas VMEM kernels in
+    `ops/pallas/group_norm.py` — identical math and identical param tree,
+    inference path only (no autodiff rule).
+    """
     in_channels: int
     out_channels: int
     groups: int = 32
     eps: float = 1e-5
     dtype: Any = jnp.float32
+    use_fused_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
         residual = x
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=jnp.float32, name="norm1")(x)
-        h = nn.silu(h).astype(self.dtype)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                    name="conv1")(h)
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      name="time_emb_proj")(nn.silu(temb))
-        h = h + t[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=jnp.float32, name="norm2")(h)
-        h = nn.silu(h).astype(self.dtype)
+        if self.use_fused_norm:
+            from ..ops.pallas.group_norm import (
+                fused_film_group_norm_silu, fused_group_norm_silu)
+
+            scale1, bias1 = _NormParams(self.in_channels, name="norm1")()
+            h = fused_group_norm_silu(x, scale1, bias1, groups=self.groups,
+                                      eps=self.eps).astype(self.dtype)
+            h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                        name="conv1")(h)
+            scale2, bias2 = _NormParams(self.out_channels, name="norm2")()
+            h = fused_film_group_norm_silu(h, t, scale2, bias2,
+                                           groups=self.groups,
+                                           eps=self.eps).astype(self.dtype)
+        else:
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                             dtype=jnp.float32, name="norm1")(x)
+            h = nn.silu(h).astype(self.dtype)
+            h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                        name="conv1")(h)
+            h = h + t[:, None, None, :]
+            h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                             dtype=jnp.float32, name="norm2")(h)
+            h = nn.silu(h).astype(self.dtype)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
                     name="conv2")(h)
         if self.in_channels != self.out_channels:
@@ -204,6 +236,7 @@ class DownBlock2D(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
+    use_fused_norm: bool = False
 
     def setup(self):
         resnets = []
@@ -212,7 +245,9 @@ class DownBlock2D(nn.Module):
             in_ch = self.in_channels if i == 0 else self.out_channels
             resnets.append(ResnetBlock2D(in_ch, self.out_channels,
                                          groups=self.groups, eps=self.eps,
-                                         dtype=self.dtype, name=f"resnets_{i}"))
+                                         dtype=self.dtype,
+                                         use_fused_norm=self.use_fused_norm,
+                                         name=f"resnets_{i}"))
             if self.with_attention:
                 attentions.append(AttentionBlock(self.out_channels,
                                                  head_dim=self.attention_head_dim,
@@ -246,10 +281,13 @@ class UNetMidBlock2D(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
+    use_fused_norm: bool = False
 
     def setup(self):
         self.resnets_0 = ResnetBlock2D(self.channels, self.channels,
-                                       groups=self.groups, eps=self.eps, dtype=self.dtype)
+                                       groups=self.groups, eps=self.eps,
+                                       dtype=self.dtype,
+                                       use_fused_norm=self.use_fused_norm)
         if self.add_attention:
             self.attentions_0 = AttentionBlock(self.channels,
                                                head_dim=self.attention_head_dim,
@@ -257,7 +295,9 @@ class UNetMidBlock2D(nn.Module):
                                                dtype=self.dtype,
                                                use_fused=self.use_fused_attention)
         self.resnets_1 = ResnetBlock2D(self.channels, self.channels,
-                                       groups=self.groups, eps=self.eps, dtype=self.dtype)
+                                       groups=self.groups, eps=self.eps,
+                                       dtype=self.dtype,
+                                       use_fused_norm=self.use_fused_norm)
 
     def __call__(self, x, temb):
         x = self.resnets_0(x, temb)
@@ -278,6 +318,7 @@ class UpBlock2D(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
+    use_fused_norm: bool = False
 
     def setup(self):
         resnets = []
@@ -288,6 +329,7 @@ class UpBlock2D(nn.Module):
             resnets.append(ResnetBlock2D(resnet_in_channels + res_skip_channels,
                                          self.out_channels, groups=self.groups,
                                          eps=self.eps, dtype=self.dtype,
+                                         use_fused_norm=self.use_fused_norm,
                                          name=f"resnets_{i}"))
             if self.with_attention:
                 attentions.append(AttentionBlock(self.out_channels,
@@ -323,6 +365,7 @@ class UNet2D(nn.Module):
     config: UNet2DConfig = UNet2DConfig()
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
+    use_fused_norm: bool = False
 
     def setup(self):
         cfg = self.config
@@ -345,6 +388,7 @@ class UNet2D(nn.Module):
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                 dtype=self.dtype,
                 use_fused_attention=self.use_fused_attention,
+                use_fused_norm=self.use_fused_norm,
                 name=f"down_blocks_{i}"))
         self.down_blocks = down_blocks
 
@@ -353,7 +397,8 @@ class UNet2D(nn.Module):
                                         add_attention=cfg.add_mid_attention,
                                         groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                                         dtype=self.dtype,
-                                        use_fused_attention=self.use_fused_attention)
+                                        use_fused_attention=self.use_fused_attention,
+                                        use_fused_norm=self.use_fused_norm)
 
         up_blocks = []
         reversed_channels = tuple(reversed(cfg.block_out_channels))
@@ -374,6 +419,7 @@ class UNet2D(nn.Module):
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                 dtype=self.dtype,
                 use_fused_attention=self.use_fused_attention,
+                use_fused_norm=self.use_fused_norm,
                 name=f"up_blocks_{i}"))
         self.up_blocks = up_blocks
 
