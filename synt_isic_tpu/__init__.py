@@ -9,10 +9,31 @@ meshes for multi-chip scale, and Pallas kernels on the hot ops.
 from .version import __version__
 from .utils.config import CLASS_NAMES, NUM_CLASSES, ConfigManager, default_config
 
+
+def __getattr__(name):  # lazy: keep bare `import synt_isic_tpu` light
+    if name == "ImageGenerator":
+        from .generator import ImageGenerator
+        return ImageGenerator
+    if name == "ModelManager":
+        from .model_manager import ModelManager
+        return ModelManager
+    if name == "CacheManager":
+        from .cache import CacheManager
+        return CacheManager
+    if name == "create_integrated_xai_analyzer":
+        from .xai.integration import create_integrated_xai_analyzer
+        return create_integrated_xai_analyzer
+    raise AttributeError(name)
+
+
 __all__ = [
     "__version__",
     "CLASS_NAMES",
     "NUM_CLASSES",
     "ConfigManager",
     "default_config",
+    "ImageGenerator",
+    "ModelManager",
+    "CacheManager",
+    "create_integrated_xai_analyzer",
 ]

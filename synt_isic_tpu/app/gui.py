@@ -76,6 +76,11 @@ if PYQT_AVAILABLE:
             self.resize(1280, 840)
             self._build_ui()
             self._refresh_classes()
+            # device-memory telemetry (reference polls CUDA memory every 2s,
+            # `main.py:213-253`)
+            self._mem_timer = QTimer(self)
+            self._mem_timer.timeout.connect(self._update_memory_info)
+            self._mem_timer.start(2000)
 
         # -- layout -------------------------------------------------------------
         def _build_ui(self):
@@ -93,8 +98,11 @@ if PYQT_AVAILABLE:
             out_btn.clicked.connect(lambda: self._pick_dir(self.out_edit))
             self.device_combo = QComboBox()
             import jax
-            for d in jax.devices():
+            self._devices = list(jax.devices())
+            for d in self._devices:
                 self.device_combo.addItem(str(d))
+            self.device_combo.currentIndexChanged.connect(self._on_device_changed)
+            self.mem_label = QLabel("mem: n/a")
             self.steps_spin = QSpinBox()
             self.steps_spin.setRange(1, 1000)
             self.steps_spin.setValue(int(self.config.get_generation_param(
@@ -130,6 +138,7 @@ if PYQT_AVAILABLE:
             grid.addWidget(self.xai_check, 2, 0)
             grid.addWidget(QLabel("XAI every N:"), 2, 1)
             grid.addWidget(self.xai_freq, 2, 2)
+            grid.addWidget(self.mem_label, 2, 5)
             root.addWidget(top)
 
             split = QSplitter(Qt.Horizontal)
@@ -227,6 +236,25 @@ if PYQT_AVAILABLE:
 
         def _append_log(self, msg: str, level: str = "info"):
             self.logs.append(f"[{level}] {msg}")
+
+        def _update_memory_info(self):
+            from ..utils.profiling import device_memory_stats
+
+            idx = self.device_combo.currentIndex()
+            stats = device_memory_stats(self._devices[idx]) if idx >= 0 else {}
+            if stats.get("mb_in_use") is not None:
+                self.mem_label.setText(
+                    f"mem: {stats['mb_in_use']:.0f} MB "
+                    f"(peak {stats.get('mb_peak', 0):.0f} MB)")
+            else:
+                self.mem_label.setText("mem: n/a")
+
+        def _on_device_changed(self, idx: int):
+            if 0 <= idx < len(self._devices) and not (
+                    self.worker and self.worker.isRunning()):
+                ok = self.generator.model_manager.change_device(self._devices[idx])
+                self._append_log(f"device -> {self._devices[idx]} "
+                                 f"({'ok' if ok else 'failed'})")
 
         # -- actions ---------------------------------------------------------------
         def start_generation(self):
