@@ -100,6 +100,7 @@ class ImageGenerator:
         self.progress_callback: Optional[Callable[[int, int, str], None]] = None
         self.log_callback: Optional[Callable[[str, str], None]] = None
 
+        self.mesh = None  # set_mesh() enables multi-chip data-parallel sampling
         self.is_generating = False
         self.stop_requested = False
 
@@ -133,6 +134,11 @@ class ImageGenerator:
 
     def set_inference_steps(self, steps: int) -> None:
         self.inference_steps = max(1, min(1000, int(steps)))
+
+    def set_mesh(self, mesh) -> None:
+        """Shard sampling batches over a `jax.sharding.Mesh` ('data' axis).
+        Per-seed RNG streams keep outputs independent of the layout."""
+        self.mesh = mesh
 
     # -- logging / progress ----------------------------------------------------------
     def _log(self, msg: str, level: str = "info") -> None:
@@ -179,6 +185,10 @@ class ImageGenerator:
             self.inference_steps, scheduler=self.scheduler_kind,
             ddim_eta=self.ddim_eta)
         params = self.model_manager.loaded_params[class_name]
+        if self.mesh is not None:
+            from .parallel.sharded_sampler import ShardedSampler
+            return ShardedSampler(sampler, self.mesh).sample(
+                params, seeds, capture_trajectory=capture_trajectory)
         return sampler.sample(params, seeds, capture_trajectory=capture_trajectory)
 
     def generate_single_image(self, class_name: str, output_path: str,

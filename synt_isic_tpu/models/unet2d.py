@@ -366,9 +366,14 @@ class UNet2D(nn.Module):
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
     use_fused_norm: bool = False
+    remat: bool = False  # rematerialize blocks in the backward pass
+                         # (jax.checkpoint — trades FLOPs for training memory)
 
     def setup(self):
         cfg = self.config
+        down_cls = nn.remat(DownBlock2D) if self.remat else DownBlock2D
+        mid_cls = nn.remat(UNetMidBlock2D) if self.remat else UNetMidBlock2D
+        up_cls = nn.remat(UpBlock2D, static_argnums=()) if self.remat else UpBlock2D
         self.conv_in = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                                dtype=self.dtype)
         self.time_embedding = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype)
@@ -379,7 +384,7 @@ class UNet2D(nn.Module):
             input_channel = output_channel
             output_channel = cfg.block_out_channels[i]
             is_final = i == len(cfg.block_out_channels) - 1
-            down_blocks.append(DownBlock2D(
+            down_blocks.append(down_cls(
                 in_channels=input_channel, out_channels=output_channel,
                 num_layers=cfg.layers_per_block,
                 add_downsample=not is_final,
@@ -392,7 +397,7 @@ class UNet2D(nn.Module):
                 name=f"down_blocks_{i}"))
         self.down_blocks = down_blocks
 
-        self.mid_block = UNetMidBlock2D(cfg.block_out_channels[-1],
+        self.mid_block = mid_cls(cfg.block_out_channels[-1],
                                         attention_head_dim=cfg.attention_head_dim,
                                         add_attention=cfg.add_mid_attention,
                                         groups=cfg.norm_num_groups, eps=cfg.norm_eps,
@@ -408,7 +413,7 @@ class UNet2D(nn.Module):
             output_channel = reversed_channels[i]
             input_channel = reversed_channels[min(i + 1, len(cfg.block_out_channels) - 1)]
             is_final = i == len(cfg.block_out_channels) - 1
-            up_blocks.append(UpBlock2D(
+            up_blocks.append(up_cls(
                 in_channels=input_channel,
                 prev_output_channel=prev_output_channel,
                 out_channels=output_channel,
