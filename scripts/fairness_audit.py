@@ -1,0 +1,115 @@
+"""Large-batch fairness audit driver (BASELINE config 5: 8000-sample
+dark-phototype corpus).
+
+Sources images either from a directory of generated PNG/JPGs or by
+generating them on the fly, derives (or loads) the group mask, and runs
+`xai.fairness.FairnessAuditor`, writing a JSON report.
+
+Usage:
+  python scripts/fairness_audit.py --images generated_images/NV --target-class NV
+  python scripts/fairness_audit.py --generate MEL:4000,NV:4000 --checkpoints checkpoints
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from synt_isic_tpu.models.classifier import LesionClassifier
+from synt_isic_tpu.utils.config import CLASS_NAMES
+from synt_isic_tpu.xai.fairness import FairnessAuditor, estimate_phototype_mask
+
+
+def load_images(directory: str, limit: int) -> np.ndarray:
+    from PIL import Image
+
+    paths = sorted(Path(directory).rglob("*.png")) + \
+        sorted(Path(directory).rglob("*.jpg"))
+    paths = paths[:limit]
+    if not paths:
+        raise SystemExit(f"no images under {directory}")
+    imgs = []
+    for p in paths:
+        arr = np.asarray(Image.open(p).convert("RGB").resize((128, 128)),
+                         dtype=np.float32) / 255.0
+        imgs.append(arr * 2.0 - 1.0)
+    return np.stack(imgs)
+
+
+def generate_images(spec: str, checkpoints: str, steps: int, batch: int,
+                    seed: int) -> np.ndarray:
+    from synt_isic_tpu.cli import _parse_class_counts
+    from synt_isic_tpu.model_manager import ModelManager
+
+    counts = _parse_class_counts(spec)
+    mm = ModelManager(checkpoints_dir=checkpoints)
+    chunks = []
+    rng = np.random.default_rng(seed)
+    for cls, count in counts.items():
+        if not mm.load_model(cls):
+            print(f"!! missing checkpoint for {cls}")
+            continue
+        sampler = mm.create_sampler(steps, scheduler="ddim")
+        params = mm.loaded_params[cls]
+        done = 0
+        while done < count:
+            block = min(batch, count - done)
+            seeds = rng.integers(0, 2**31 - 1, block).astype(np.uint32)
+            out = sampler.sample(params, seeds)
+            chunks.append(np.asarray(out["images"]))
+            done += block
+        mm.unload_model(cls)
+    return np.concatenate(chunks)
+
+
+def main() -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--images", help="directory of images to audit")
+    p.add_argument("--generate", help="generate on the fly, e.g. 'MEL:4000'")
+    p.add_argument("--checkpoints", default="checkpoints")
+    p.add_argument("--classifier", default=None)
+    p.add_argument("--target-class", default=None, choices=list(CLASS_NAMES))
+    p.add_argument("--limit", type=int, default=8000)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--batch", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--luminance-threshold", type=float, default=-0.25)
+    p.add_argument("--out", default="fairness_report.json")
+    args = p.parse_args()
+
+    if args.images:
+        images = load_images(args.images, args.limit)
+    elif args.generate:
+        images = generate_images(args.generate, args.checkpoints, args.steps,
+                                 args.batch, args.seed)
+    else:
+        raise SystemExit("provide --images or --generate")
+    print(f"auditing {len(images)} images")
+
+    clf_path = args.classifier or str(Path(args.checkpoints) / "classifier.pth")
+    if Path(clf_path).exists():
+        clf, counts = LesionClassifier.from_checkpoint(clf_path)
+        print(f"classifier: {counts}")
+    else:
+        clf = LesionClassifier.random_init()
+        print("classifier: random init (scores are structural only)")
+
+    mask = estimate_phototype_mask(images, args.luminance_threshold)
+    print(f"dark-phototype group: {int(mask.sum())}/{len(mask)}")
+    auditor = FairnessAuditor(clf, batch_size=args.batch)
+    target = CLASS_NAMES.index(args.target_class) if args.target_class else None
+    report = auditor.audit(images, mask, target_class=target)
+
+    from synt_isic_tpu.xai.pipeline import json_safe
+    Path(args.out).write_text(json.dumps(json_safe(report), indent=2))
+    print(f"verdict: {report['verdict']}  -> {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -11,6 +11,10 @@ from .pipeline import run_comprehensive_xai_pipeline, json_safe
 # (`xai/XAI.py:ModernXAIAnalyzer`, re-exported at `xai/__init__.py:1-2`).
 ModernXAIAnalyzer = XAIAnalyzer
 
+from .integration import (IntegratedXAIAnalyzer, create_integrated_xai_analyzer,
+                          run_xai_analysis)
+from .fairness import FairnessAuditor
+
 __all__ = [
     "XAIAnalyzer",
     "select_regions_advanced",
