@@ -62,6 +62,43 @@ if PYQT_AVAILABLE:
                 self.class_configs, self.output_dir, self.postprocess)
             self.finished_ok.emit(result or {})
 
+    class XAIWorker(QThread):
+        """Runs the standalone XAI analysis as a subprocess with the
+        reference's env-var protocol (`main.py:62-127`, `main.py:1552-1563`),
+        streaming stdout lines into the GUI log."""
+        log = pyqtSignal(str, str)
+        finished_ok = pyqtSignal(int)
+
+        def __init__(self, target_class: str, seed: int, steps: int,
+                     save_every: int = 5):
+            super().__init__()
+            self.env_vars = {
+                "XAI_TARGET_CLASS": target_class,
+                "XAI_GENERATION_SEED": str(seed),
+                "XAI_INFERENCE_STEPS": str(steps),
+                "XAI_SAVE_EVERY_N": str(save_every),
+            }
+            self._proc = None
+
+        def run(self):
+            import os
+            import subprocess
+            import sys as _sys
+
+            env = dict(os.environ, **self.env_vars,
+                       PYTHONUNBUFFERED="1", MPLBACKEND="Agg")
+            self._proc = subprocess.Popen(
+                [_sys.executable, "-u", "-m", "synt_isic_tpu.xai.standalone"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+                text=True, env=env)
+            for line in self._proc.stdout:
+                self.log.emit(line.rstrip(), "info")
+            self.finished_ok.emit(self._proc.wait())
+
+        def stop(self):
+            if self._proc and self._proc.poll() is None:
+                self._proc.kill()
+
     class SyntheticDataGeneratorWindow(QMainWindow):
         def __init__(self):
             super().__init__()
@@ -221,14 +258,28 @@ if PYQT_AVAILABLE:
                     cb.setToolTip("no checkpoint found")
 
         def _refresh_files(self):
+            """Results browser: images + XAI JSON/PKL artifacts
+            (reference `main.py:1624-1714`)."""
             self.files_list.clear()
             out = Path(self.out_edit.text())
             if out.exists():
-                for p in sorted(out.rglob("*.png"))[:500]:
+                entries = sorted(out.rglob("*.png"))[:400] + \
+                    sorted(out.rglob("analysis_results.json"))[:100]
+                for p in entries:
                     self.files_list.addItem(str(p))
 
         def _show_selected(self, item):
-            pix = QPixmap(item.text())
+            path = item.text()
+            if path.endswith(".json"):
+                import json
+                try:
+                    data = json.loads(Path(path).read_text())
+                    self.logs.append(json.dumps(data.get("metadata", data),
+                                                indent=2)[:4000])
+                except Exception as exc:
+                    self.logs.append(f"[error] {exc}")
+                return
+            pix = QPixmap(path)
             if not pix.isNull():
                 self.preview.setPixmap(pix.scaled(
                     self.preview.size(), Qt.KeepAspectRatio,

@@ -34,7 +34,7 @@ def _onehot(c: int, groups: int) -> jnp.ndarray:
     return (chan // (c // groups) == grp).astype(jnp.float32)
 
 
-def _rows_per_chunk(h: int, w: int, c: int, budget_bytes: int = 1 << 21) -> int:
+def _rows_per_chunk(h: int, w: int, c: int, budget_bytes: int = 1 << 19) -> int:
     rows = h
     while rows > 8 and rows * w * c * 4 > budget_bytes:
         rows //= 2
