@@ -120,7 +120,12 @@ class ResnetBlock2D(nn.Module):
         residual = x
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      name="time_emb_proj")(nn.silu(temb))
-        if self.use_fused_norm:
+        # The Pallas kernel holds the whole (H, W, C) tile (+double-buffered
+        # output) in VMEM; concat-widened stages like 128²x192 exceed the
+        # 16 MB scoped limit — use the kernel only where it fits.
+        fits_vmem = (x.shape[1] * x.shape[2] * max(self.in_channels,
+                                                   self.out_channels)) <= 1_100_000
+        if self.use_fused_norm and fits_vmem:
             from ..ops.pallas.group_norm import (
                 fused_film_group_norm_silu, fused_group_norm_silu)
 

@@ -45,7 +45,7 @@ def _rows_per_chunk(h: int, w: int, c: int, budget_bytes: int = 1 << 19) -> int:
 
 def _gn_kernel_body(x_ref, temb_row, scale_ref, bias_ref, o_ref, *,
                     groups: int, eps: float, with_silu: bool):
-    """Shared body; temb_row is an (C,)-shaped fp32 value or None."""
+    """Shared body; temb_row is a (1, C)-shaped fp32 value or None."""
     _, h, w, c = x_ref.shape
     rows = _rows_per_chunk(h, w, c)
     n_chunks = h // rows
@@ -56,7 +56,7 @@ def _gn_kernel_body(x_ref, temb_row, scale_ref, bias_ref, o_ref, *,
         xc = x_ref[0, pl.ds(i * rows, rows)].astype(jnp.float32)
         xc = xc.reshape(rows * w, c)
         if temb_row is not None:
-            xc = xc + temb_row[None, :]
+            xc = xc + temb_row
         return xc
 
     def pass1(i, acc):
@@ -98,8 +98,13 @@ def _gn_silu_kernel(x_ref, scale_ref, bias_ref, o_ref, *, groups: int,
 
 def _gn_film_silu_kernel(x_ref, temb_ref, scale_ref, bias_ref, o_ref, *,
                          groups: int, eps: float, with_silu: bool):
+    # select row program_id via a one-hot matmul — Mosaic cannot lower a
+    # strided single-row bf16 vector load from the (B, C) block
     b = pl.program_id(0)
-    temb_row = temb_ref[b].astype(jnp.float32)
+    n = temb_ref.shape[0]
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (1, n), 1) == b).astype(jnp.float32)
+    temb_row = jnp.dot(sel, temb_ref[:].astype(jnp.float32),
+                       preferred_element_type=jnp.float32)  # (1, C)
     _gn_kernel_body(x_ref, temb_row, scale_ref, bias_ref, o_ref, groups=groups,
                     eps=eps, with_silu=with_silu)
 
