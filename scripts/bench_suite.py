@@ -89,6 +89,30 @@ def main():
     dt = time.time() - t0
     record("gradcam_50frames", 50 / dt, "frames/s")
 
+    # full per-frame attribution (IG-50 + patch-SHAP-512) — the reference's
+    # hottest XAI cost (XAI.py:2747-2749); reported as attributions/hour
+    from synt_isic_tpu.xai.attribution import XAIAnalyzer
+    ana = XAIAnalyzer(clf, ig_n_steps=50, shap_n_samples=512, batch_size=128)
+    frame = frames[:1]
+    a = ana.compute_integrated_gradients(frame, 0)
+    s = ana.compute_shap_approximation(frame, 0)
+    jax.block_until_ready((a, s))
+    t0 = time.time()
+    n = 5
+    for _ in range(n):
+        a = ana.compute_integrated_gradients(frame, 0)
+        s = ana.compute_shap_approximation(frame, 0)
+    jax.block_until_ready((a, s))
+    per_frame = (time.time() - t0) / n
+    record("frame_attribution_ig50_shap512", 3600.0 / per_frame,
+           "attributions/hr", f"{per_frame*1000:.0f} ms/frame")
+
+    # Time-SHAP over a 50-frame trajectory
+    t0 = time.time()
+    imp, _ = ana.compute_time_shap(frames, list(range(50)), 0)
+    dt = time.time() - t0
+    record("time_shap_50frames", 50 / dt, "frames/s")
+
     out_path = REPO / "BENCHMARKS.md"
     lines = ["# Benchmarks (single TPU chip)", "",
              f"Device: `{jax.devices()[0]}`", "",
