@@ -116,7 +116,11 @@ class DiffusionSampler:
         return jax.vmap(lambda k: jax.random.normal(k, shape, jnp.float32))(keys)
 
     # -- compiled core -------------------------------------------------------------
-    def _build(self, batch: int, capture: bool) -> Callable:
+    def _build(self, batch: int, capture) -> Callable:
+        """capture: False (no trajectory) | True (every step) | int n
+        (windowed: frames at save_indices(steps, n), computed with O(S/n)
+        device memory via segmented scans — SURVEY.md §7 'windowed
+        capture')."""
         cfg = self.config
         sched = self.params
         step_fn = self._step
@@ -124,22 +128,70 @@ class DiffusionSampler:
         num_steps = cfg.num_inference_steps
         shape = (cfg.image_size, cfg.image_size, cfg.channels)
 
-        def sample_fn(model_params, noise, keys):
-            x = noise.astype(cfg.dtype)
-
-            def body(x, k):
+        def run_segment(model_params, x, keys, start, length: int):
+            def seg_body(carry, k):
+                x = carry
                 t = sched.timesteps[k]
                 eps = apply_fn(model_params, x,
                                jnp.broadcast_to(t, (batch,))).astype(cfg.dtype)
-                # per-image, per-step independent posterior noise
                 z = jax.vmap(
                     lambda key: jax.random.normal(jax.random.fold_in(key, k + 1),
                                                   shape, cfg.dtype))(keys)
-                x = step_fn(x, eps, k, sched, z)
-                return x, (x.astype(jnp.float32) if capture else None)
+                return step_fn(x, eps, k, sched, z), None
 
-            x, traj = jax.lax.scan(body, x, jnp.arange(num_steps))
-            return x.astype(jnp.float32), traj
+            x, _ = jax.lax.scan(seg_body, x, start + jnp.arange(length))
+            return x
+
+        if isinstance(capture, bool):
+            def sample_fn(model_params, noise, keys):
+                x = noise.astype(cfg.dtype)
+
+                def full_body(x, k):
+                    t = sched.timesteps[k]
+                    eps = apply_fn(model_params, x,
+                                   jnp.broadcast_to(t, (batch,))).astype(cfg.dtype)
+                    z = jax.vmap(
+                        lambda key: jax.random.normal(
+                            jax.random.fold_in(key, k + 1), shape,
+                            cfg.dtype))(keys)
+                    x = step_fn(x, eps, k, sched, z)
+                    return x, (x.astype(jnp.float32) if capture else None)
+
+                x, traj = jax.lax.scan(full_body, x, jnp.arange(num_steps))
+                return x.astype(jnp.float32), traj
+        else:
+            every = int(capture)
+            saves = save_indices(num_steps, every)
+            # segment lengths between save points (first starts at step 0)
+            bounds = [-1] + saves
+            segments = [(bounds[i] + 1, bounds[i + 1] - bounds[i])
+                        for i in range(len(saves))]
+            # group the equal-length middle run into one scan-of-scans
+            def sample_fn(model_params, noise, keys):
+                x = noise.astype(cfg.dtype)
+                frames = []
+                i = 0
+                while i < len(segments):
+                    start, length = segments[i]
+                    # batch together consecutive segments of the same length
+                    j = i
+                    while j + 1 < len(segments) and segments[j + 1][1] == length:
+                        j += 1
+                    n_rep = j - i + 1
+                    if n_rep == 1:
+                        x = run_segment(model_params, x, keys, start, length)
+                        frames.append(x.astype(jnp.float32)[None])
+                    else:
+                        def outer(x, rep):
+                            x = run_segment(model_params, x, keys,
+                                            start + rep * length, length)
+                            return x, x.astype(jnp.float32)
+
+                        x, ys = jax.lax.scan(outer, x, jnp.arange(n_rep))
+                        frames.append(ys)
+                    i = j + 1
+                traj = jnp.concatenate(frames, axis=0)
+                return x.astype(jnp.float32), traj
 
         donate = (1,) if cfg.dtype == jnp.float32 else ()
         return jax.jit(sample_fn, donate_argnums=donate)
@@ -152,10 +204,13 @@ class DiffusionSampler:
 
     # -- public API ------------------------------------------------------------------
     def sample(self, model_params, seeds: Union[int, np.ndarray],
-               capture_trajectory: bool = False,
+               capture_trajectory: Union[bool, int] = False,
                initial_noise: Optional[jax.Array] = None) -> Dict[str, Any]:
         """Denoise from seed(s). Returns final images (B,H,W,C) float32 in
-        ~[-1,1], plus the full per-step trajectory when requested.
+        ~[-1,1], plus the trajectory when requested: `True` captures every
+        step ((S,B,H,W,C)); an int n captures only the frames at
+        `save_indices(steps, n)` with O(S/n) device memory, returning
+        `save_indices` alongside.
 
         `initial_noise` overrides the seed-derived noise (exact-parity mode
         for golden tests with externally generated noise).
@@ -167,7 +222,9 @@ class DiffusionSampler:
         noise_np = np.asarray(noise)
         hashes = [noise_hash(noise_np[i]) for i in range(batch)]
 
-        fn = self._get(batch, capture_trajectory)
+        capture_key = (capture_trajectory if isinstance(capture_trajectory, bool)
+                       else int(capture_trajectory))
+        fn = self._get(batch, capture_key)
         final, traj = fn(model_params, noise, keys)
         out: Dict[str, Any] = {
             "images": final,
@@ -175,8 +232,12 @@ class DiffusionSampler:
             "timesteps": self.timesteps.copy(),
             "seeds": seeds_arr.copy(),
         }
-        if capture_trajectory:
+        if capture_trajectory is True:
             out["trajectory"] = traj  # (S, B, H, W, C) float32, device
+        elif capture_trajectory:
+            out["trajectory"] = traj  # (n_saved, B, H, W, C)
+            out["save_indices"] = save_indices(self.config.num_inference_steps,
+                                               int(capture_trajectory))
         return out
 
     def sample_single(self, model_params, seed: int,

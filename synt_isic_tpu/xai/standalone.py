@@ -66,11 +66,20 @@ def run_standalone_xai(target_class: str = "MEL",
         return None
 
     sampler = mm.create_sampler(inference_steps)
-    out = sampler.sample(mm.loaded_params[target_class],
-                         np.asarray([seed], np.uint32), capture_trajectory=True)
-    full_traj = np.asarray(out["trajectory"][:, 0])          # (S, H, W, C)
-    idx = save_indices(inference_steps, save_every, out["timesteps"])
-    frames = full_traj[idx]
+    if 0 < save_every < inference_steps:
+        # windowed capture: only the saved frames ever exist on device
+        out = sampler.sample(mm.loaded_params[target_class],
+                             np.asarray([seed], np.uint32),
+                             capture_trajectory=save_every)
+        frames = np.asarray(out["trajectory"][:, 0])
+        idx = out["save_indices"]
+    else:
+        # absolute-t save mode needs the full trajectory to subsample
+        out = sampler.sample(mm.loaded_params[target_class],
+                             np.asarray([seed], np.uint32),
+                             capture_trajectory=True)
+        idx = save_indices(inference_steps, save_every, out["timesteps"])
+        frames = np.asarray(out["trajectory"][:, 0])[idx]
     frame_ts = [float(out["timesteps"][i]) for i in idx]
     log(f"[xai-standalone] trajectory: {len(frames)} frames saved "
         f"(t={['%.0f' % t for t in frame_ts]})")

@@ -1,0 +1,38 @@
+"""Windowed trajectory capture: frames must equal the full-capture ones at
+save_indices, with O(S/n) memory."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from synt_isic_tpu.diffusion import (DiffusionSampler, DiffusionSchedule,
+                                     SamplerConfig)
+from synt_isic_tpu.diffusion.sampler import save_indices
+from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig, init_unet_params
+
+TINY = UNet2DConfig(sample_size=16, layers_per_block=1,
+                    block_out_channels=(8, 16, 16), attention_head_dim=4,
+                    norm_num_groups=2,
+                    down_block_types=("DownBlock2D", "AttnDownBlock2D", "DownBlock2D"),
+                    up_block_types=("UpBlock2D", "AttnUpBlock2D", "UpBlock2D"))
+
+
+@pytest.mark.parametrize("steps,every", [(10, 3), (8, 2), (6, 5)])
+def test_windowed_matches_full(steps, every):
+    model = UNet2D(config=TINY)
+    params = init_unet_params(model, jax.random.PRNGKey(0))
+    apply_fn = lambda p, x, t: model.apply({"params": p}, x, t)
+    sampler = DiffusionSampler(apply_fn, DiffusionSchedule.create(),
+                               SamplerConfig(num_inference_steps=steps,
+                                             image_size=16))
+    full = sampler.sample(params, [3, 4], capture_trajectory=True)
+    win = sampler.sample(params, [3, 4], capture_trajectory=every)
+    idx = save_indices(steps, every)
+    assert win["save_indices"] == idx
+    assert win["trajectory"].shape[0] == len(idx)
+    np.testing.assert_allclose(np.asarray(win["trajectory"]),
+                               np.asarray(full["trajectory"])[idx],
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(win["images"]),
+                               np.asarray(full["images"]), rtol=1e-5, atol=1e-6)
