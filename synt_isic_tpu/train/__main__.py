@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import argparse
 import sys
+from pathlib import Path
 from typing import List
 
 from ..utils.config import CLASS_NAMES
@@ -53,7 +54,34 @@ def main(argv=None) -> int:
     p.add_argument("--no-bf16", action="store_true")
     p.add_argument("--resume", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--train-classifier", action="store_true",
+                   help="train the ResNet18 lesion classifier instead of DDPMs")
     args = p.parse_args(argv)
+
+    if args.train_classifier:
+        import numpy as np
+
+        from .data import MultiClassDataset
+        from .train_classifier import ClassifierTrainConfig, train_classifier
+
+        dataset = MultiClassDataset(args.data_dir, args.csv,
+                                    image_size=args.image_size,
+                                    max_samples_per_class=args.max_samples,
+                                    seed=args.seed)
+        if len(dataset) == 0:
+            print("no classifier training data found")
+            return 1
+        print(f"classifier training set: {len(dataset)} images")
+        rng = np.random.default_rng(args.seed)
+        cfg = ClassifierTrainConfig(batch_size=args.batch or 16,
+                                    learning_rate=args.lr, epochs=args.epochs,
+                                    bf16_compute=not args.no_bf16,
+                                    seed=args.seed)
+        result = train_classifier(
+            lambda epoch: dataset.batches(cfg.batch_size, rng),
+            cfg, checkpoint_path=str(Path(args.checkpoints) / "classifier.pth"))
+        print(f"classifier done: best_acc={result['best_acc']:.3f}")
+        return 0
 
     classes = args.classes or select_classes_interactive()
     if not classes:

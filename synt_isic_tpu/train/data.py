@@ -113,6 +113,62 @@ def augment_batch(images01: np.ndarray, rng: np.random.Generator,
     return np.stack([augment_image(img, rng, out_size) for img in images01])
 
 
+class MultiClassDataset:
+    """All-classes labeled dataset for classifier training: one-hot CSV ->
+    labels, per-class color enhancement, augmentation, then the classifier's
+    input space (224², ImageNet-normalized) on the fly."""
+
+    def __init__(self, image_dir: str, csv_path: str, image_size: int = 128,
+                 max_samples_per_class: int = 500, seed: int = 42):
+        import pandas as pd
+
+        self.image_dir = Path(image_dir)
+        self.image_size = image_size
+        df = pd.read_csv(csv_path)
+        class_cols = [c for c in df.columns if c != "image"]
+        df["label"] = df[class_cols].values.argmax(axis=1)
+        available = {f.split(".")[0] for f in os.listdir(image_dir)
+                     if f.endswith(".jpg")}
+        df = df[df["image"].isin(available)].reset_index(drop=True)
+        parts = []
+        for cid in sorted(df["label"].unique()):
+            cls = df[df["label"] == cid]
+            n = min(max_samples_per_class, len(cls))
+            parts.append(cls.sample(n=n, random_state=seed))
+        self.data = (pd.concat(parts).reset_index(drop=True) if parts
+                     else df.iloc[:0])
+
+    def __len__(self) -> int:
+        return len(self.data)
+
+    def batches(self, batch_size: int, rng: np.random.Generator,
+                classifier_size: int = 224):
+        """Yields (images, labels): images (B, classifier_size, ·, 3)
+        ImageNet-normalized float32; labels int64."""
+        from ..models.classifier import IMAGENET_MEAN, IMAGENET_STD
+
+        order = np.arange(len(self))
+        rng.shuffle(order)
+        for start in range(0, len(order) - batch_size + 1, batch_size):
+            idxs = order[start:start + batch_size]
+            imgs, labels = [], []
+            for i in idxs:
+                row = self.data.iloc[int(i)]
+                img = Image.open(self.image_dir / f"{row['image']}.jpg") \
+                    .convert("RGB").resize((self.image_size, self.image_size))
+                arr = np.asarray(img, dtype=np.float32) / 255.0
+                arr = enhance_color(arr, int(row["label"]))
+                arr = (augment_image(arr, rng, self.image_size) + 1.0) / 2.0
+                arr = np.asarray(Image.fromarray(
+                    (np.clip(arr, 0, 1) * 255).astype(np.uint8)).resize(
+                    (classifier_size, classifier_size), Image.BILINEAR),
+                    dtype=np.float32) / 255.0
+                arr = (arr - IMAGENET_MEAN) / IMAGENET_STD
+                imgs.append(arr)
+                labels.append(int(row["label"]))
+            yield np.stack(imgs), np.asarray(labels, np.int64)
+
+
 class SingleClassDataset:
     """Per-class ISIC subset with the reference's selection semantics."""
 
