@@ -26,16 +26,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    # blocks: (1, 1, T, D)
-    q = q_ref[0, 0].astype(jnp.float32)           # (T, D)
-    k = k_ref[0, 0].astype(jnp.float32)
-    v = v_ref[0, 0].astype(jnp.float32)
+    # blocks: (1, 1, T, D). Inputs stay in their storage dtype (bf16 on the
+    # sampling path) so both matmuls run at full MXU rate; accumulation and
+    # softmax are fp32 (parity with the model's upcast-softmax semantics).
+    q = q_ref[0, 0]                               # (T, D)
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale          # (T, T)
+        preferred_element_type=jnp.float32) * scale          # (T, T) f32
     logits = logits - jnp.max(logits, axis=-1, keepdims=True)
     exp = jnp.exp(logits)
-    probs = exp / jnp.sum(exp, axis=-1, keepdims=True)
+    probs = (exp / jnp.sum(exp, axis=-1, keepdims=True)).astype(v.dtype)
     out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
     o_ref[0, 0] = out.astype(o_ref.dtype)
 
