@@ -16,7 +16,7 @@ step counts beyond one compile per (S, shape).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

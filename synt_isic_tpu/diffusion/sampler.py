@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional, Tuple, Union
 
 import jax

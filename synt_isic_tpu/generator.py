@@ -43,7 +43,7 @@ import numpy as np
 
 from .io.color_stats import load_color_statistics, apply_color_postprocessing
 from .io.csv_io import append_synthetic_row, initialize_synthetic_csv
-from .io.images import save_image, tensor_to_pil, write_sidecar_metadata
+from .io.images import save_image, write_sidecar_metadata
 from .model_manager import ModelManager
 from .cache import CacheManager
 from .diffusion.sampler import to_uint8_images

@@ -15,7 +15,7 @@ the thousands-of-forwards XAI workloads.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax

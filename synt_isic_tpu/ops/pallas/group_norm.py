@@ -20,8 +20,6 @@ Mosaic implementation notes:
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

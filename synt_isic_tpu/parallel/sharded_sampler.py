@@ -14,11 +14,11 @@ mesh.
 """
 from __future__ import annotations
 
-from typing import Any, Callable, Dict, Optional, Union
+from typing import Any, Callable, Dict, Union
 
 import jax
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from ..diffusion.sampler import DiffusionSampler
 from .mesh import batch_sharding, replicated_sharding

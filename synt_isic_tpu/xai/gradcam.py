@@ -19,7 +19,7 @@ GradCAM math (Selvaraju et al. 2017, as implemented by pytorch_grad_cam):
 """
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

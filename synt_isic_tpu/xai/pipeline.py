@@ -31,7 +31,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..models.classifier import LesionClassifier
-from ..utils.config import CLASS_NAMES
 from .attribution import XAIAnalyzer, _stack_trajectory
 from .cfi import compute_causal_shift_comprehensive
 from .gradcam import compute_gradcam, overlay_cam_on_image

@@ -14,8 +14,7 @@ Produces the same artifact set as the reference's viz layer
 """
 from __future__ import annotations
 
-from pathlib import Path
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional, Sequence
 
 import matplotlib
 
