@@ -44,6 +44,8 @@ class SamplerConfig:
     channels: int = 3
     dtype: Any = jnp.float32          # compute dtype inside the scan
     clip_sample: bool = True
+    deterministic_posterior: bool = False  # skip the DDPM posterior noise
+                                           # (golden tests / mean-path mode)
 
     def __post_init__(self):
         if self.scheduler not in ("ddpm", "ddim"):
@@ -127,16 +129,20 @@ class DiffusionSampler:
         num_steps = cfg.num_inference_steps
         shape = (cfg.image_size, cfg.image_size, cfg.channels)
 
+        def posterior_noise(keys, k):
+            if cfg.deterministic_posterior:
+                return None
+            return jax.vmap(
+                lambda key: jax.random.normal(jax.random.fold_in(key, k + 1),
+                                              shape, cfg.dtype))(keys)
+
         def run_segment(model_params, x, keys, start, length: int):
             def seg_body(carry, k):
                 x = carry
                 t = sched.timesteps[k]
                 eps = apply_fn(model_params, x,
                                jnp.broadcast_to(t, (batch,))).astype(cfg.dtype)
-                z = jax.vmap(
-                    lambda key: jax.random.normal(jax.random.fold_in(key, k + 1),
-                                                  shape, cfg.dtype))(keys)
-                return step_fn(x, eps, k, sched, z), None
+                return step_fn(x, eps, k, sched, posterior_noise(keys, k)), None
 
             x, _ = jax.lax.scan(seg_body, x, start + jnp.arange(length))
             return x
@@ -149,11 +155,7 @@ class DiffusionSampler:
                     t = sched.timesteps[k]
                     eps = apply_fn(model_params, x,
                                    jnp.broadcast_to(t, (batch,))).astype(cfg.dtype)
-                    z = jax.vmap(
-                        lambda key: jax.random.normal(
-                            jax.random.fold_in(key, k + 1), shape,
-                            cfg.dtype))(keys)
-                    x = step_fn(x, eps, k, sched, z)
+                    x = step_fn(x, eps, k, sched, posterior_noise(keys, k))
                     return x, (x.astype(jnp.float32) if capture else None)
 
                 x, traj = jax.lax.scan(full_body, x, jnp.arange(num_steps))
