@@ -107,7 +107,8 @@ def main():
     record("frame_attribution_ig50_shap512", 3600.0 / per_frame,
            "attributions/hr", f"{per_frame*1000:.0f} ms/frame")
 
-    # Time-SHAP over a 50-frame trajectory
+    # Time-SHAP over a 50-frame trajectory (warmed: excludes compile)
+    ana.compute_time_shap(frames, list(range(50)), 0)
     t0 = time.time()
     imp, _ = ana.compute_time_shap(frames, list(range(50)), 0)
     dt = time.time() - t0
