@@ -113,6 +113,34 @@ def augment_batch(images01: np.ndarray, rng: np.random.Generator,
     return np.stack([augment_image(img, rng, out_size) for img in images01])
 
 
+def prefetch(iterator, depth: int = 2):
+    """Host-side pipeline: a background thread keeps `depth` batches ready
+    while the device consumes the current one (the reference's DataLoader
+    role, without torch). Exceptions propagate to the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    _END = object()
+
+    def worker():
+        try:
+            for item in iterator:
+                q.put(item)
+            q.put(_END)
+        except BaseException as exc:  # surfaced on the consumer side
+            q.put(exc)
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 class MultiClassDataset:
     """All-classes labeled dataset for classifier training: one-hot CSV ->
     labels, per-class color enhancement, augmentation, then the classifier's

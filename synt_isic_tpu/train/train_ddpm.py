@@ -155,10 +155,12 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
     best_loss = float("inf")
     history = []
 
+    from .data import prefetch
+
     for epoch in range(1, config.epochs + 1):
         t0 = time.time()
         losses = []
-        for batch in dataset.batches(config.batch_size, data_rng):
+        for batch in prefetch(dataset.batches(config.batch_size, data_rng)):
             key, sub = jax.random.split(key)
             state, loss = step_fn(state, jnp.asarray(batch), sub)
             losses.append(float(loss))

@@ -42,6 +42,7 @@ class IntegratedXAIAnalyzer:
                  intervention_types=("blur",),
                  with_gradcam: bool = True,
                  with_sanity: bool = True,
+                 save_figures: bool = True,
                  n_bootstrap: int = 1000,
                  n_permutations: int = 10000,
                  seed: int = 0):
@@ -62,6 +63,7 @@ class IntegratedXAIAnalyzer:
         self.intervention_types = list(intervention_types)
         self.with_gradcam = with_gradcam
         self.with_sanity = with_sanity
+        self.save_figures = save_figures
         self.n_bootstrap = n_bootstrap
         self.n_permutations = n_permutations
         self.verbose = verbose
@@ -89,7 +91,8 @@ class IntegratedXAIAnalyzer:
             trajectory=frames, timesteps=timesteps,
             xai_analyzer=self.xai_analyzer, classifier=self.classifier,
             target_class_id=target_class_id, target_class_name=class_name,
-            save_results=True, results_dir=out_dir,
+            save_results=True, save_figures=self.save_figures,
+            results_dir=out_dir,
             intervention_types=self.intervention_types,
             with_gradcam=self.with_gradcam, with_sanity=self.with_sanity,
             n_bootstrap=self.n_bootstrap, n_permutations=self.n_permutations,

@@ -65,6 +65,7 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
                                    target_class_id: int,
                                    target_class_name: str,
                                    save_results: bool = True,
+                                   save_figures: bool = True,
                                    results_dir: Optional[str] = None,
                                    intervention_types: Sequence[str] = ("blur",),
                                    top_k_percent: float = 10,
@@ -144,7 +145,7 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
                 "image_shape": tuple(frame.shape),
             }
             region_data[step_key] = {"top_k": top_k, "bottom_k": bottom_k}
-            if save_results:
+            if save_results and save_figures:
                 for suffix, attr in (("", combined), ("_IG", ig_attr), ("_SHAP", shap_attr)):
                     p = results_dir / f"xai_step_{step_key}{suffix}.png"
                     title = target_class_name + {"": "", "_IG": " (IG)",
@@ -192,7 +193,7 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
                     log(f"[xai] intervention {region_type}/{itype} failed: {exc}")
         interventions_data[step_key] = step_interventions
         cfi_data[step_key] = step_cfi
-        if save_results:
+        if save_results and save_figures:
             p = results_dir / f"interventions_{step_key}.png"
             viz.visualize_intervention_comprehensive(
                 frame, {r: region_data[step_key][r]["mask"] for r in
@@ -213,7 +214,7 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
             "most_important_timestep": timesteps[int(np.argmax(importance))],
             "most_important_index": int(np.argmax(importance)),
         }
-        if save_results:
+        if save_results and save_figures:
             p = results_dir / "time_shap_analysis.png"
             viz.plot_time_shap_comprehensive(timesteps, importance, raw,
                                              target_class_name, save_path=str(p))
@@ -231,7 +232,7 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
             for i in range(n_frames):
                 step_key = f"t_{timesteps[i]:.0f}"
                 gradcam_results[step_key] = cams[i]
-                if save_results:
+                if save_results and save_figures:
                     import jax
                     from PIL import Image
                     rgb = viz.tensor_to_displayable_image(frames[i])
@@ -250,7 +251,7 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
                     "index": int(imp_idx),
                     "gradcam": cams[imp_idx],
                 }
-                if save_results:
+                if save_results and save_figures:
                     import jax
                     from PIL import Image
                     rgb = viz.tensor_to_displayable_image(frames[imp_idx])
@@ -263,7 +264,7 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
             mean_cam = cams.mean(axis=0)
             mean_cam = (mean_cam - mean_cam.min()) / (mean_cam.max() - mean_cam.min() + 1e-8)
             results["gradcam_summary"] = mean_cam
-            if save_results:
+            if save_results and save_figures:
                 import jax
                 from PIL import Image
                 import matplotlib.pyplot as plt
@@ -307,7 +308,7 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
                 top_shifts, bottom_shifts, alpha=alpha_level,
                 n_bootstrap=n_bootstrap, n_permutations=n_permutations)
             results["statistical_validation"] = stats_results
-            if save_results:
+            if save_results and save_figures:
                 p = results_dir / "statistical_analysis.png"
                 viz.plot_statistical_analysis_modern(stats_results, target_class_name,
                                                      top_shifts, bottom_shifts,
