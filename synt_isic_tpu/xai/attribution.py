@@ -110,6 +110,36 @@ class XAIAnalyzer:
         fn = self._get_jitted("shap", n, int(target_class), image.shape, p)
         return fn(self.classifier.params, image, self._next_key())
 
+    # -- whole-trajectory batched attribution -------------------------------------------------
+    def compute_ig_frames(self, frames, target_class: int,
+                          n_steps: Optional[int] = None,
+                          baseline_type: str = "noise") -> jnp.ndarray:
+        """IG for EVERY trajectory frame in fused device batches: the
+        (frames x alpha-grid) work is flattened and chunked through one
+        jitted grad kernel instead of per-frame calls. Frames: (S,H,W,C).
+        The baseline is shared across frames (reference semantics: cached
+        per shape, `XAI.py:1021-1037`)."""
+        frames = _stack_trajectory(frames)
+        s = frames.shape[0]
+        n = int(n_steps or self.ig_n_steps)
+        baseline = self._get_baseline(frames[:1], baseline_type)[0]
+        fn = self._get_jitted("ig_frames", n, int(target_class),
+                              (s,) + tuple(frames.shape[1:]))
+        return fn(self.classifier.params, frames, baseline)
+
+    def compute_shap_frames(self, frames, target_class: int,
+                            n_samples: Optional[int] = None,
+                            patch_size: Optional[int] = None) -> jnp.ndarray:
+        """Patch-SHAP for every frame, all mask evaluations fused into
+        chunked device batches. Frames: (S,H,W,C) -> (S,H,W,C)."""
+        frames = _stack_trajectory(frames)
+        s = frames.shape[0]
+        n = int(n_samples or self.shap_n_samples)
+        p = int(patch_size or self.shap_patch_size)
+        fn = self._get_jitted("shap_frames", n, int(target_class),
+                              (s,) + tuple(frames.shape[1:]), p)
+        return fn(self.classifier.params, frames, self._next_key())
+
     # -- Time-SHAP ---------------------------------------------------------------------------
     def compute_time_shap(self, trajectory: Union[jnp.ndarray, Sequence[jnp.ndarray]],
                           timesteps: Sequence[float], target_class: int
@@ -227,6 +257,10 @@ class XAIAnalyzer:
             fn = self._build_ig(*sig)
         elif kind == "shap":
             fn = self._build_shap(*sig)
+        elif kind == "ig_frames":
+            fn = self._build_ig_frames(*sig)
+        elif kind == "shap_frames":
+            fn = self._build_shap_frames(*sig)
         else:
             raise KeyError(kind)
         self._jit_cache[key] = fn
@@ -256,6 +290,70 @@ class XAIAnalyzer:
             return ((x0 - b0) * avg_grad)[None]
 
         return jax.jit(ig)
+
+    def _build_ig_frames(self, n_steps: int, target_class: int, shape):
+        clf = self.classifier
+        s = shape[0]
+        total = s * n_steps
+        chunk = max(1, min(total, self.batch_size))
+        if total % chunk != 0:
+            # largest divisor of total not exceeding batch_size
+            chunk = next(c for c in range(min(total, self.batch_size), 0, -1)
+                         if total % c == 0)
+
+        def grad_point(params, x):
+            def score(xi):
+                probs = jax.nn.softmax(clf._logits_impl(params, xi[None]), axis=-1)
+                return jnp.log(probs[0, target_class] + SCORE_EPS)
+            return jax.grad(score)(x)
+
+        def ig(params, frames, baseline):
+            alphas = jnp.arange(1, n_steps + 1, dtype=jnp.float32) / n_steps
+            diffs = frames - baseline[None]                       # (S, ...)
+            points = (baseline[None, None]
+                      + alphas[None, :, None, None, None] * diffs[:, None])
+            flat = points.reshape(total, *frames.shape[1:])
+            grads = jax.lax.map(
+                lambda xs: jax.vmap(lambda x: grad_point(params, x))(xs),
+                flat.reshape(total // chunk, chunk, *frames.shape[1:]))
+            avg = jnp.mean(grads.reshape(s, n_steps, *frames.shape[1:]), axis=1)
+            return diffs * avg
+
+        return jax.jit(ig)
+
+    def _build_shap_frames(self, n_samples: int, target_class: int, shape,
+                           patch_size: int):
+        clf = self.classifier
+        s, H, W, C = shape
+        ph, pw = H // patch_size, W // patch_size
+        total = s * n_samples
+        chunk = max(1, min(total, self.batch_size))
+        if total % chunk != 0:
+            chunk = next(c for c in range(min(total, self.batch_size), 0, -1)
+                         if total % c == 0)
+
+        def shap(params, frames, key):
+            patch_masks = jax.random.bernoulli(key, 0.5, (s, n_samples, ph, pw))
+            masks = jnp.repeat(jnp.repeat(patch_masks, patch_size, axis=2),
+                               patch_size, axis=3).astype(frames.dtype)
+            masked = frames[:, None] * masks[:, :, :, :, None]     # (S, n, H, W, C)
+            flat = masked.reshape(total, H, W, C)
+
+            def score_batch(xs):
+                probs = jax.nn.softmax(clf._logits_impl(params, xs), axis=-1)
+                return jnp.log(probs[:, target_class] + SCORE_EPS)
+
+            scores = jax.lax.map(score_batch,
+                                 flat.reshape(total // chunk, chunk, H, W, C)
+                                 ).reshape(s, n_samples)
+            base_probs = jax.nn.softmax(
+                clf._logits_impl(params, jnp.zeros_like(frames[:1])), axis=-1)
+            base = jnp.log(base_probs[0, target_class] + SCORE_EPS)
+            contrib = scores - base                                # (S, n)
+            attr2d = jnp.einsum("sn,snhw->shw", contrib, masks) / n_samples
+            return jnp.broadcast_to(attr2d[:, :, :, None], frames.shape)
+
+        return jax.jit(shap)
 
     def _build_shap(self, n_samples: int, target_class: int, shape, patch_size: int):
         clf = self.classifier
@@ -288,6 +386,10 @@ class XAIAnalyzer:
             return jnp.broadcast_to(attr2d[None, :, :, None], image.shape)
 
         return jax.jit(shap)
+
+
+def _chunk_count(total: int, chunk: int) -> int:
+    return total // chunk
 
 
 def _stack_trajectory(trajectory) -> jnp.ndarray:
