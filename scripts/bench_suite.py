@@ -107,6 +107,19 @@ def main():
     record("frame_attribution_ig50_shap512", 3600.0 / per_frame,
            "attributions/hr", f"{per_frame*1000:.0f} ms/frame")
 
+    # whole-trajectory batched attribution (pipeline stage 1 for 50 frames)
+    traj = frames  # (50, 128, 128, 3)
+    ig_all = ana.compute_ig_frames(traj, 0)
+    shap_all = ana.compute_shap_frames(traj, 0)
+    jax.block_until_ready((ig_all, shap_all))
+    t0 = time.time()
+    ig_all = ana.compute_ig_frames(traj, 0)
+    shap_all = ana.compute_shap_frames(traj, 0)
+    jax.block_until_ready((ig_all, shap_all))
+    dt = time.time() - t0
+    record("trajectory_attribution_50frames", 50 / dt, "frames/s",
+           f"IG50+SHAP512 for all frames in {dt:.1f}s")
+
     # Time-SHAP over a 50-frame trajectory (warmed: excludes compile)
     ana.compute_time_shap(frames, list(range(50)), 0)
     t0 = time.time()
