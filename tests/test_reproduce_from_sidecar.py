@@ -1,0 +1,49 @@
+"""The sidecar JSON must suffice to regenerate the EXACT image: seed +
+steps + scheduler config -> identical PNG bytes and noise hash (the
+reproducibility contract of `image_generator.py:456-477`)."""
+import json
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from synt_isic_tpu.generator import ImageGenerator
+from synt_isic_tpu.models.unet2d import UNet2DConfig
+from tests.torch_oracle.unet2d_torch import UNet2DTorch, tiny_config
+
+TINY = tiny_config()
+TINY_JAX = UNet2DConfig(
+    sample_size=TINY["sample_size"], layers_per_block=TINY["layers_per_block"],
+    block_out_channels=TINY["block_out_channels"],
+    down_block_types=TINY["down_block_types"],
+    up_block_types=TINY["up_block_types"],
+    attention_head_dim=TINY["attention_head_dim"],
+    norm_num_groups=TINY["norm_num_groups"])
+
+
+def test_regenerate_from_sidecar(tmp_path):
+    ckpt = tmp_path / "checkpoints"
+    ckpt.mkdir()
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen.set_inference_steps(4)
+    gen.set_generation_seed(None)  # random mode — the seed is *recorded*
+    out = gen.generate_images([("NV", 1)], str(tmp_path / "run"),
+                              postprocess=False)
+    assert out["generated"] == 1
+
+    img_path = tmp_path / "run" / "NV" / "ISIC_0000001.png"
+    meta = json.loads(img_path.with_suffix(".json").read_text())
+
+    # regenerate purely from the sidecar fields
+    gen2 = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen2.set_inference_steps(meta["inference_steps"])
+    ok, _ = gen2.generate_single_image("NV", str(tmp_path / "redo.png"),
+                                       postprocess=False, seed=meta["seed"])
+    assert ok
+    assert (tmp_path / "redo.png").read_bytes() == img_path.read_bytes()
+    redo_meta = json.loads((tmp_path / "redo.json").read_text())
+    assert redo_meta["noise_hash"] == meta["noise_hash"]
