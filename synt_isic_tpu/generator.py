@@ -298,7 +298,11 @@ class ImageGenerator:
                         })
                         generated += 1
                         class_image_count += 1
-                        self._progress(generated, total_images,
+                        # progress in denoise-step units (reference scale:
+                        # total_images x inference_steps,
+                        # image_generator.py:422-438)
+                        self._progress(generated * self.inference_steps,
+                                       total_images * self.inference_steps,
                                        f"generated {generated}/{total_images}")
 
                         if (self.xai_analyzer is not None and need_traj
