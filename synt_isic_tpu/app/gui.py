@@ -213,8 +213,14 @@ if PYQT_AVAILABLE:
             self.stop_btn = QPushButton("Stop")
             self.stop_btn.clicked.connect(self.stop_generation)
             self.stop_btn.setEnabled(False)
+            self.xai_btn = QPushButton("Standalone XAI")
+            self.xai_btn.setToolTip("re-denoise the first checked class from "
+                                    "the fixed seed in a subprocess and run "
+                                    "the full analysis")
+            self.xai_btn.clicked.connect(self.run_standalone_xai)
             btns.addWidget(self.start_btn)
             btns.addWidget(self.stop_btn)
+            btns.addWidget(self.xai_btn)
             cv.addWidget(self.preview, 1)
             cv.addWidget(self.progress)
             cv.addWidget(self.status_label)
@@ -341,6 +347,23 @@ if PYQT_AVAILABLE:
 
         def stop_generation(self):
             self.generator.stop_generation()
+            if getattr(self, "_xai_worker", None) and self._xai_worker.isRunning():
+                self._xai_worker.stop()
+
+        def run_standalone_xai(self):
+            """Launch the env-var-protocol XAI subprocess for the first
+            checked class (reference XAI-queue path, `main.py:1552-1576`)."""
+            checked = [cls for cls, (cb, _) in self.class_rows.items()
+                       if cb.isChecked()]
+            if not checked:
+                self._append_log("select a class for standalone XAI", "warning")
+                return
+            self._xai_worker = XAIWorker(
+                checked[0], self.seed_spin.value(), self.steps_spin.value())
+            self._xai_worker.log.connect(self._append_log)
+            self._xai_worker.finished_ok.connect(
+                lambda code: self._append_log(f"standalone XAI exited ({code})"))
+            self._xai_worker.start()
 
         def _on_progress(self, done: int, total: int, msg: str):
             self.progress.setMaximum(total)

@@ -170,6 +170,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    from .utils.compute import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     gen = ConsoleGenerator(base_dir=args.base_dir, checkpoints_dir=args.checkpoints,
                            inference_steps=args.steps, batch_size=args.batch,

@@ -58,6 +58,10 @@ def main(argv=None) -> int:
                    help="train the ResNet18 lesion classifier instead of DDPMs")
     args = p.parse_args(argv)
 
+    from ..utils.compute import enable_compilation_cache
+
+    enable_compilation_cache()
+
     if args.train_classifier:
         import numpy as np
 

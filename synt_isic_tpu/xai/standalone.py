@@ -104,6 +104,9 @@ def main() -> int:
     """Env-var driven entry point (the subprocess protocol)."""
     import os
 
+    from ..utils.compute import enable_compilation_cache
+
+    enable_compilation_cache()
     target = os.environ.get("XAI_TARGET_CLASS", "MEL")
     seed = int(os.environ.get("XAI_GENERATION_SEED", "42"))
     steps = int(os.environ.get("XAI_INFERENCE_STEPS", "50"))
