@@ -174,6 +174,7 @@ class AttentionBlock(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.float32
     use_fused: bool = False
+    fused_heads_per_program: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -194,7 +195,9 @@ class AttentionBlock(nn.Module):
         if self.use_fused:
             from ..ops.pallas.attention import fused_attention
 
-            out = fused_attention(q, k, v).astype(self.dtype)
+            out = fused_attention(q, k, v,
+                                  heads_per_program=self.fused_heads_per_program
+                                  ).astype(self.dtype)
         else:
             scale = 1.0 / math.sqrt(self.head_dim)
             logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,

@@ -25,43 +25,50 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float):
-    # blocks: (1, 1, T, D). Inputs stay in their storage dtype (bf16 on the
+def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
+                      heads_per_program: int = 1):
+    # blocks: (1, G, T, D). Inputs stay in their storage dtype (bf16 on the
     # sampling path) so both matmuls run at full MXU rate; accumulation and
     # softmax are fp32 (parity with the model's upcast-softmax semantics).
-    q = q_ref[0, 0]                               # (T, D)
-    k = k_ref[0, 0]
-    v = v_ref[0, 0]
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale          # (T, T) f32
-    logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-    exp = jnp.exp(logits)
-    probs = (exp / jnp.sum(exp, axis=-1, keepdims=True)).astype(v.dtype)
-    out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
-    o_ref[0, 0] = out.astype(o_ref.dtype)
+    # G > 1 amortizes grid/DMA overhead over several heads (static unroll).
+    for h in range(heads_per_program):
+        q = q_ref[0, h]                           # (T, D)
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # (T, T) f32
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        exp = jnp.exp(logits)
+        probs = (exp / jnp.sum(exp, axis=-1, keepdims=True)).astype(v.dtype)
+        out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+        o_ref[0, h] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "heads_per_program"))
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-                    interpret: bool = False) -> jnp.ndarray:
+                    interpret: bool = False,
+                    heads_per_program: int = 1) -> jnp.ndarray:
     """softmax(q k^T / sqrt(D)) v, fused in VMEM.
 
     q, k, v: (B, H, T, D). Returns (B, H, T, D) in q's dtype.
+    `heads_per_program` groups G heads per grid program (must divide H).
     """
     b, h, t, d = q.shape
+    g = heads_per_program if h % heads_per_program == 0 else 1
     scale = 1.0 / math.sqrt(d)
-    kernel = functools.partial(_attention_kernel, scale=scale)
-    block = pl.BlockSpec((1, 1, t, d), lambda i, j: (i, j, 0, 0),
+    kernel = functools.partial(_attention_kernel, scale=scale,
+                               heads_per_program=g)
+    block = pl.BlockSpec((1, g, t, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
         kernel,
-        grid=(b, h),
+        grid=(b, h // g),
         in_specs=[block, block, block],
         out_specs=block,
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(1.2 * (4 * t * t + 4 * 3 * t * max(d, 128))
+            vmem_limit_bytes=int(1.2 * (4 * t * t + 4 * 3 * g * t * max(d, 128))
                                  + (1 << 20))),
         cost_estimate=pl.CostEstimate(
             flops=2 * 2 * b * h * t * t * d,
