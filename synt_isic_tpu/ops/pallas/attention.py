@@ -26,11 +26,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
-                      heads_per_program: int = 1):
+                      heads_per_program: int = 1, fast_math: bool = False):
     # blocks: (1, G, T, D). Inputs stay in their storage dtype (bf16 on the
     # sampling path) so both matmuls run at full MXU rate; accumulation and
     # softmax are fp32 (parity with the model's upcast-softmax semantics).
     # G > 1 amortizes grid/DMA overhead over several heads (static unroll).
+    # fast_math: exponentials in bf16 and the 1/sum normalization folded
+    # into the PV result (bf16-level output deviation; opt-in).
     for h in range(heads_per_program):
         q = q_ref[0, h]                           # (T, D)
         k = k_ref[0, h]
@@ -39,26 +41,37 @@ def _attention_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float,
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale      # (T, T) f32
         logits = logits - jnp.max(logits, axis=-1, keepdims=True)
-        exp = jnp.exp(logits)
-        probs = (exp / jnp.sum(exp, axis=-1, keepdims=True)).astype(v.dtype)
-        out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
+        if fast_math:
+            exp = jnp.exp(logits.astype(jnp.bfloat16))
+            denom = jnp.sum(exp.astype(jnp.float32), axis=-1, keepdims=True)
+            pv = jnp.dot(exp.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+            out = pv / denom
+        else:
+            exp = jnp.exp(logits)
+            probs = (exp / jnp.sum(exp, axis=-1, keepdims=True)).astype(v.dtype)
+            out = jnp.dot(probs, v, preferred_element_type=jnp.float32)
         o_ref[0, h] = out.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "heads_per_program"))
+@functools.partial(jax.jit, static_argnames=("interpret", "heads_per_program",
+                                             "fast_math"))
 def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     interpret: bool = False,
-                    heads_per_program: int = 1) -> jnp.ndarray:
+                    heads_per_program: int = 1,
+                    fast_math: bool = False) -> jnp.ndarray:
     """softmax(q k^T / sqrt(D)) v, fused in VMEM.
 
     q, k, v: (B, H, T, D). Returns (B, H, T, D) in q's dtype.
     `heads_per_program` groups G heads per grid program (must divide H).
+    `fast_math` runs the exponentials in bf16 (opt-in, bf16-level output
+    deviation).
     """
     b, h, t, d = q.shape
     g = heads_per_program if h % heads_per_program == 0 else 1
     scale = 1.0 / math.sqrt(d)
     kernel = functools.partial(_attention_kernel, scale=scale,
-                               heads_per_program=g)
+                               heads_per_program=g, fast_math=fast_math)
     block = pl.BlockSpec((1, g, t, d), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM)
     return pl.pallas_call(
