@@ -103,7 +103,13 @@ class ModelManager:
                 if flat is not None:
                     tree = _unflatten(flat)
             if tree is None:
-                tree = torch_to_flax(load_pth(str(path)))
+                state = load_pth(str(path))
+                # tolerate full training checkpoints that wrap the weights
+                # (the classifier loader does the same, `XAI.py:508-513`)
+                if "model_state_dict" in state and isinstance(
+                        state["model_state_dict"], dict):
+                    state = state["model_state_dict"]
+                tree = torch_to_flax(state)
                 if self.cache is not None:
                     self.cache.cache_model(class_name, str(path))
                     self.cache.cache_converted(class_name, str(path), _flatten(tree))

@@ -182,3 +182,16 @@ def test_model_manager_info_and_cache(ckpt_dir, tmp_path):
     assert mm2.load_model("NV")
     assert cache.get_cache_stats()["cached_models"] == 1
     assert mm.unload_all_models()
+
+
+def test_model_manager_unwraps_training_checkpoint(ckpt_dir, tmp_path):
+    """Full training checkpoints ({'model_state_dict': ...}) load too."""
+    torch.manual_seed(3)
+    model = UNet2DTorch(**TINY)
+    wrapped = {"model_state_dict": model.state_dict(), "epoch": 9}
+    ckpt2 = tmp_path / "ckpt2"
+    ckpt2.mkdir()
+    torch.save(wrapped, ckpt2 / "unet_DF_best.pth")
+    mm = ModelManager(checkpoints_dir=str(ckpt2), model_config=TINY_JAX)
+    assert mm.load_model("DF")
+    assert mm.validate_model("DF")
