@@ -388,10 +388,6 @@ class XAIAnalyzer:
         return jax.jit(shap)
 
 
-def _chunk_count(total: int, chunk: int) -> int:
-    return total // chunk
-
-
 def _stack_trajectory(trajectory) -> jnp.ndarray:
     """list of (H,W,C)/(1,H,W,C) frames or an (S,[1,]H,W,C) array -> (S,H,W,C)."""
     if isinstance(trajectory, (list, tuple)):
