@@ -182,6 +182,11 @@ class XAIAnalyzer:
         of that frame (v(∅) = score of the baseline frame). Marginal
         contributions are averaged over sampled permutations. Efficiency
         axiom holds by construction: Σφ = v(full) − v(∅).
+
+        Frames are scored in one batched device pass; the permutation
+        estimator itself runs on device, vmapped across permutations
+        (sample P permutations → cummax over draw order → segment-sum the
+        marginals), so n_permutations ≥ 512 is one fused XLA launch.
         """
         frames = _stack_trajectory(trajectory)
         S = frames.shape[0]
@@ -193,24 +198,13 @@ class XAIAnalyzer:
         frame_scores = np.concatenate(scores)  # v of "latest revealed = i"
         v_empty = frame_scores[0] if baseline == "first" else 0.0
 
-        # permutation sampling entirely in numpy over the precomputed scores
-        # (v(S) depends only on max frame index in S, so marginals reduce to
-        # running-max bookkeeping — no extra classifier calls needed)
-        rng = np.random.default_rng(int(jax.random.randint(self._next_key(), (), 0, 2**31 - 1)))
-        phi = np.zeros(S)
-        for _ in range(n_permutations):
-            perm = rng.permutation(S)
-            current = v_empty
-            running_max = -1
-            for idx in perm:
-                if idx > running_max:
-                    new_v = frame_scores[idx]
-                    running_max = idx
-                else:
-                    new_v = current
-                phi[idx] += new_v - current
-                current = new_v
-        phi /= n_permutations
+        # Permutation sampling fully on device, vmapped across permutations:
+        # v(S) depends only on the max frame index in S, so each permutation's
+        # marginals reduce to a cummax over the drawn order — no extra
+        # classifier calls, one fused XLA launch for all permutations.
+        fn = self._get_jitted("time_shap_coalitional", S, int(n_permutations))
+        phi = np.asarray(fn(jnp.asarray(frame_scores, jnp.float32),
+                            jnp.float32(v_empty), self._next_key()))
         return {
             "shapley_values": phi,
             "efficiency_gap": float(phi.sum() - (frame_scores[-1] - v_empty)),
@@ -261,6 +255,8 @@ class XAIAnalyzer:
             fn = self._build_ig_frames(*sig)
         elif kind == "shap_frames":
             fn = self._build_shap_frames(*sig)
+        elif kind == "time_shap_coalitional":
+            fn = self._build_time_shap_coalitional(*sig)
         else:
             raise KeyError(kind)
         self._jit_cache[key] = fn
@@ -354,6 +350,23 @@ class XAIAnalyzer:
             return jnp.broadcast_to(attr2d[:, :, :, None], frames.shape)
 
         return jax.jit(shap)
+
+    def _build_time_shap_coalitional(self, n_frames: int, n_permutations: int):
+        def run(frame_scores, v_empty, key):
+            keys = jax.random.split(key, n_permutations)
+            perms = jax.vmap(
+                lambda k: jax.random.permutation(k, n_frames))(keys)   # (P, S)
+            running_max = jax.lax.cummax(perms, axis=1)
+            vals = frame_scores[running_max]                           # v after each draw
+            prev = jnp.concatenate(
+                [jnp.full((n_permutations, 1), v_empty, vals.dtype), vals[:, :-1]],
+                axis=1)
+            deltas = vals - prev  # marginal credited to the drawn frame
+            phi = jax.ops.segment_sum(deltas.reshape(-1), perms.reshape(-1),
+                                      num_segments=n_frames)
+            return phi / n_permutations
+
+        return jax.jit(run)
 
     def _build_shap(self, n_samples: int, target_class: int, shape, patch_size: int):
         clf = self.classifier

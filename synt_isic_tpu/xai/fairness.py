@@ -34,13 +34,17 @@ class FairnessAuditor:
         self.batch_size = batch_size
         self.mesh = mesh
         self.class_names = list(class_names or CLASS_NAMES)
+        # Jit the scorer ONCE — re-wrapping per probabilities() call would
+        # retrace on every invocation and defeat caching on exactly the
+        # large-corpus workload this module exists for.
+        self._prob_fn = jax.jit(lambda x: jax.nn.softmax(
+            self.classifier._logits_impl(self.classifier.params, x), axis=-1))
 
     # -- scoring ---------------------------------------------------------------
     def probabilities(self, images: np.ndarray) -> np.ndarray:
         """(N,H,W,3) in [-1,1] -> (N, num_classes) softmax probabilities,
         computed in device batches (sharded over the mesh when provided)."""
-        fn = jax.jit(lambda x: jax.nn.softmax(
-            self.classifier._logits_impl(self.classifier.params, x), axis=-1))
+        fn = self._prob_fn
         outs = []
         for start in range(0, len(images), self.batch_size):
             chunk = np.asarray(images[start:start + self.batch_size])
