@@ -162,7 +162,10 @@ class DiffusionSampler:
                 return x.astype(jnp.float32), traj
         else:
             every = int(capture)
-            saves = save_indices(num_steps, every)
+            # timesteps enable the absolute-t mode (save_every >= steps):
+            # frames nearest each multiple of save_every in train-t units,
+            # still compiled as segmented scans with O(saved) device memory
+            saves = save_indices(num_steps, every, self.timesteps)
             # segment lengths between save points (first starts at step 0)
             bounds = [-1] + saves
             segments = [(bounds[i] + 1, bounds[i + 1] - bounds[i])
@@ -238,7 +241,8 @@ class DiffusionSampler:
         elif capture_trajectory:
             out["trajectory"] = traj  # (n_saved, B, H, W, C)
             out["save_indices"] = save_indices(self.config.num_inference_steps,
-                                               int(capture_trajectory))
+                                               int(capture_trajectory),
+                                               self.timesteps)
         return out
 
     def sample_single(self, model_params, seed: int,

@@ -25,7 +25,6 @@ from ..models.classifier import LesionClassifier
 from ..utils.config import CLASS_NAMES, NUM_CLASSES
 from .attribution import XAIAnalyzer
 from .pipeline import run_comprehensive_xai_pipeline
-from ..diffusion.sampler import save_indices
 
 
 def run_standalone_xai(target_class: str = "MEL",
@@ -66,20 +65,22 @@ def run_standalone_xai(target_class: str = "MEL",
         return None
 
     sampler = mm.create_sampler(inference_steps)
-    if 0 < save_every < inference_steps:
-        # windowed capture: only the saved frames ever exist on device
+    if save_every > 0:
+        # windowed capture: only the saved frames ever exist on device.
+        # Covers BOTH modes of reference `XAI.py:750-779` — every-N when
+        # save_every < steps, absolute-t when save_every >= steps (the
+        # sampler derives the schedule from its timesteps table).
         out = sampler.sample(mm.loaded_params[target_class],
                              np.asarray([seed], np.uint32),
                              capture_trajectory=save_every)
         frames = np.asarray(out["trajectory"][:, 0])
         idx = out["save_indices"]
     else:
-        # absolute-t save mode needs the full trajectory to subsample
         out = sampler.sample(mm.loaded_params[target_class],
                              np.asarray([seed], np.uint32),
                              capture_trajectory=True)
-        idx = save_indices(inference_steps, save_every, out["timesteps"])
-        frames = np.asarray(out["trajectory"][:, 0])[idx]
+        idx = list(range(inference_steps))
+        frames = np.asarray(out["trajectory"][:, 0])
     frame_ts = [float(out["timesteps"][i]) for i in idx]
     log(f"[xai-standalone] trajectory: {len(frames)} frames saved "
         f"(t={['%.0f' % t for t in frame_ts]})")

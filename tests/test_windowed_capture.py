@@ -28,7 +28,7 @@ def test_windowed_matches_full(steps, every):
                                              image_size=16))
     full = sampler.sample(params, [3, 4], capture_trajectory=True)
     win = sampler.sample(params, [3, 4], capture_trajectory=every)
-    idx = save_indices(steps, every)
+    idx = save_indices(steps, every, sampler.timesteps)
     assert win["save_indices"] == idx
     assert win["trajectory"].shape[0] == len(idx)
     np.testing.assert_allclose(np.asarray(win["trajectory"]),
@@ -36,3 +36,33 @@ def test_windowed_matches_full(steps, every):
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(win["images"]),
                                np.asarray(full["images"]), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("steps,every", [(10, 300), (12, 250), (6, 999)])
+def test_absolute_t_windowed_matches_full(steps, every):
+    """save_every >= steps triggers the absolute-t save mode (reference
+    `XAI.py:756-779`): frames whose train-timestep is nearest each multiple
+    of save_every, plus t=0 and t_max — captured with the SAME segmented
+    scan, O(saved) device memory (no fall back to full capture)."""
+    model = UNet2D(config=TINY)
+    params = init_unet_params(model, jax.random.PRNGKey(0))
+    apply_fn = lambda p, x, t: model.apply({"params": p}, x, t)
+    sampler = DiffusionSampler(apply_fn, DiffusionSchedule.create(),
+                               SamplerConfig(num_inference_steps=steps,
+                                             image_size=16))
+    full = sampler.sample(params, [7], capture_trajectory=True)
+    win = sampler.sample(params, [7], capture_trajectory=every)
+    idx = save_indices(steps, every, sampler.timesteps)
+    assert win["save_indices"] == idx
+    assert len(idx) < steps  # genuinely windowed, not full capture
+    # the schedule covers t=0, t_max and each multiple of `every` in range
+    ts = sampler.timesteps
+    saved_ts = {int(ts[i]) for i in idx}
+    desired = {0, int(ts.max())} | {
+        k for k in range(0, 1001, every) if k <= int(ts.max())}
+    for dt in desired:
+        assert min(abs(st - dt) for st in saved_ts) <= \
+            max(1, int(np.diff(np.sort(ts)).max()))
+    np.testing.assert_allclose(np.asarray(win["trajectory"]),
+                               np.asarray(full["trajectory"])[idx],
+                               rtol=1e-5, atol=1e-6)
