@@ -6,6 +6,26 @@ Semantics match diffusers' `DDPMScheduler.step` with the reference config
 denoise step on host (`core/generator/image_generator.py:403`,
 `xai/XAI.py:808-810`).
 
+AUDIT vs diffusers >=0.21 `schedulers/scheduling_ddpm.py` (2026-08-16):
+  * set_timesteps: step_ratio = T // S; timesteps =
+    (arange(S) * step_ratio).round()[::-1].astype(int64) — transcribed
+    exactly in `schedules.leading_timesteps` (incl. the // floor + .round()
+    pair that matters when S doesn't divide T).
+  * previous_timestep(t) = t - T // S; alpha_prod_t_prev = 1.0 when
+    prev_t < 0 — `schedules.alphas_cumprod_prev`.
+  * step(): pred_x0 = (x - sqrt(1-ab_t) eps) / sqrt(ab_t); clip to
+    [-clip_sample_range, +] (default 1.0, thresholding=False);
+    x_prev = sqrt(ab_prev)*beta_t/(1-ab_t) * x0
+           + sqrt(alpha_t)*(1-ab_prev)/(1-ab_t) * x;
+    fixed_small variance = (1-ab_prev)/(1-ab_t) * beta_t clamped >= 1e-20,
+    noise added only for t > 0 — all transcribed below. With leading
+    spacing t==0 exactly at the last step, so std[k]=0 iff k == S-1.
+  * One deliberate difference: diffusers computes the beta/alpha tables in
+    float32; we compute them in float64 on host and cast the final
+    coefficient tables to float32 (strictly more accurate, distribution
+    parity unaffected — golden-chain tests vs the torch transcription pass
+    at 1e-5).
+
 TPU-native design: every per-step scalar is precomputed into (S,)-shaped
 device tables indexed by the scan counter, so one step is
     x0   = clip((x - c_eps[k] * eps) * c_inv[k], -1, 1)

@@ -17,6 +17,7 @@ by `CacheManager` and memory-mapped on later loads.
 """
 from __future__ import annotations
 
+import dataclasses
 import time
 from pathlib import Path
 from typing import Any, Dict, List, Optional
@@ -28,6 +29,7 @@ import numpy as np
 from .cache import CacheManager
 from .diffusion import DiffusionSchedule, DiffusionSampler, SamplerConfig
 from .io.convert import torch_to_flax
+from .io.manifest import expected_unet2d_state_shapes, validate_state_dict
 from .io.pth import load_pth
 from .models.unet2d import UNet2D, UNet2DConfig
 from .utils.logging import Logger
@@ -109,6 +111,18 @@ class ModelManager:
                 if "model_state_dict" in state and isinstance(
                         state["model_state_dict"], dict):
                     state = state["model_state_dict"]
+                # full key/shape validation against the diffusers manifest —
+                # a checkpoint that doesn't match the architecture must fail
+                # loudly here, never sample garbage silently
+                manifest = expected_unet2d_state_shapes(
+                    **dataclasses.asdict(self.model.config))
+                problems = validate_state_dict(state, manifest)
+                if problems:
+                    preview = "; ".join(problems[:8])
+                    more = f" (+{len(problems) - 8} more)" if len(problems) > 8 else ""
+                    raise ValueError(
+                        f"checkpoint does not match the UNet2D architecture: "
+                        f"{preview}{more}")
                 tree = torch_to_flax(state)
                 if self.cache is not None:
                     self.cache.cache_model(class_name, str(path))

@@ -9,6 +9,54 @@ CPU reference implementation for benchmarking (the real reference stack —
 diffusers/torchvision — is not installed in this environment).
 
 This is NOT part of the framework; nothing in `synt_isic_tpu/` imports it.
+
+AUDIT vs diffusers >=0.21 UNet2DModel source (the reference's pin,
+`/root/reference/requirements.txt:6`; config at
+`/root/reference/core/generator/model_manager.py:173-194`), done 2026-08-16
+against diffusers' src/diffusers/models/{unet_2d, unet_2d_blocks, resnet,
+attention_processor, embeddings}.py semantics:
+
+  * get_timestep_embedding: half = dim//2; exponent = -ln(10000) *
+    arange(half)/(half - downscale_freq_shift(=0)); emb = t * exp(exponent);
+    flip_sin_to_cos=True -> [cos, sin] order; odd-dim zero-pad N/A (dim=64).
+    MATCHES `timestep_embedding` below.
+  * TimestepEmbedding: Timesteps(ch0) -> linear_1(ch0, 4*ch0) -> SiLU ->
+    linear_2. MATCHES.
+  * ResnetBlock2D (pre_norm=True, time_embedding_norm="default",
+    output_scale_factor=1.0, dropout=0.0, eps=norm_eps=1e-5):
+    h = conv1(silu(norm1(x))); h += time_emb_proj(silu(temb))[..., None, None];
+    h = conv2(dropout(silu(norm2(h)))); shortcut = 1x1 conv iff in != out
+    (use_in_shortcut default); out = (shortcut(x) + h) / output_scale_factor.
+    MATCHES — the /1.0 division is a no-op and is omitted here; UNet2DModel
+    never passes a non-default output_scale_factor for these block types.
+  * Attention (constructed by Attn{Down,Up}Block2D / UNetMidBlock2D with
+    _from_deprecated_attn_block=True, residual_connection=True, bias=True,
+    upcast_softmax=True, rescale_output_factor=output_scale_factor=1.0,
+    eps=resnet_eps=1e-5, norm_num_groups=resnet_groups):
+    GroupNorm on channels; q/k/v Linear WITH bias; heads =
+    channels // attention_head_dim; logits scaled by dim_head**-0.5
+    (baddbmm alpha=scale); softmax upcast to fp32; to_out.0 Linear;
+    out = out + residual; / rescale_output_factor(=1.0) omitted as a no-op.
+    MATCHES `AttentionBlock` below (mid-block head_dim: UNet2DModel passes
+    attention_head_dim(=8), NOT block channels, when it is not None).
+  * Downsample2D(use_conv=True, padding=downsample_padding=1, name="op"):
+    3x3 stride-2 conv registered as attribute `conv`. MATCHES (padding=1).
+  * Upsample2D(use_conv=True, name="conv"): nearest-2x interpolate then 3x3
+    conv. MATCHES.
+  * Block wiring: skips = [conv_in out] + each down-block's per-resnet
+    outputs (+ downsampled); up blocks consume layers_per_block+1 skips
+    last-first; AttnDown/AttnUp apply attention after EVERY resnet;
+    mid = resnet, attention, resnet; head: conv_norm_out (GroupNorm 32,
+    eps 1e-5 — torch default matches diffusers' norm_eps) -> SiLU ->
+    conv_out. MATCHES UNet2DModel.forward.
+  * center_input_sample=False, class_embed_type=None -> no input centering,
+    no class embedding parameters. MATCHES (absent here).
+
+Structural proof at full size: `tests/test_checkpoint_manifest.py` asserts
+this module's 128x128 state_dict is key-for-key and shape-for-shape
+identical to the vendored diffusers manifest
+(`synt_isic_tpu/io/manifest.py`), whose fp32 byte count matches the real
+reference checkpoints (101,345,019 bytes) within 1%.
 """
 from __future__ import annotations
 
