@@ -4,17 +4,29 @@ Parity with reference `download_models.py` (:15-112): Google-Drive fetch by
 file id with the confirm-token dance, zip extraction into `checkpoints/`,
 and a listing helper. Network access is gated — environments without
 `requests`/egress get a clear message instead of a crash.
+
+Sources, in priority order:
+  1. `SYNT_ISIC_CHECKPOINT_URL` env var — a direct HTTP(S) mirror of the
+     checkpoints zip (for deployments that mirror the weights);
+  2. the reference's published Google-Drive archive (id below, from
+     `/root/reference/download_models.py:58` — the project's own
+     distribution channel for the 7 UNets + classifier, ~700 MB);
+  3. offline: drop `unet_<CLASS>_best.pth` files into `checkpoints/`
+     manually; every load is manifest-validated either way
+     (`io/manifest.py`), so a wrong archive cannot load silently.
 """
 from __future__ import annotations
 
+import os
 import zipfile
 from pathlib import Path
 from typing import Dict, Optional
 
-# File ids are deployment-specific; fill in for your mirror of the
-# reference checkpoints (the reference hardcodes its own Drive ids).
+# The reference's published checkpoint archive (reference
+# `download_models.py:56-59`): all per-class `unet_<CLASS>_best.pth`
+# checkpoints zipped as models_checkpoints.zip.
 DRIVE_FILES: Dict[str, str] = {
-    # "checkpoints.zip": "<google-drive-file-id>",
+    "models_checkpoints.zip": "1kTIHp98AuvLmee5LahH-hZQqXQik_B1U",
 }
 
 CHUNK = 1 << 15
@@ -55,24 +67,83 @@ def list_checkpoints(checkpoints_dir: Path) -> None:
         print(f"  {p.name}  {p.stat().st_size / 1e6:.1f} MB")
 
 
+def download_from_url(url: str, dest: Path) -> bool:
+    try:
+        import requests
+    except ImportError:
+        print("requests not available — cannot download")
+        return False
+    with requests.get(url, stream=True) as response:
+        response.raise_for_status()
+        with open(dest, "wb") as f:
+            for chunk in response.iter_content(CHUNK):
+                if chunk:
+                    f.write(chunk)
+    return dest.exists() and dest.stat().st_size > 0
+
+
+def validate_downloaded(checkpoints_dir: Path) -> int:
+    """Manifest-validate every fetched UNet checkpoint; returns #problems."""
+    from ..io.manifest import expected_unet2d_state_shapes, validate_state_dict
+    from ..io.pth import load_pth
+
+    manifest = expected_unet2d_state_shapes()
+    n_bad = 0
+    for p in sorted(checkpoints_dir.glob("unet_*_best.pth")):
+        try:
+            problems = validate_state_dict(load_pth(str(p)), manifest)
+        except Exception as exc:
+            problems = [f"unreadable: {exc}"]
+        if problems:
+            n_bad += 1
+            print(f"  !! {p.name}: {problems[0]}"
+                  + (f" (+{len(problems) - 1} more)" if len(problems) > 1 else ""))
+        else:
+            print(f"  ok {p.name}")
+    return n_bad
+
+
 def main(checkpoints_dir: Optional[str] = None) -> int:
     ckpt = Path(checkpoints_dir or "checkpoints")
-    if not DRIVE_FILES:
-        print("no download sources configured (DRIVE_FILES empty); "
-              "place unet_<CLASS>_best.pth files into", ckpt)
-        list_checkpoints(ckpt)
-        return 0
-    for name, file_id in DRIVE_FILES.items():
-        dest = ckpt / name
-        print(f"downloading {name} ...")
-        if download_from_google_drive(file_id, dest):
-            if name.endswith(".zip"):
-                extract_checkpoints(dest, ckpt)
-                dest.unlink()
+    ckpt.mkdir(parents=True, exist_ok=True)
+
+    mirror = os.environ.get("SYNT_ISIC_CHECKPOINT_URL")
+    fetched = False
+    if mirror:
+        dest = ckpt / "models_checkpoints.zip"
+        print(f"downloading from mirror {mirror} ...")
+        if download_from_url(mirror, dest):
+            extract_checkpoints(dest, ckpt)
+            dest.unlink()
+            fetched = True
         else:
-            print(f"failed: {name}")
+            print("mirror download failed, falling back to Google Drive")
+    if not fetched:
+        for name, file_id in DRIVE_FILES.items():
+            dest = ckpt / name
+            print(f"downloading {name} (Google Drive {file_id}) ...")
+            try:
+                ok = download_from_google_drive(file_id, dest)
+            except Exception as exc:
+                print(f"download failed ({exc}); if this environment has no "
+                      f"egress, place unet_<CLASS>_best.pth files into {ckpt} "
+                      f"manually or set SYNT_ISIC_CHECKPOINT_URL to a mirror")
+                ok = False
+            if ok:
+                if name.endswith(".zip"):
+                    extract_checkpoints(dest, ckpt)
+                    dest.unlink()
+                fetched = True
+            else:
+                print(f"failed: {name}")
+
     list_checkpoints(ckpt)
-    return 0
+    if any(ckpt.glob("unet_*_best.pth")):
+        print("validating against the architecture manifest:")
+        if validate_downloaded(ckpt):
+            return 1
+        return 0
+    return 0 if fetched else 1
 
 
 if __name__ == "__main__":
