@@ -67,12 +67,20 @@ def main() -> int:
     else:
         raise SystemExit("provide --b or --generate")
 
+    inception_path = Path(args.checkpoints) / "inception_v3.pth"
+    if inception_path.exists():
+        from synt_isic_tpu.metrics.fid import InceptionFeatureExtractor
+        fid = compute_fid(a, b, InceptionFeatureExtractor(str(inception_path)))
+        print(f"FID (standard InceptionV3 pool3): {fid:.4f}  "
+              f"(n_a={len(a)}, n_b={len(b)})")
+        return 0
     clf_path = Path(args.checkpoints) / "classifier.pth"
     clf = (LesionClassifier.from_checkpoint(str(clf_path))[0]
            if clf_path.exists() else LesionClassifier.random_init())
     fid = compute_fid(a, b, FeatureExtractor(clf))
-    print(f"frechet_distance (classifier-feature embedding, NOT Inception-FID): "
-          f"{fid:.4f}  (n_a={len(a)}, n_b={len(b)})")
+    print(f"frechet_distance (classifier-feature embedding, NOT Inception-FID; "
+          f"add checkpoints/inception_v3.pth via scripts/convert_inception.py "
+          f"for standard FID): {fid:.4f}  (n_a={len(a)}, n_b={len(b)})")
     return 0
 
 

@@ -1,3 +1,5 @@
-from .fid import compute_fid, frechet_distance, FeatureExtractor
+from .fid import (FeatureExtractor, InceptionFeatureExtractor, compute_fid,
+                  default_extractor, frechet_distance)
 
-__all__ = ["compute_fid", "frechet_distance", "FeatureExtractor"]
+__all__ = ["compute_fid", "frechet_distance", "FeatureExtractor",
+           "InceptionFeatureExtractor", "default_extractor"]

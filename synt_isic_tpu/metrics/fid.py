@@ -1,20 +1,25 @@
-"""Fréchet distance between image-set feature distributions (FID machinery).
+"""Fréchet distance between image-set feature distributions (FID).
 
 Needed for the rebuild's benchmark contract ("FID parity with the PyTorch
-reference at fixed seeds", BASELINE.md). The standard FID embedding is
-InceptionV3-pool3; pretrained Inception weights are not shippable here, so
-the extractor is pluggable: by default the lesion classifier's penultimate
-512-d features (`ResNet18.penultimate`). With the SAME extractor on both
-sides the Fréchet distance is a valid comparison metric between sample
-sets; absolute values are not comparable to Inception-FID numbers and are
-labeled accordingly.
+reference at fixed seeds", BASELINE.md). Two embeddings:
+
+  * STANDARD: InceptionV3 pool3 (2048-d) — `InceptionFeatureExtractor`,
+    used automatically when `checkpoints/inception_v3.pth` (torchvision
+    weights, see `scripts/convert_inception.py`) is present. These numbers
+    are comparable to published torchvision-FID figures.
+  * FALLBACK: the lesion classifier's penultimate 512-d features
+    (`ResNet18.penultimate`) — `FeatureExtractor`. With the SAME extractor
+    on both sides the Fréchet distance remains a valid comparison metric
+    between sample sets, but absolute values are NOT comparable to
+    Inception-FID and results are labeled accordingly.
 
 Feature extraction is a jitted batched device computation (chunked);
 Fréchet math (covariance sqrtm) runs on host via scipy.
 """
 from __future__ import annotations
 
-from typing import Callable, Optional
+import os
+from typing import Any, Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +27,9 @@ import numpy as np
 from scipy import linalg
 
 from ..models.classifier import LesionClassifier, preprocess_for_classifier
+from ..models.inception_v3 import (InceptionV3, init_inception_params,
+                                   load_inception_params,
+                                   preprocess_for_inception)
 
 
 class FeatureExtractor:
@@ -49,6 +57,50 @@ class FeatureExtractor:
         return np.concatenate(chunks) if chunks else np.zeros((0, 512), np.float32)
 
 
+class InceptionFeatureExtractor:
+    """Standard FID embedding: InceptionV3 pool3, 2048-d, batched on device.
+
+    `params_path=None` uses random-init weights (structurally valid FID for
+    tests; NOT comparable to published numbers — pass real torchvision
+    weights for that).
+    """
+
+    def __init__(self, params_path: Optional[str] = None, batch_size: int = 32,
+                 dtype: Any = jnp.float32):
+        self.model = InceptionV3(dtype=dtype)
+        if params_path:
+            self.params = load_inception_params(params_path)
+            self.pretrained = True
+        else:
+            self.params = init_inception_params(jax.random.PRNGKey(0), dtype)
+            self.pretrained = False
+        self.batch_size = batch_size
+
+        def feats(params, x):
+            return self.model.apply({"params": params},
+                                    preprocess_for_inception(x),
+                                    method=self.model.pool3_features)
+
+        self._feats = jax.jit(feats)
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        """images: (N,H,W,3) float in [-1,1] -> (N,2048) float32."""
+        chunks = []
+        for start in range(0, len(images), self.batch_size):
+            x = jnp.asarray(images[start:start + self.batch_size])
+            chunks.append(np.asarray(self._feats(self.params, x)))
+        return np.concatenate(chunks) if chunks else np.zeros((0, 2048), np.float32)
+
+
+def default_extractor(checkpoints_dir: str = "checkpoints"):
+    """Standard Inception-FID when the weights exist, classifier-feature
+    fallback (clearly second) otherwise."""
+    path = os.path.join(checkpoints_dir, "inception_v3.pth")
+    if os.path.exists(path):
+        return InceptionFeatureExtractor(path)
+    return FeatureExtractor()
+
+
 def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
                      mu2: np.ndarray, sigma2: np.ndarray,
                      eps: float = 1e-6) -> float:
@@ -67,8 +119,12 @@ def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
 def compute_fid(images_a: np.ndarray, images_b: np.ndarray,
                 extractor: Optional[Callable[[np.ndarray], np.ndarray]] = None
                 ) -> float:
-    """Fréchet distance between two image sets ((N,H,W,3) in [-1,1])."""
-    extractor = extractor or FeatureExtractor()
+    """Fréchet distance between two image sets ((N,H,W,3) in [-1,1]).
+
+    Default extractor: standard Inception pool3 when
+    `checkpoints/inception_v3.pth` exists, classifier-feature fallback
+    otherwise (see `default_extractor`)."""
+    extractor = extractor or default_extractor()
     fa = np.asarray(extractor(images_a), np.float64)
     fb = np.asarray(extractor(images_b), np.float64)
     mu_a, mu_b = fa.mean(axis=0), fb.mean(axis=0)
