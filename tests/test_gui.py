@@ -1,0 +1,177 @@
+"""Widget-level GUI tests on the qt_compat stub backend.
+
+The reference GUI (`main.py`) ships zero tests; here the REAL window class
+(`SyntheticDataGeneratorWindow`) is constructed headlessly (PyQt5 absent ->
+qt_compat stub) and its actual handler code is driven: class discovery,
+generation through the worker (synchronous QThread on the stub), progress
+wiring, the results browser (generated files + XAI runs/files two-list
+with JSON/PKL viewers, reference `main.py:1624-1714`), the XAI-overlay
+preview path (`main.py:890-966`), and the system-configuration panel
+(`main.py:745-799`). On a machine with PyQt5 these same tests exercise the
+real Qt classes (signals are synchronous in-thread there too, except
+QThread.start — skipped there via the backend marker where behavior
+differs).
+"""
+import json
+import pickle
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from synt_isic_tpu.app import qt_compat
+from synt_isic_tpu.app.gui import SyntheticDataGeneratorWindow
+from synt_isic_tpu.models.unet2d import UNet2DConfig
+from synt_isic_tpu.utils.config import ConfigManager
+
+from tests.torch_oracle.unet2d_torch import UNet2DTorch, tiny_config
+
+TINY = tiny_config()
+TINY_JAX = UNet2DConfig(
+    sample_size=TINY["sample_size"], layers_per_block=TINY["layers_per_block"],
+    block_out_channels=TINY["block_out_channels"],
+    down_block_types=TINY["down_block_types"],
+    up_block_types=TINY["up_block_types"],
+    attention_head_dim=TINY["attention_head_dim"],
+    norm_num_groups=TINY["norm_num_groups"])
+
+needs_stub = pytest.mark.skipif(
+    qt_compat.QT_BACKEND != "stub",
+    reason="synchronous-QThread assertions are stub-backend specific")
+
+
+@pytest.fixture(scope="module")
+def window(tmp_path_factory):
+    base = tmp_path_factory.mktemp("gui")
+    ckpt = base / "checkpoints"
+    ckpt.mkdir()
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_MEL_best.pth")
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+    out = base / "generated"
+    xai = base / "xai_results"
+    from synt_isic_tpu.generator import ImageGenerator
+    cfg = ConfigManager(config_file=str(base / "config.json"),
+                        project_root=str(base))
+    gen = ImageGenerator(config=cfg, checkpoints_dir=str(ckpt),
+                         model_config=TINY_JAX)
+    win = SyntheticDataGeneratorWindow(
+        config=cfg, generator=gen, checkpoints_dir=str(ckpt),
+        output_dir=str(out), xai_results_dir=str(xai))
+    return win, base
+
+
+def test_class_discovery_enables_only_available(window):
+    win, _ = window
+    assert win.class_rows["MEL"][0].isEnabled()
+    assert win.class_rows["NV"][0].isEnabled()
+    assert not win.class_rows["BCC"][0].isEnabled()
+    assert win.class_rows["BCC"][0].toolTip() == "no checkpoint found"
+
+
+def test_config_panel_reports_models_and_paths(window):
+    win, base = window
+    assert "Available models: 2" in win.available_models_label.text()
+    assert str(base / "checkpoints") in win.model_path_label.text()
+    assert win.device_info_label.text().startswith("Device: ")
+
+
+def test_start_without_selection_warns(window):
+    win, _ = window
+    win.start_generation()
+    assert "[warning] select at least one class" in win.logs.toPlainText()
+
+
+@needs_stub
+def test_generation_flow_end_to_end(window):
+    """Start button -> worker -> images on disk -> progress + browser."""
+    win, base = window
+    win.class_rows["MEL"][0].setChecked(True)
+    win.class_rows["MEL"][1].setValue(2)
+    win.steps_spin.setValue(2)
+    win.seed_mode.setCurrentText("fixed")
+    win.seed_spin.setValue(7)
+    win.start_btn.click()
+    # stub QThread runs synchronously: generation is done on return
+    pngs = sorted((base / "generated").rglob("*.png"))
+    assert len(pngs) == 2
+    assert win.progress.value() == win.progress.maximum() > 0
+    assert win.start_btn.isEnabled() and not win.stop_btn.isEnabled()
+    assert win.files_list.count() == 2
+    assert win.status_label.text().startswith("done:")
+
+
+@needs_stub
+def test_preview_and_xai_overlay_path(window):
+    win, base = window
+    img = str(sorted((base / "generated").rglob("*.png"))[0])
+    # no XAI mode: preview shows the clicked file
+    win.xai_check.setChecked(False)
+    win.display_image(img)
+    assert win._preview_path == img
+    assert win.preview.pixmap_set is not None
+    # XAI mode + a fabricated artifact for this image -> overlay is shown
+    stem = Path(img).stem
+    cls = Path(img).parent.name
+    run_dir = Path(img).parents[2] / "xai_results" / cls / f"{stem}_7"
+    run_dir.mkdir(parents=True)
+    from PIL import Image
+    art = run_dir / "xai_step_t_000.png"
+    Image.new("RGB", (16, 16), (255, 0, 0)).save(art)
+    win.xai_check.setChecked(True)
+    win.display_image(img)
+    assert win._preview_path == str(art)
+    assert "XAI overlay:" in win.logs.toPlainText()
+    win.xai_check.setChecked(False)
+
+
+@needs_stub
+def test_xai_results_browser_runs_files_and_viewers(window):
+    win, base = window
+    xai = base / "xai_results"
+    run = xai / "MEL" / "demo_run_42"
+    run.mkdir(parents=True, exist_ok=True)
+    from PIL import Image
+    Image.new("RGB", (8, 8)).save(run / "time_shap_analysis.png")
+    (run / "analysis_results.json").write_text(
+        json.dumps({"metadata": {"class": "MEL", "seed": 42}}))
+    with open(run / "full_results.pkl", "wb") as f:
+        pickle.dump({"frames": [1, 2], "stats": {}}, f)
+
+    win.refresh_results()
+    runs = [win.xai_runs_list.item(i).text()
+            for i in range(win.xai_runs_list.count())]
+    assert any(r.endswith("demo_run_42") for r in runs)
+    # newest run auto-selected and its files listed
+    files = [win.xai_files_list.item(i).text()
+             for i in range(win.xai_files_list.count())]
+    assert {"analysis_results.json", "full_results.pkl",
+            "time_shap_analysis.png"} <= set(files)
+
+    # JSON viewer -> dialog with pretty content
+    idx = files.index("analysis_results.json")
+    win.xai_files_list.click_row(idx)
+    assert '"seed": 42' in win._last_dialog._layout.items[0].toPlainText()
+    # PKL viewer -> dict-keys summary
+    win.xai_files_list.click_row(files.index("full_results.pkl"))
+    text = win._last_dialog._layout.items[0].toPlainText()
+    assert "Type: dict" in text and "frames" in text
+    # image -> preview
+    win.xai_files_list.click_row(files.index("time_shap_analysis.png"))
+    assert win._preview_path.endswith("time_shap_analysis.png")
+
+
+@needs_stub
+def test_memory_timer_updates_labels(window):
+    win, _ = window
+    win._mem_timer.fire()
+    assert win.mem_label.text().startswith("mem:")
+    assert win.memory_info_label.text().startswith("Memory:")
+
+
+def test_stop_button_requests_cooperative_stop(window):
+    win, _ = window
+    win.stop_generation()  # no worker running: must not raise
+    assert win.generator.stop_requested in (True, False)
