@@ -35,9 +35,10 @@ def load_images(directory: str, limit: int) -> np.ndarray:
         raise SystemExit(f"no images under {directory}")
     imgs = []
     for p in paths:
-        arr = np.asarray(Image.open(p).convert("RGB").resize((128, 128)),
-                         dtype=np.float32) / 255.0
-        imgs.append(arr * 2.0 - 1.0)
+        # keep uint8: the auditor dequantizes on device, and large corpora
+        # are transfer-bound (4x fewer bytes than float32)
+        imgs.append(np.asarray(Image.open(p).convert("RGB").resize((128, 128)),
+                               dtype=np.uint8))
     return np.stack(imgs)
 
 

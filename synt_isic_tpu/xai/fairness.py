@@ -36,14 +36,24 @@ class FairnessAuditor:
         self.class_names = list(class_names or CLASS_NAMES)
         # Jit the scorer ONCE — re-wrapping per probabilities() call would
         # retrace on every invocation and defeat caching on exactly the
-        # large-corpus workload this module exists for.
-        self._prob_fn = jax.jit(lambda x: jax.nn.softmax(
-            self.classifier._logits_impl(self.classifier.params, x), axis=-1))
+        # large-corpus workload this module exists for. uint8 inputs are
+        # dequantized ON DEVICE: large audits are host->device-transfer
+        # bound, and uint8 moves 4x fewer bytes (PNG sources are uint8
+        # anyway, so nothing is lost).
+        def _probs(x):
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.float32) / 127.5 - 1.0
+            return jax.nn.softmax(
+                self.classifier._logits_impl(self.classifier.params, x), axis=-1)
+
+        self._prob_fn = jax.jit(_probs)
 
     # -- scoring ---------------------------------------------------------------
     def probabilities(self, images: np.ndarray) -> np.ndarray:
-        """(N,H,W,3) in [-1,1] -> (N, num_classes) softmax probabilities,
-        computed in device batches (sharded over the mesh when provided)."""
+        """(N,H,W,3) -> (N, num_classes) softmax probabilities, computed in
+        device batches (sharded over the mesh when provided). Accepts float
+        in [-1,1] OR uint8 [0,255]; prefer uint8 for large corpora (4x
+        fewer transfer bytes, device-side dequantization)."""
         fn = self._prob_fn
         outs = []
         for start in range(0, len(images), self.batch_size):
@@ -141,6 +151,8 @@ def estimate_phototype_mask(images: np.ndarray,
     for the curated phototype labels the reference's corpus has; callers
     with real labels should pass their own mask."""
     imgs = np.asarray(images)
+    if imgs.dtype == np.uint8:
+        imgs = imgs.astype(np.float32) / 127.5 - 1.0
     lum = (0.299 * imgs[..., 0] + 0.587 * imgs[..., 1] + 0.114 * imgs[..., 2])
     h, w = lum.shape[1:3]
     ring = np.ones((h, w), bool)

@@ -67,6 +67,21 @@ def test_phototype_mask_heuristic():
     assert mask[:4].all() and not mask[4:].any()
 
 
+def test_fairness_uint8_matches_float(small_clf):
+    """uint8 corpora (device-side dequant, 4x fewer transfer bytes) must
+    score identically to their float [-1,1] equivalents."""
+    rng = np.random.default_rng(2)
+    u8 = rng.integers(0, 256, (12, 128, 128, 3), dtype=np.uint8)
+    f32 = u8.astype(np.float32) / 127.5 - 1.0
+    aud = FairnessAuditor(small_clf, batch_size=8)
+    np.testing.assert_allclose(aud.probabilities(u8), aud.probabilities(f32),
+                               rtol=1e-5, atol=1e-6)
+    # the phototype heuristic accepts uint8 too
+    m1 = estimate_phototype_mask(u8)
+    m2 = estimate_phototype_mask(f32)
+    assert (m1 == m2).all()
+
+
 def test_step_timer():
     import time
 
