@@ -49,7 +49,7 @@ def bench_tpu(scheduler: str, steps: int, batch: int) -> float:
 
     on_tpu = jax.devices()[0].platform == "tpu"
     model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16,
-                   use_fused_attention=on_tpu)
+                   use_fused_attention=on_tpu, fast_norm=on_tpu)
     init_model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16)
     params = init_unet_params(init_model, jax.random.PRNGKey(0))
     apply_fn = lambda p, x, t: model.apply({"params": p}, x, t)

@@ -66,7 +66,8 @@ def main() -> int:
     assert pngs == ["ISIC_0000001.png", "ISIC_0000002.png"], pngs
     meta = json.loads((out_nv / "ISIC_0000001.json").read_text())
     assert meta["noise_hash"] and meta["inference_steps"] == 20
-    xai_runs = list((work / "out" / "xai_results" / "NV").glob("*_*"))
+    xai_runs = [p for p in (work / "out" / "xai_results" / "NV").glob("*_*")
+                if p.is_dir()]  # the per-image summary JSON sits alongside
     assert xai_runs, "no XAI artifact dir"
     arts = {p.name for p in xai_runs[0].iterdir()}
     for required in ("analysis_results.json", "full_results.pkl",

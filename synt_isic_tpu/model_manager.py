@@ -72,10 +72,14 @@ class ModelManager:
         self.logger = logger or Logger("model_manager")
         self.device = device or jax.devices()[0]
         self.model = UNet2D(config=model_config or UNet2DConfig(), dtype=dtype)
-        # sampling variant: Pallas fused attention on TPU (identical math
-        # and identical param tree — only the attention core changes)
+        # sampling variant: Pallas fused attention + fast GroupNorm (f32
+        # stats, bf16 arithmetic) on TPU — identical param tree, bf16-level
+        # output deviation only (ops/norms.py); fast_norm engages only for
+        # sub-f32 compute dtypes
+        on_tpu = self.device.platform == "tpu"
         self.sample_model = UNet2D(config=self.model.config, dtype=dtype,
-                                   use_fused_attention=self.device.platform == "tpu")
+                                   use_fused_attention=on_tpu,
+                                   fast_norm=on_tpu and dtype != jnp.float32)
         self.schedule = DiffusionSchedule.create()
         self.loaded_params: Dict[str, Any] = {}
         self.model_metadata: Dict[str, Dict[str, Any]] = {}

@@ -114,6 +114,8 @@ class ResnetBlock2D(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.float32
     use_fused_norm: bool = False
+    fast_norm: bool = False  # f32 stats + bf16 arithmetic (ops/norms.py) —
+                             # no f32 activation materialization
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
@@ -138,6 +140,17 @@ class ResnetBlock2D(nn.Module):
             h = fused_film_group_norm_silu(h, t, scale2, bias2,
                                            groups=self.groups,
                                            eps=self.eps).astype(self.dtype)
+        elif self.fast_norm:
+            from ..ops.norms import group_norm_silu_fast
+
+            scale1, bias1 = _NormParams(self.in_channels, name="norm1")()
+            h = group_norm_silu_fast(x.astype(self.dtype), scale1, bias1,
+                                     self.groups, self.eps)
+            h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
+                        name="conv1")(h)
+            h = h + t[:, None, None, :]
+            scale2, bias2 = _NormParams(self.out_channels, name="norm2")()
+            h = group_norm_silu_fast(h, scale2, bias2, self.groups, self.eps)
         else:
             h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
                              dtype=jnp.float32, name="norm1")(x)
@@ -175,14 +188,22 @@ class AttentionBlock(nn.Module):
     dtype: Any = jnp.float32
     use_fused: bool = False
     fused_heads_per_program: int = 1
+    fast_norm: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         heads = self.channels // self.head_dim
         residual = x
-        y = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
-                         dtype=jnp.float32, name="group_norm")(x)
+        if self.fast_norm:
+            from ..ops.norms import group_norm_silu_fast
+
+            scale, bias = _NormParams(c, name="group_norm")()
+            y = group_norm_silu_fast(x.astype(self.dtype), scale, bias,
+                                     self.groups, self.eps, silu=False)
+        else:
+            y = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps,
+                             dtype=jnp.float32, name="group_norm")(x)
         y = y.astype(self.dtype).reshape(b, h * w, c)
         q = nn.Dense(c, dtype=self.dtype, name="to_q")(y)
         k = nn.Dense(c, dtype=self.dtype, name="to_k")(y)
@@ -245,6 +266,7 @@ class DownBlock2D(nn.Module):
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
     use_fused_norm: bool = False
+    fast_norm: bool = False
 
     def setup(self):
         resnets = []
@@ -255,6 +277,7 @@ class DownBlock2D(nn.Module):
                                          groups=self.groups, eps=self.eps,
                                          dtype=self.dtype,
                                          use_fused_norm=self.use_fused_norm,
+                                         fast_norm=self.fast_norm,
                                          name=f"resnets_{i}"))
             if self.with_attention:
                 attentions.append(AttentionBlock(self.out_channels,
@@ -262,6 +285,7 @@ class DownBlock2D(nn.Module):
                                                  groups=self.groups, eps=self.eps,
                                                  dtype=self.dtype,
                                                  use_fused=self.use_fused_attention,
+                                                 fast_norm=self.fast_norm,
                                                  name=f"attentions_{i}"))
         self.resnets = resnets
         self.attentions = attentions
@@ -290,22 +314,26 @@ class UNetMidBlock2D(nn.Module):
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
     use_fused_norm: bool = False
+    fast_norm: bool = False
 
     def setup(self):
         self.resnets_0 = ResnetBlock2D(self.channels, self.channels,
                                        groups=self.groups, eps=self.eps,
                                        dtype=self.dtype,
-                                       use_fused_norm=self.use_fused_norm)
+                                       use_fused_norm=self.use_fused_norm,
+                                       fast_norm=self.fast_norm)
         if self.add_attention:
             self.attentions_0 = AttentionBlock(self.channels,
                                                head_dim=self.attention_head_dim,
                                                groups=self.groups, eps=self.eps,
                                                dtype=self.dtype,
-                                               use_fused=self.use_fused_attention)
+                                               use_fused=self.use_fused_attention,
+                                               fast_norm=self.fast_norm)
         self.resnets_1 = ResnetBlock2D(self.channels, self.channels,
                                        groups=self.groups, eps=self.eps,
                                        dtype=self.dtype,
-                                       use_fused_norm=self.use_fused_norm)
+                                       use_fused_norm=self.use_fused_norm,
+                                       fast_norm=self.fast_norm)
 
     def __call__(self, x, temb):
         x = self.resnets_0(x, temb)
@@ -327,6 +355,7 @@ class UpBlock2D(nn.Module):
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
     use_fused_norm: bool = False
+    fast_norm: bool = False
 
     def setup(self):
         resnets = []
@@ -338,6 +367,7 @@ class UpBlock2D(nn.Module):
                                          self.out_channels, groups=self.groups,
                                          eps=self.eps, dtype=self.dtype,
                                          use_fused_norm=self.use_fused_norm,
+                                         fast_norm=self.fast_norm,
                                          name=f"resnets_{i}"))
             if self.with_attention:
                 attentions.append(AttentionBlock(self.out_channels,
@@ -345,6 +375,7 @@ class UpBlock2D(nn.Module):
                                                  groups=self.groups, eps=self.eps,
                                                  dtype=self.dtype,
                                                  use_fused=self.use_fused_attention,
+                                                 fast_norm=self.fast_norm,
                                                  name=f"attentions_{i}"))
         self.resnets = resnets
         self.attentions = attentions
@@ -374,6 +405,7 @@ class UNet2D(nn.Module):
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
     use_fused_norm: bool = False
+    fast_norm: bool = False  # f32-stats/bf16-arithmetic GroupNorm (sampling)
     remat: bool = False  # rematerialize blocks in the backward pass
                          # (jax.checkpoint — trades FLOPs for training memory)
 
@@ -402,6 +434,7 @@ class UNet2D(nn.Module):
                 dtype=self.dtype,
                 use_fused_attention=self.use_fused_attention,
                 use_fused_norm=self.use_fused_norm,
+                fast_norm=self.fast_norm,
                 name=f"down_blocks_{i}"))
         self.down_blocks = down_blocks
 
@@ -411,7 +444,8 @@ class UNet2D(nn.Module):
                                         groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                                         dtype=self.dtype,
                                         use_fused_attention=self.use_fused_attention,
-                                        use_fused_norm=self.use_fused_norm)
+                                        use_fused_norm=self.use_fused_norm,
+                                        fast_norm=self.fast_norm)
 
         up_blocks = []
         reversed_channels = tuple(reversed(cfg.block_out_channels))
@@ -433,6 +467,7 @@ class UNet2D(nn.Module):
                 dtype=self.dtype,
                 use_fused_attention=self.use_fused_attention,
                 use_fused_norm=self.use_fused_norm,
+                fast_norm=self.fast_norm,
                 name=f"up_blocks_{i}"))
         self.up_blocks = up_blocks
 
