@@ -103,17 +103,18 @@ class _NormParams(nn.Module):
 class ResnetBlock2D(nn.Module):
     """norm1 -> silu -> conv1 -> (+ FiLM temb) -> norm2 -> silu -> conv2, residual.
 
-    `use_fused_norm=True` replaces the two GroupNorm+SiLU chains (and the
-    FiLM add before norm2) with the Pallas VMEM kernels in
-    `ops/pallas/group_norm.py` — identical math and identical param tree,
-    inference path only (no autodiff rule).
+    `fast_norm=True` (bf16 sampling path) keeps the GroupNorm statistics in
+    f32 but does all tensor arithmetic in bf16 with no f32 materialization
+    (`ops/norms.py`) — same param tree, bf16-rounding-level deviation.
+    A Pallas VMEM GroupNorm kernel was tried in round 1 and measured SLOWER
+    than XLA's own fusions (see PERFORMANCE.md "negative results"); it was
+    removed in round 2 when fast_norm superseded it.
     """
     in_channels: int
     out_channels: int
     groups: int = 32
     eps: float = 1e-5
     dtype: Any = jnp.float32
-    use_fused_norm: bool = False
     fast_norm: bool = False  # f32 stats + bf16 arithmetic (ops/norms.py) —
                              # no f32 activation materialization
 
@@ -122,25 +123,7 @@ class ResnetBlock2D(nn.Module):
         residual = x
         t = nn.Dense(self.out_channels, dtype=self.dtype,
                      name="time_emb_proj")(nn.silu(temb))
-        # The Pallas kernel holds the whole (H, W, C) tile (+double-buffered
-        # output) in VMEM; concat-widened stages like 128²x192 exceed the
-        # 16 MB scoped limit — use the kernel only where it fits.
-        fits_vmem = (x.shape[1] * x.shape[2] * max(self.in_channels,
-                                                   self.out_channels)) <= 1_100_000
-        if self.use_fused_norm and fits_vmem:
-            from ..ops.pallas.group_norm import (
-                fused_film_group_norm_silu, fused_group_norm_silu)
-
-            scale1, bias1 = _NormParams(self.in_channels, name="norm1")()
-            h = fused_group_norm_silu(x, scale1, bias1, groups=self.groups,
-                                      eps=self.eps).astype(self.dtype)
-            h = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=self.dtype,
-                        name="conv1")(h)
-            scale2, bias2 = _NormParams(self.out_channels, name="norm2")()
-            h = fused_film_group_norm_silu(h, t, scale2, bias2,
-                                           groups=self.groups,
-                                           eps=self.eps).astype(self.dtype)
-        elif self.fast_norm:
+        if self.fast_norm:
             from ..ops.norms import group_norm_silu_fast
 
             scale1, bias1 = _NormParams(self.in_channels, name="norm1")()
@@ -265,7 +248,6 @@ class DownBlock2D(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
-    use_fused_norm: bool = False
     fast_norm: bool = False
 
     def setup(self):
@@ -276,7 +258,6 @@ class DownBlock2D(nn.Module):
             resnets.append(ResnetBlock2D(in_ch, self.out_channels,
                                          groups=self.groups, eps=self.eps,
                                          dtype=self.dtype,
-                                         use_fused_norm=self.use_fused_norm,
                                          fast_norm=self.fast_norm,
                                          name=f"resnets_{i}"))
             if self.with_attention:
@@ -313,14 +294,12 @@ class UNetMidBlock2D(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
-    use_fused_norm: bool = False
     fast_norm: bool = False
 
     def setup(self):
         self.resnets_0 = ResnetBlock2D(self.channels, self.channels,
                                        groups=self.groups, eps=self.eps,
                                        dtype=self.dtype,
-                                       use_fused_norm=self.use_fused_norm,
                                        fast_norm=self.fast_norm)
         if self.add_attention:
             self.attentions_0 = AttentionBlock(self.channels,
@@ -332,7 +311,6 @@ class UNetMidBlock2D(nn.Module):
         self.resnets_1 = ResnetBlock2D(self.channels, self.channels,
                                        groups=self.groups, eps=self.eps,
                                        dtype=self.dtype,
-                                       use_fused_norm=self.use_fused_norm,
                                        fast_norm=self.fast_norm)
 
     def __call__(self, x, temb):
@@ -354,7 +332,6 @@ class UpBlock2D(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
-    use_fused_norm: bool = False
     fast_norm: bool = False
 
     def setup(self):
@@ -366,7 +343,6 @@ class UpBlock2D(nn.Module):
             resnets.append(ResnetBlock2D(resnet_in_channels + res_skip_channels,
                                          self.out_channels, groups=self.groups,
                                          eps=self.eps, dtype=self.dtype,
-                                         use_fused_norm=self.use_fused_norm,
                                          fast_norm=self.fast_norm,
                                          name=f"resnets_{i}"))
             if self.with_attention:
@@ -404,7 +380,6 @@ class UNet2D(nn.Module):
     config: UNet2DConfig = UNet2DConfig()
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
-    use_fused_norm: bool = False
     fast_norm: bool = False  # f32-stats/bf16-arithmetic GroupNorm (sampling)
     remat: bool = False  # rematerialize blocks in the backward pass
                          # (jax.checkpoint — trades FLOPs for training memory)
@@ -433,7 +408,6 @@ class UNet2D(nn.Module):
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                 dtype=self.dtype,
                 use_fused_attention=self.use_fused_attention,
-                use_fused_norm=self.use_fused_norm,
                 fast_norm=self.fast_norm,
                 name=f"down_blocks_{i}"))
         self.down_blocks = down_blocks
@@ -444,7 +418,6 @@ class UNet2D(nn.Module):
                                         groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                                         dtype=self.dtype,
                                         use_fused_attention=self.use_fused_attention,
-                                        use_fused_norm=self.use_fused_norm,
                                         fast_norm=self.fast_norm)
 
         up_blocks = []
@@ -466,7 +439,6 @@ class UNet2D(nn.Module):
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                 dtype=self.dtype,
                 use_fused_attention=self.use_fused_attention,
-                use_fused_norm=self.use_fused_norm,
                 fast_norm=self.fast_norm,
                 name=f"up_blocks_{i}"))
         self.up_blocks = up_blocks
