@@ -36,8 +36,9 @@ def record(name, value, unit, note=""):
 
 
 def bench_sampler(batch, steps, scheduler, runs=2):
+    on_tpu = jax.devices()[0].platform == "tpu"
     model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16,
-                   use_fused_attention=jax.devices()[0].platform == "tpu")
+                   use_fused_attention=on_tpu, fast_norm=on_tpu)
     params = init_unet_params(
         UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16), jax.random.PRNGKey(0))
     sampler = DiffusionSampler(
@@ -61,9 +62,12 @@ def main():
     print(f"device: {jax.devices()[0]} ({platform})", flush=True)
 
     for batch, steps, sched in [(8, 1000, "ddpm"), (32, 1000, "ddpm"),
-                                (64, 50, "ddim"), (64, 50, "ddpm")]:
+                                (64, 50, "ddim"), (64, 50, "ddpm"),
+                                (64, 50, "dpm_solver"), (64, 20, "dpm_solver")]:
         ips = bench_sampler(batch, steps, sched)
-        record(f"sampler_{sched}_T{steps}_b{batch}", ips, "img/s")
+        note = ("2nd-order solver: DDIM-50-class accuracy at T=20"
+                if sched == "dpm_solver" and steps == 20 else "")
+        record(f"sampler_{sched}_T{steps}_b{batch}", ips, "img/s", note)
 
     # classifier forward throughput (the XAI building block)
     clf = LesionClassifier.random_init(num_classes=7)
@@ -133,7 +137,14 @@ def main():
              "| metric | value | unit | note |", "|---|---|---|---|"]
     for r in RESULTS:
         lines.append(f"| {r['name']} | {r['value']} | {r['unit']} | {r['note']} |")
-    out_path.write_text("\n".join(lines) + "\n")
+    # preserve hand-maintained sections (## ...) below the generated table
+    extra = ""
+    if out_path.exists():
+        old = out_path.read_text()
+        idx = old.find("\n## ")
+        if idx != -1:
+            extra = old[idx:]
+    out_path.write_text("\n".join(lines) + "\n" + extra)
     print(f"\nwritten {out_path}")
 
 

@@ -164,7 +164,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=1000,
                    help="inference steps (1-1000)")
     p.add_argument("--batch", type=int, default=8, help="device batch size")
-    p.add_argument("--scheduler", choices=["ddpm", "ddim"], default="ddpm")
+    p.add_argument("--scheduler", choices=["ddpm", "ddim", "dpm_solver"],
+                   default="ddpm")
     p.add_argument("--seed", type=int, default=None)
     return p
 

@@ -6,6 +6,7 @@ from .schedules import (
 )
 from .ddpm import DDPMParams, ddpm_step, add_noise
 from .ddim import ddim_step
+from .dpm import DPMSolverParams, dpm_solver_step
 from .sampler import DiffusionSampler, SamplerConfig
 
 __all__ = [
@@ -17,6 +18,8 @@ __all__ = [
     "ddpm_step",
     "add_noise",
     "ddim_step",
+    "DPMSolverParams",
+    "dpm_solver_step",
     "DiffusionSampler",
     "SamplerConfig",
 ]

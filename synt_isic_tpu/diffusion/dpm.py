@@ -1,0 +1,115 @@
+"""DPM-Solver++(2M): second-order multistep ODE sampler.
+
+A beyond-reference extension (the reference app is DDPM-only,
+`core/generator/model_manager.py:196-226`): DPM-Solver++ integrates the
+probability-flow ODE in the log-SNR domain with a second-order multistep
+correction, reaching DDIM-50-class sample accuracy in ~15-25 UNet calls —
+i.e. ~2.5x fewer forwards per image for the production workload (Lu et al.
+2022, arXiv:2211.01095; algorithm re-derived here from the paper's eq. 4.3
+data-prediction form, not transcribed from any implementation).
+
+Update rule (epsilon-parameterized model, data-prediction form), with
+alpha_t = sqrt(abar_t), sigma_t = sqrt(1-abar_t), lambda_t = log(alpha/sigma),
+h_k = lambda_{k+1} - lambda_k:
+
+    x0_k   = (x_k - sigma_k * eps) / alpha_k            (clipped like DDPM)
+    D_k    = x0_k + c2_k * (x0_k - x0_{k-1})            c2_k = h_k / (2 h_{k-1})
+    x_{k+1} = (sigma_{k+1}/sigma_k) x_k + alpha_{k+1} (1 - e^{-h_k}) D_k
+
+First step (no history) and final step (h -> inf with leading spacing, so
+the correction term is ill-conditioned) use the first-order update
+(c2 = 0), the standard `lower_order_final` practice. The final step's
+sigma_{k+1} = 0, e^{-h} = 0 collapse the update to x = D — the solver
+returns its x0 estimate exactly, with no stochastic term anywhere
+(deterministic by construction, like DDIM eta=0).
+
+TPU-native design: same precomputed (S,)-table scheme as `ddpm.py` — one
+step is four fused multiply-adds indexed by the scan counter; the only
+structural difference is the (x, x0_prev) scan carry (handled by
+`sampler.DiffusionSampler`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .schedules import DiffusionSchedule, leading_timesteps
+
+
+@dataclasses.dataclass(frozen=True)
+class DPMSolverParams:
+    """Per-inference-step coefficient tables, shape (S,) each."""
+    timesteps: jnp.ndarray            # int32 (S,) — descending train-timesteps
+    inv_alpha: jnp.ndarray            # 1/alpha_k for the x0 prediction
+    sigma: jnp.ndarray                # sigma_k for the x0 prediction
+    sample_coeff: jnp.ndarray         # sigma_{k+1}/sigma_k   (0 at final step)
+    d_coeff: jnp.ndarray              # alpha_{k+1}(1-e^{-h}) (1 at final step)
+    c2: jnp.ndarray                   # h_k/(2 h_{k-1}); 0 at k=0 and k=S-1
+    num_inference_steps: int
+    clip_sample: bool = True
+    clip_sample_range: float = 1.0
+
+    @classmethod
+    def create(cls, schedule: DiffusionSchedule, num_inference_steps: int,
+               dtype=jnp.float32, clip_sample: bool = True) -> "DPMSolverParams":
+        S = num_inference_steps
+        ts = leading_timesteps(schedule.num_train_timesteps, S)
+        ab_t = schedule.alphas_cumprod[ts]
+        ab_next = schedule.alphas_cumprod_prev(ts, S)  # 1.0 past the end
+
+        alpha = np.sqrt(ab_t)
+        sigma = np.sqrt(1.0 - ab_t)
+        alpha_next = np.sqrt(ab_next)
+        sigma_next = np.sqrt(1.0 - ab_next)            # exactly 0 at the final step
+
+        with np.errstate(divide="ignore"):
+            lam = np.log(alpha / sigma)
+            lam_next = np.log(alpha_next / np.where(sigma_next > 0, sigma_next, 1.0))
+            lam_next = np.where(sigma_next > 0, lam_next, np.inf)
+        h = lam_next - lam                              # > 0; inf at the final step
+
+        with np.errstate(over="ignore"):
+            exp_mh = np.where(np.isinf(h), 0.0, np.exp(-np.where(np.isinf(h), 0.0, h)))
+        sample_coeff = sigma_next / sigma               # 0 at final step
+        d_coeff = alpha_next * (1.0 - exp_mh)
+
+        # Second-order correction ratio. c2[0] = 0 (no history yet);
+        # c2[S-1] = 0 (lower-order final, h -> inf).
+        c2 = np.zeros(S)
+        if S > 2:
+            c2[1:S - 1] = h[1:S - 1] / (2.0 * h[0:S - 2])
+
+        return cls(
+            timesteps=jnp.asarray(ts, dtype=jnp.int32),
+            inv_alpha=jnp.asarray(1.0 / alpha, dtype=dtype),
+            sigma=jnp.asarray(sigma, dtype=dtype),
+            sample_coeff=jnp.asarray(sample_coeff, dtype=dtype),
+            d_coeff=jnp.asarray(d_coeff, dtype=dtype),
+            c2=jnp.asarray(c2, dtype=dtype),
+            num_inference_steps=S,
+            clip_sample=clip_sample,
+        )
+
+
+def dpm_solver_step(x: jnp.ndarray, x0_prev: jnp.ndarray, eps_pred: jnp.ndarray,
+                    k: jnp.ndarray, params: DPMSolverParams
+                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One multistep update. Returns (x_{k+1}, x0_k) — the caller threads
+    x0_k back in as the next step's history (x0_prev at k=0 is ignored
+    because c2[0] == 0)."""
+    dt = x.dtype
+    c_inv = params.inv_alpha[k].astype(dt)
+    c_sig = params.sigma[k].astype(dt)
+    c_xt = params.sample_coeff[k].astype(dt)
+    c_d = params.d_coeff[k].astype(dt)
+    c2 = params.c2[k].astype(dt)
+
+    x0 = (x - c_sig * eps_pred) * c_inv
+    if params.clip_sample:
+        r = params.clip_sample_range
+        x0 = jnp.clip(x0, -r, r)
+    d = x0 + c2 * (x0 - x0_prev)
+    return c_xt * x + c_d * d, x0

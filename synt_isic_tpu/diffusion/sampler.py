@@ -32,13 +32,14 @@ import numpy as np
 
 from .ddim import DDIMParams, ddim_step
 from .ddpm import DDPMParams, ddpm_step
+from .dpm import DPMSolverParams, dpm_solver_step
 from .schedules import DiffusionSchedule
 
 
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
     num_inference_steps: int = 50
-    scheduler: str = "ddpm"           # ddpm | ddim
+    scheduler: str = "ddpm"           # ddpm | ddim | dpm_solver
     ddim_eta: float = 0.0
     image_size: int = 128
     channels: int = 3
@@ -48,7 +49,7 @@ class SamplerConfig:
                                            # (golden tests / mean-path mode)
 
     def __post_init__(self):
-        if self.scheduler not in ("ddpm", "ddim"):
+        if self.scheduler not in ("ddpm", "ddim", "dpm_solver"):
             raise ValueError(f"unknown scheduler: {self.scheduler}")
 
 
@@ -96,6 +97,10 @@ class DiffusionSampler:
             self.params = DDPMParams.create(schedule, config.num_inference_steps,
                                             clip_sample=config.clip_sample)
             self._step = ddpm_step
+        elif config.scheduler == "dpm_solver":
+            self.params = DPMSolverParams.create(schedule, config.num_inference_steps,
+                                                 clip_sample=config.clip_sample)
+            self._step = None  # multistep: stepped via dpm_solver_step in _build
         else:
             self.params = DDIMParams.create(schedule, config.num_inference_steps,
                                             eta=config.ddim_eta,
@@ -129,6 +134,16 @@ class DiffusionSampler:
         num_steps = cfg.num_inference_steps
         shape = (cfg.image_size, cfg.image_size, cfg.channels)
 
+        # dpm_solver threads the previous x0 prediction through the scan
+        # carry (second-order multistep); ddpm/ddim carry only x.
+        multistep = cfg.scheduler == "dpm_solver"
+
+        def init_carry(x):
+            return (x, jnp.zeros_like(x)) if multistep else x
+
+        def carry_x(carry):
+            return carry[0] if multistep else carry
+
         def posterior_noise(keys, k):
             if cfg.deterministic_posterior:
                 return None
@@ -136,30 +151,33 @@ class DiffusionSampler:
                 lambda key: jax.random.normal(jax.random.fold_in(key, k + 1),
                                               shape, cfg.dtype))(keys)
 
-        def run_segment(model_params, x, keys, start, length: int):
-            def seg_body(carry, k):
-                x = carry
-                t = sched.timesteps[k]
-                eps = apply_fn(model_params, x,
-                               jnp.broadcast_to(t, (batch,))).astype(cfg.dtype)
-                return step_fn(x, eps, k, sched, posterior_noise(keys, k)), None
+        def advance(carry, k, model_params, keys):
+            x = carry_x(carry)
+            t = sched.timesteps[k]
+            eps = apply_fn(model_params, x,
+                           jnp.broadcast_to(t, (batch,))).astype(cfg.dtype)
+            if multistep:
+                return dpm_solver_step(carry[0], carry[1], eps, k, sched)
+            return step_fn(x, eps, k, sched, posterior_noise(keys, k))
 
-            x, _ = jax.lax.scan(seg_body, x, start + jnp.arange(length))
-            return x
+        def run_segment(model_params, carry, keys, start, length: int):
+            def seg_body(carry, k):
+                return advance(carry, k, model_params, keys), None
+
+            carry, _ = jax.lax.scan(seg_body, carry, start + jnp.arange(length))
+            return carry
 
         if isinstance(capture, bool):
             def sample_fn(model_params, noise, keys):
-                x = noise.astype(cfg.dtype)
+                carry = init_carry(noise.astype(cfg.dtype))
 
-                def full_body(x, k):
-                    t = sched.timesteps[k]
-                    eps = apply_fn(model_params, x,
-                                   jnp.broadcast_to(t, (batch,))).astype(cfg.dtype)
-                    x = step_fn(x, eps, k, sched, posterior_noise(keys, k))
-                    return x, (x.astype(jnp.float32) if capture else None)
+                def full_body(carry, k):
+                    carry = advance(carry, k, model_params, keys)
+                    return carry, (carry_x(carry).astype(jnp.float32)
+                                   if capture else None)
 
-                x, traj = jax.lax.scan(full_body, x, jnp.arange(num_steps))
-                return x.astype(jnp.float32), traj
+                carry, traj = jax.lax.scan(full_body, carry, jnp.arange(num_steps))
+                return carry_x(carry).astype(jnp.float32), traj
         else:
             every = int(capture)
             # timesteps enable the absolute-t mode (save_every >= steps):
@@ -172,7 +190,7 @@ class DiffusionSampler:
                         for i in range(len(saves))]
             # group the equal-length middle run into one scan-of-scans
             def sample_fn(model_params, noise, keys):
-                x = noise.astype(cfg.dtype)
+                carry = init_carry(noise.astype(cfg.dtype))
                 frames = []
                 i = 0
                 while i < len(segments):
@@ -183,19 +201,19 @@ class DiffusionSampler:
                         j += 1
                     n_rep = j - i + 1
                     if n_rep == 1:
-                        x = run_segment(model_params, x, keys, start, length)
-                        frames.append(x.astype(jnp.float32)[None])
+                        carry = run_segment(model_params, carry, keys, start, length)
+                        frames.append(carry_x(carry).astype(jnp.float32)[None])
                     else:
-                        def outer(x, rep):
-                            x = run_segment(model_params, x, keys,
-                                            start + rep * length, length)
-                            return x, x.astype(jnp.float32)
+                        def outer(carry, rep):
+                            carry = run_segment(model_params, carry, keys,
+                                                start + rep * length, length)
+                            return carry, carry_x(carry).astype(jnp.float32)
 
-                        x, ys = jax.lax.scan(outer, x, jnp.arange(n_rep))
+                        carry, ys = jax.lax.scan(outer, carry, jnp.arange(n_rep))
                         frames.append(ys)
                     i = j + 1
                 traj = jnp.concatenate(frames, axis=0)
-                return x.astype(jnp.float32), traj
+                return carry_x(carry).astype(jnp.float32), traj
 
         donate = (1,) if cfg.dtype == jnp.float32 else ()
         return jax.jit(sample_fn, donate_argnums=donate)
