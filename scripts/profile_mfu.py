@@ -59,7 +59,7 @@ def main() -> None:
 
     on_tpu = dev.platform == "tpu"
     model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16,
-                   use_fused_attention=on_tpu)
+                   use_fused_attention=on_tpu, fast_norm=on_tpu)
     params = init_unet_params(
         UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16), jax.random.PRNGKey(0))
 

@@ -107,7 +107,9 @@ class DiffusionSampler:
                                             clip_sample=config.clip_sample)
             self._step = ddim_step
         self.timesteps = np.asarray(self.params.timesteps)
+        self._multistep = config.scheduler == "dpm_solver"
         self._compiled: Dict[Tuple[int, bool], Callable] = {}
+        self._stream_compiled: Dict[int, Callable] = {}
 
     # -- seed plumbing ------------------------------------------------------------
     @staticmethod
@@ -224,15 +226,92 @@ class DiffusionSampler:
             self._compiled[key] = self._build(batch, capture)
         return self._compiled[key]
 
+    # -- streaming capture (async host offload) -----------------------------------
+    def _get_stream(self, batch: int) -> Callable:
+        """Jitted segment runner for host-streamed capture: advances the
+        carry over `length` steps (static; one compile per distinct segment
+        length) and emits the reached frame. Device memory stays O(1)
+        frames — the host assembles the trajectory while later segments
+        compute (the dispatch is async, so transfers overlap compute)."""
+        if batch not in self._stream_compiled:
+            cfg = self.config
+            sched = self.params
+            step_fn = self._step
+            apply_fn = self.apply_fn
+            multistep = self._multistep
+            shape = (cfg.image_size, cfg.image_size, cfg.channels)
+
+            def advance(carry, k, model_params, keys):
+                x = carry[0] if multistep else carry
+                t = sched.timesteps[k]
+                eps = apply_fn(model_params, x,
+                               jnp.broadcast_to(t, (batch,))).astype(cfg.dtype)
+                if multistep:
+                    return dpm_solver_step(carry[0], carry[1], eps, k, sched)
+                if cfg.deterministic_posterior:
+                    noise = None
+                else:
+                    noise = jax.vmap(
+                        lambda key: jax.random.normal(jax.random.fold_in(key, k + 1),
+                                                      shape, cfg.dtype))(keys)
+                return step_fn(x, eps, k, sched, noise)
+
+            def seg(model_params, carry, keys, start, length: int):
+                def body(c, k):
+                    return advance(c, k, model_params, keys), None
+
+                carry, _ = jax.lax.scan(body, carry, start + jnp.arange(length))
+                x = carry[0] if multistep else carry
+                return carry, x.astype(jnp.float32)
+
+            # no donation: the first segment's carry aliases the caller's
+            # noise array (astype is a no-op at matching dtype)
+            self._stream_compiled[batch] = jax.jit(seg, static_argnames=("length",))
+        return self._stream_compiled[batch]
+
+    def _sample_streamed(self, model_params, noise, keys, seeds_arr,
+                         hashes, every: int) -> Dict[str, Any]:
+        cfg = self.config
+        saves = save_indices(cfg.num_inference_steps, every, self.timesteps)
+        bounds = [-1] + saves
+        segments = [(bounds[i] + 1, bounds[i + 1] - bounds[i])
+                    for i in range(len(saves))]
+        seg = self._get_stream(int(seeds_arr.shape[0]))
+        carry = ((noise.astype(cfg.dtype), jnp.zeros_like(noise, cfg.dtype))
+                 if self._multistep else noise.astype(cfg.dtype))
+        frames = []
+        for start, length in segments:
+            carry, frame = seg(model_params, carry, keys, start, length)
+            frame.copy_to_host_async()
+            frames.append(frame)
+        final = carry[0] if self._multistep else carry
+        traj = np.stack([np.asarray(f) for f in frames])
+        return {
+            "images": final.astype(jnp.float32),
+            "noise_hashes": hashes,
+            "timesteps": self.timesteps.copy(),
+            "seeds": seeds_arr.copy(),
+            "trajectory": traj,            # host numpy (n_saved, B, H, W, C)
+            "save_indices": saves,
+        }
+
     # -- public API ------------------------------------------------------------------
     def sample(self, model_params, seeds: Union[int, np.ndarray],
                capture_trajectory: Union[bool, int] = False,
-               initial_noise: Optional[jax.Array] = None) -> Dict[str, Any]:
+               initial_noise: Optional[jax.Array] = None,
+               stream_to_host: bool = False) -> Dict[str, Any]:
         """Denoise from seed(s). Returns final images (B,H,W,C) float32 in
         ~[-1,1], plus the trajectory when requested: `True` captures every
         step ((S,B,H,W,C)); an int n captures only the frames at
         `save_indices(steps, n)` with O(S/n) device memory, returning
         `save_indices` alongside.
+
+        `stream_to_host=True` (with any capture mode) runs the scan as
+        per-segment dispatches and asynchronously offloads each saved frame
+        to host RAM while later segments compute: O(1) frames of device
+        memory, trajectory returned as host numpy — the async host↔device
+        pipeline from SURVEY.md §2.3 (replaces the reference's per-step
+        `.cpu().clone()`, `xai/XAI.py:825`).
 
         `initial_noise` overrides the seed-derived noise (exact-parity mode
         for golden tests with externally generated noise).
@@ -243,6 +322,11 @@ class DiffusionSampler:
         noise = self.initial_noise(seeds_arr) if initial_noise is None else initial_noise
         noise_np = np.asarray(noise)
         hashes = [noise_hash(noise_np[i]) for i in range(batch)]
+
+        if stream_to_host and capture_trajectory:
+            every = (1 if capture_trajectory is True else int(capture_trajectory))
+            return self._sample_streamed(model_params, noise, keys, seeds_arr,
+                                         hashes, every)
 
         capture_key = (capture_trajectory if isinstance(capture_trajectory, bool)
                        else int(capture_trajectory))

@@ -17,14 +17,28 @@ def _reference_attention(q, k, v):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
+@pytest.mark.parametrize("token_minor", [False, True])
 @pytest.mark.parametrize("shape", [(2, 4, 64, 8), (1, 2, 16, 4)])
-def test_fused_attention_matches_einsum(shape):
+def test_fused_attention_matches_einsum(shape, token_minor):
     rng = np.random.default_rng(0)
     q, k, v = (jnp.asarray(rng.normal(size=shape).astype(np.float32))
                for _ in range(3))
     want = np.asarray(_reference_attention(q, k, v))
-    got = np.asarray(fused_attention(q, k, v, interpret=True))
+    got = np.asarray(fused_attention(q, k, v, interpret=True,
+                                     token_minor=token_minor))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+@pytest.mark.parametrize("token_minor", [False, True])
+def test_fused_attention_fast_math(token_minor):
+    rng = np.random.default_rng(2)
+    shape = (1, 2, 32, 8)
+    q, k, v = (jnp.asarray(rng.normal(size=shape).astype(np.float32))
+               for _ in range(3))
+    want = np.asarray(_reference_attention(q, k, v))
+    got = np.asarray(fused_attention(q, k, v, interpret=True, fast_math=True,
+                                     token_minor=token_minor))
+    np.testing.assert_allclose(got, want, rtol=0.05, atol=0.02)
 
 
 def test_fused_attention_softmax_rows_sum():

@@ -66,3 +66,41 @@ def test_absolute_t_windowed_matches_full(steps, every):
     np.testing.assert_allclose(np.asarray(win["trajectory"]),
                                np.asarray(full["trajectory"])[idx],
                                rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("scheduler", ["ddpm", "dpm_solver"])
+@pytest.mark.parametrize("steps,every", [(10, 3), (6, 1)])
+def test_streamed_matches_windowed(steps, every, scheduler):
+    """stream_to_host: per-segment dispatch + async offload must reproduce
+    the single-jit windowed capture bit-for-bit (same seeds, same RNG
+    fold_in schedule)."""
+    model = UNet2D(config=TINY)
+    params = init_unet_params(model, jax.random.PRNGKey(0))
+    apply_fn = lambda p, x, t: model.apply({"params": p}, x, t)
+    sampler = DiffusionSampler(apply_fn, DiffusionSchedule.create(),
+                               SamplerConfig(num_inference_steps=steps,
+                                             image_size=16,
+                                             scheduler=scheduler))
+    win = sampler.sample(params, [3, 4], capture_trajectory=every)
+    stream = sampler.sample(params, [3, 4], capture_trajectory=every,
+                            stream_to_host=True)
+    assert isinstance(stream["trajectory"], np.ndarray)
+    assert stream["save_indices"] == win["save_indices"]
+    np.testing.assert_array_equal(stream["trajectory"],
+                                  np.asarray(win["trajectory"]))
+    np.testing.assert_array_equal(np.asarray(stream["images"]),
+                                  np.asarray(win["images"]))
+
+
+def test_streamed_full_capture_equals_capture_true():
+    model = UNet2D(config=TINY)
+    params = init_unet_params(model, jax.random.PRNGKey(0))
+    apply_fn = lambda p, x, t: model.apply({"params": p}, x, t)
+    sampler = DiffusionSampler(apply_fn, DiffusionSchedule.create(),
+                               SamplerConfig(num_inference_steps=7,
+                                             image_size=16))
+    full = sampler.sample(params, [9], capture_trajectory=True)
+    stream = sampler.sample(params, [9], capture_trajectory=True,
+                            stream_to_host=True)
+    np.testing.assert_array_equal(stream["trajectory"],
+                                  np.asarray(full["trajectory"]))
