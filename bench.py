@@ -35,6 +35,7 @@ sys.path.insert(0, REPO)
 BASELINE_PROBE_STEPS = 3
 HEADLINE = dict(scheduler="ddim", steps=50, batch=64)
 RESEARCH = dict(scheduler="ddpm", steps=1000, batch=8)
+FAST = dict(scheduler="dpm_solver", steps=20, batch=64)  # 2nd-order solver
 
 
 def bench_tpu(scheduler: str, steps: int, batch: int) -> float:
@@ -111,6 +112,10 @@ def main() -> None:
     headline_ips = bench_tpu(**HEADLINE)
     research_ips = bench_tpu(**RESEARCH)
     try:
+        fast_ips = bench_tpu(**FAST)
+    except Exception:
+        fast_ips = float("nan")
+    try:
         per_step = torch_cpu_per_step_seconds()
         base_headline = 1.0 / (per_step * HEADLINE["steps"])  # b=1, like the ref
         base_research = 1.0 / (per_step * RESEARCH["steps"])
@@ -128,6 +133,7 @@ def main() -> None:
         "extra": {
             "ddpm_T1000_b8_images_per_sec": round(research_ips, 4),
             "ddpm_T1000_vs_baseline": ratio(research_ips, base_research),
+            "dpm_solver_T20_b64_images_per_sec": round(fast_ips, 4),
             "baseline": "torch-CPU 1-core host, reference per-step loop "
                         "(extrapolated from 3 steps)",
         },

@@ -53,6 +53,9 @@ def main(argv=None) -> int:
     p.add_argument("--max-samples", type=int, default=500)
     p.add_argument("--no-bf16", action="store_true")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
+                   help="EMA decay for exported weights (e.g. 0.9999; "
+                        "0 = off = reference behavior)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--train-classifier", action="store_true",
                    help="train the ResNet18 lesion classifier instead of DDPMs")
@@ -94,7 +97,8 @@ def main(argv=None) -> int:
 
     cfg = TrainConfig(image_size=args.image_size, batch_size=args.batch,
                       learning_rate=args.lr, epochs=args.epochs,
-                      bf16_compute=not args.no_bf16, seed=args.seed)
+                      bf16_compute=not args.no_bf16, seed=args.seed,
+                      ema_decay=args.ema)
     for cls in classes:
         class_id = CLASS_NAMES.index(cls)
         dataset = SingleClassDataset(args.data_dir, args.csv, class_id,

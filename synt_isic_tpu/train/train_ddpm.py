@@ -45,12 +45,27 @@ class TrainConfig:
     snapshot_every: int = 5
     bf16_compute: bool = True
     seed: int = 0
+    # Exponential moving average of the weights (beyond-reference quality
+    # option, standard for DDPMs; 0.0 = off = exact reference behavior).
+    # When on, best/snapshot checkpoints are written from the EMA weights
+    # with the usual warmup schedule d_t = min(decay, (1+t)/(10+t)).
+    ema_decay: float = 0.0
 
 
 class TrainState(NamedTuple):
     params: Any
     opt_state: Any
     step: jnp.ndarray
+    ema_params: Any = None      # None when ema_decay == 0
+
+
+def ema_update(ema_params: Any, new_params: Any, step: jnp.ndarray,
+               decay: float) -> Any:
+    """EMA with warmup: d_t = min(decay, (1+t)/(10+t)) — small effective
+    decay early so the average is not biased toward the random init."""
+    d = jnp.minimum(decay, (1.0 + step) / (10.0 + step))
+    return jax.tree_util.tree_map(lambda e, p: d * e + (1.0 - d) * p,
+                                  ema_params, new_params)
 
 
 def create_train_state(model: UNet2D, config: TrainConfig,
@@ -62,8 +77,10 @@ def create_train_state(model: UNet2D, config: TrainConfig,
         if rng is None:
             rng = jax.random.PRNGKey(config.seed)
         params = init_unet_params(model, rng, image_size=config.image_size)
+    ema = (jax.tree_util.tree_map(jnp.array, params)
+           if config.ema_decay > 0 else None)
     return TrainState(params=params, opt_state=tx.init(params),
-                      step=jnp.zeros((), jnp.int32)), tx
+                      step=jnp.zeros((), jnp.int32), ema_params=ema), tx
 
 
 def make_train_step(model: UNet2D, schedule: DiffusionSchedule,
@@ -88,7 +105,10 @@ def make_train_step(model: UNet2D, schedule: DiffusionSchedule,
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        return TrainState(new_params, new_opt, state.step + 1), loss
+        ema = (ema_update(state.ema_params, new_params, state.step,
+                          config.ema_decay)
+               if state.ema_params is not None else None)
+        return TrainState(new_params, new_opt, state.step + 1, ema), loss
 
     return jax.jit(train_step, donate_argnums=(0,))
 
@@ -168,13 +188,17 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
         history.append(epoch_loss)
         log(f"[train:{class_name}] epoch {epoch}/{config.epochs} "
             f"loss={epoch_loss:.5f} ({time.time() - t0:.1f}s)")
+        # checkpoints ship the EMA weights when enabled (sampling quality),
+        # raw params keep training either way
+        export_params = (state.ema_params if state.ema_params is not None
+                         else state.params)
         if epoch_loss < best_loss:
             best_loss = epoch_loss
-            save_checkpoint_torch_format(state.params, str(best_path))
+            save_checkpoint_torch_format(export_params, str(best_path))
             log(f"[train:{class_name}] new best ({best_loss:.5f}) -> {best_path}")
         if epoch % config.snapshot_every == 0:
             snap = ckpt_dir / f"unet_{class_name}_epoch{epoch}.pth"
-            save_checkpoint_torch_format(state.params, str(snap))
+            save_checkpoint_torch_format(export_params, str(snap))
             save_train_state(state, str(resume_path))
     save_train_state(state, str(resume_path))
     return {"class": class_name, "best_loss": best_loss, "history": history,

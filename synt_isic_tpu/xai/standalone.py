@@ -66,13 +66,15 @@ def run_standalone_xai(target_class: str = "MEL",
 
     sampler = mm.create_sampler(inference_steps)
     if save_every > 0:
-        # windowed capture: only the saved frames ever exist on device.
-        # Covers BOTH modes of reference `XAI.py:750-779` — every-N when
-        # save_every < steps, absolute-t when save_every >= steps (the
-        # sampler derives the schedule from its timesteps table).
+        # windowed capture streamed to host: only O(1) frames ever exist
+        # on device, each saved frame offloads asynchronously while later
+        # segments compute. Covers BOTH modes of reference `XAI.py:750-779`
+        # — every-N when save_every < steps, absolute-t when save_every >=
+        # steps (the sampler derives the schedule from its timesteps table).
         out = sampler.sample(mm.loaded_params[target_class],
                              np.asarray([seed], np.uint32),
-                             capture_trajectory=save_every)
+                             capture_trajectory=save_every,
+                             stream_to_host=True)
         frames = np.asarray(out["trajectory"][:, 0])
         idx = out["save_indices"]
     else:

@@ -79,3 +79,42 @@ def test_augment_image_output_contract():
     out = augment_image(img, rng, out_size=64)
     assert out.shape == (64, 64, 3)
     assert out.min() >= -1 - 1e-6 and out.max() <= 1 + 1e-6
+
+
+def test_ema_update_warmup_and_tracking():
+    """Warmup: d_t = min(decay, (1+t)/(10+t)); the average must trail the
+    raw params and converge toward them when params stop moving."""
+    from synt_isic_tpu.train.train_ddpm import ema_update
+
+    ema = {"w": jnp.asarray(0.0)}
+    p = {"w": jnp.asarray(1.0)}
+    # step 0: d = min(0.999, 1/10) = 0.1 -> ema = 0.1*0 + 0.9*1 = 0.9
+    got = ema_update(ema, p, jnp.asarray(0), 0.999)
+    np.testing.assert_allclose(float(got["w"]), 0.9, rtol=1e-6)
+    # large step: d = 0.999 -> slow tracking
+    got2 = ema_update(ema, p, jnp.asarray(100000), 0.999)
+    np.testing.assert_allclose(float(got2["w"]), 0.001, rtol=1e-4)
+
+
+def test_train_step_with_ema_exports_ema_weights(tmp_path):
+    model = UNet2D(config=TINY)
+    cfg = TrainConfig(image_size=16, batch_size=2, learning_rate=2e-3,
+                      bf16_compute=False, ema_decay=0.99)
+    state, tx = create_train_state(model, cfg)
+    assert state.ema_params is not None
+    step = make_train_step(model, DiffusionSchedule.create(), tx, cfg)
+    batch = jnp.asarray(np.random.default_rng(1)
+                        .uniform(-1, 1, (2, 16, 16, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(1)
+    for i in range(3):
+        state, _ = step(state, batch, jax.random.fold_in(key, i))
+    # ema must differ from the raw params but stay in their neighborhood
+    raw = jax.tree_util.tree_leaves(state.params)
+    ema = jax.tree_util.tree_leaves(state.ema_params)
+    diffs = [float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+             for a, b in zip(raw, ema)]
+    assert max(diffs) > 0
+    assert max(diffs) < 0.1
+    # ema_decay=0 keeps the reference behavior: no ema tree at all
+    state0, _ = create_train_state(model, TrainConfig(image_size=16))
+    assert state0.ema_params is None
