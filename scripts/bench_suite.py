@@ -89,11 +89,14 @@ def main():
     from synt_isic_tpu.xai.gradcam import compute_gradcam
     frames = jax.random.normal(jax.random.PRNGKey(1), (50, 128, 128, 3))
     compute_gradcam(clf, frames, 0)
-    t0 = time.time()
-    n = 3
-    for i in range(n):
+    reps = []
+    for i in range(7):
+        t0 = time.time()
         jax.block_until_ready(compute_gradcam(clf, frames + i * 1e-6, 0))
-    dt = (time.time() - t0) / n
+        reps.append(time.time() - t0)
+    # median of 7 per-rep timings: single-rep numbers wobbled 2x between
+    # runs on this shared tunnel (NOTES_ROUND2.md)
+    dt = sorted(reps)[len(reps) // 2]
     record("gradcam_50frames", 50 / dt, "frames/s")
 
     # full per-frame attribution (IG-50 + patch-SHAP-512) — the reference's

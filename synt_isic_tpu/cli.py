@@ -179,7 +179,11 @@ def main(argv: Optional[List[str]] = None) -> int:
                            inference_steps=args.steps, batch_size=args.batch,
                            scheduler=args.scheduler, seed=args.seed)
     if args.list_classes:
-        for cls in gen.list_classes():
+        classes = gen.list_classes()
+        if not classes:
+            print(f"no model checkpoints (unet_<CLASS>_best.pth) found in "
+                  f"{gen.model_manager.checkpoints_dir}", file=sys.stderr)
+        for cls in classes:
             print(cls)
         return 0
     if args.interactive:

@@ -196,7 +196,11 @@ class AttentionBlock(nn.Module):
             return z.reshape(b, h * w, heads, self.head_dim).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        if self.use_fused:
+        # the Pallas kernel keeps the (T, T) fp32 logits in VMEM — only
+        # valid while they fit (T=1024/256 for the reference's 128² config;
+        # a 256² config reaches T=4096 => 67 MB and must take the XLA path)
+        fits_vmem = 4 * (h * w) ** 2 <= 12 * 2 ** 20
+        if self.use_fused and fits_vmem:
             from ..ops.pallas.attention import fused_attention
 
             out = fused_attention(q, k, v,

@@ -53,6 +53,24 @@ def test_fused_attention_softmax_rows_sum():
     np.testing.assert_allclose(out, want, rtol=1e-5, atol=1e-6)
 
 
+def test_attention_large_maps_fall_back_to_einsum():
+    """Maps whose (T, T) fp32 logits exceed the VMEM budget must take the
+    XLA einsum path even with use_fused=True (the Pallas kernel keeps the
+    full logits tile resident in VMEM, so it only supports the reference's
+    128^2-config map sizes, T<=1024). On CPU the Pallas call would fail
+    outright, so this test passing proves the fallback engaged."""
+    from synt_isic_tpu.models.unet2d import AttentionBlock
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(1, 64, 32, 8)).astype(np.float32))  # T=2048
+    fused = AttentionBlock(channels=8, head_dim=8, groups=1, use_fused=True)
+    plain = AttentionBlock(channels=8, head_dim=8, groups=1, use_fused=False)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    got = fused.apply(params, x)
+    want = plain.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_unet_fused_flag_param_tree_identical():
     """The fused flag must not change the parameter tree (checkpoints are
     shared between the einsum and Pallas variants)."""
