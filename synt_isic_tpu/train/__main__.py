@@ -57,6 +57,11 @@ def main(argv=None) -> int:
                    help="EMA decay for exported weights (e.g. 0.9999; "
                         "0 = off = reference behavior)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dp-mesh", action="store_true",
+                   help="data-parallel training over all devices (and all "
+                        "hosts when JAX_COORDINATOR_ADDRESS is set); "
+                        "--batch is then the GLOBAL batch and must divide "
+                        "the device count")
     p.add_argument("--train-classifier", action="store_true",
                    help="train the ResNet18 lesion classifier instead of DDPMs")
     args = p.parse_args(argv)
@@ -64,6 +69,14 @@ def main(argv=None) -> int:
     from ..utils.compute import enable_compilation_cache
 
     enable_compilation_cache()
+
+    # joins a multi-host runtime when the JAX_COORDINATOR_* env vars are
+    # set; silently single-host otherwise
+    from ..parallel import initialize_multihost
+    from ..parallel.multihost import hybrid_mesh
+
+    initialize_multihost()
+    mesh = hybrid_mesh() if args.dp_mesh else None
 
     if args.train_classifier:
         import numpy as np
@@ -109,7 +122,7 @@ def main(argv=None) -> int:
             continue
         print(f"== training {cls}: {len(dataset)} images ==")
         result = train_class(cls, dataset, args.checkpoints, cfg,
-                             resume=args.resume)
+                             resume=args.resume, mesh=mesh)
         print(f"== {cls} done: best_loss={result['best_loss']:.5f} ==")
     return 0
 

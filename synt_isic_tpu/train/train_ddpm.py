@@ -151,15 +151,31 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
                 config: TrainConfig = TrainConfig(),
                 model: Optional[UNet2D] = None,
                 resume: bool = False,
+                mesh=None,
                 log=print) -> Dict[str, Any]:
     """Full per-class training loop with best-loss + periodic checkpoints
-    and optional mid-run resume (params + optimizer state)."""
+    and optional mid-run resume (params + optimizer state).
+
+    `mesh`: optional `jax.sharding.Mesh` with a 'data' axis — batches are
+    sharded over it (multi-chip dp; on a `multihost.hybrid_mesh` the data
+    axis spans hosts over DCN) while params replicate; XLA inserts the
+    gradient psum. Checkpoint writes then go through process 0 only.
+    """
     model = model or UNet2D(
         config=UNet2DConfig(sample_size=config.image_size),
         dtype=jnp.bfloat16 if config.bf16_compute else jnp.float32)
     schedule = DiffusionSchedule.create(config.num_train_timesteps)
     state, tx = create_train_state(model, config)
     step_fn = make_train_step(model, schedule, tx, config)
+    if mesh is not None:
+        from ..parallel import multihost as _mh
+        from ..parallel.mesh import replicated_sharding
+
+        if config.batch_size % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch_size {config.batch_size} must divide the mesh data "
+                f"axis ({mesh.shape['data']}) for dp training")
+        state = jax.device_put(state, replicated_sharding(mesh))
 
     ckpt_dir = Path(checkpoint_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
@@ -174,6 +190,11 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
     data_rng = np.random.default_rng(config.seed)
     best_loss = float("inf")
     history = []
+    # on a multi-host mesh only process 0 writes artifacts (barriered)
+    if mesh is not None:
+        write = lambda fn, *a: _mh.host0_only(fn, *a)  # noqa: E731
+    else:
+        write = lambda fn, *a: fn(*a)  # noqa: E731
 
     from .data import prefetch
 
@@ -182,7 +203,11 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
         losses = []
         for batch in prefetch(dataset.batches(config.batch_size, data_rng)):
             key, sub = jax.random.split(key)
-            state, loss = step_fn(state, jnp.asarray(batch), sub)
+            if mesh is not None:
+                batch = _mh.global_batch_array(np.asarray(batch), mesh)
+            else:
+                batch = jnp.asarray(batch)
+            state, loss = step_fn(state, batch, sub)
             losses.append(float(loss))
         epoch_loss = float(np.mean(losses)) if losses else float("nan")
         history.append(epoch_loss)
@@ -194,12 +219,12 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
                          else state.params)
         if epoch_loss < best_loss:
             best_loss = epoch_loss
-            save_checkpoint_torch_format(export_params, str(best_path))
+            write(save_checkpoint_torch_format, export_params, str(best_path))
             log(f"[train:{class_name}] new best ({best_loss:.5f}) -> {best_path}")
         if epoch % config.snapshot_every == 0:
             snap = ckpt_dir / f"unet_{class_name}_epoch{epoch}.pth"
-            save_checkpoint_torch_format(export_params, str(snap))
-            save_train_state(state, str(resume_path))
-    save_train_state(state, str(resume_path))
+            write(save_checkpoint_torch_format, export_params, str(snap))
+            write(save_train_state, state, str(resume_path))
+    write(save_train_state, state, str(resume_path))
     return {"class": class_name, "best_loss": best_loss, "history": history,
             "checkpoint": str(best_path), "steps": int(state.step)}

@@ -118,3 +118,54 @@ def test_train_step_with_ema_exports_ema_weights(tmp_path):
     # ema_decay=0 keeps the reference behavior: no ema tree at all
     state0, _ = create_train_state(model, TrainConfig(image_size=16))
     assert state0.ema_params is None
+
+
+class _FixedDataset:
+    """Deterministic toy dataset yielding one fixed batch per epoch."""
+
+    def __init__(self, n, size):
+        self.data = (np.random.default_rng(7)
+                     .uniform(-1, 1, (n, size, size, 3)).astype(np.float32))
+
+    def __len__(self):
+        return len(self.data)
+
+    def batches(self, batch_size, rng):
+        for i in range(0, len(self.data), batch_size):
+            yield self.data[i:i + batch_size]
+
+
+def test_train_class_mesh_matches_single_device(tmp_path):
+    """Data-parallel training over the 8-device virtual mesh must produce
+    the same losses and checkpoint as the single-device loop (dp changes
+    layout, never values)."""
+    from synt_isic_tpu.parallel.multihost import hybrid_mesh
+    from synt_isic_tpu.train.train_ddpm import train_class
+
+    model = UNet2D(config=TINY)
+    cfg = TrainConfig(image_size=16, batch_size=8, learning_rate=1e-3,
+                      epochs=2, bf16_compute=False, snapshot_every=100)
+    ds = _FixedDataset(8, 16)
+    r_single = train_class("NV", ds, str(tmp_path / "single"), cfg,
+                           model=model, log=lambda *a: None)
+    r_mesh = train_class("NV", ds, str(tmp_path / "mesh"), cfg,
+                         model=model, mesh=hybrid_mesh(),
+                         log=lambda *a: None)
+    np.testing.assert_allclose(r_mesh["history"], r_single["history"],
+                               rtol=2e-4, atol=2e-5)
+    assert (tmp_path / "mesh" / "unet_NV_best.pth").exists()
+
+
+def test_train_class_mesh_rejects_nondividing_batch(tmp_path):
+    from synt_isic_tpu.parallel.multihost import hybrid_mesh
+    from synt_isic_tpu.train.train_ddpm import train_class
+
+    mesh = hybrid_mesh()
+    if mesh.shape["data"] < 2:
+        pytest.skip("needs a multi-device mesh")
+    cfg = TrainConfig(image_size=16, batch_size=3, epochs=1,
+                      bf16_compute=False)
+    with pytest.raises(ValueError, match="divide"):
+        train_class("NV", _FixedDataset(3, 16), str(tmp_path), cfg,
+                    model=UNet2D(config=TINY), mesh=mesh,
+                    log=lambda *a: None)
