@@ -1,0 +1,298 @@
+"""Long-lived generation service: models stay hot, requests get batched.
+
+The reference's closest analog is `diffusion/console_generator_server.py`
+— despite the name a one-shot CLI that re-loads the model for EVERY image
+(`console_generator_server.py:220-242`). For production serving on TPU the
+expensive state is the opposite of disposable: converted checkpoints,
+jitted executables, and device-resident params amortize across requests.
+This daemon keeps an `ImageGenerator` resident and serves a newline-
+delimited JSON protocol over TCP:
+
+  {"op": "classes"}                          -> {"ok": true, "classes": [..]}
+  {"op": "status"}                           -> {"ok": true, ...queue/stats}
+  {"op": "warmup", "class": "NV"}            -> load + compile before traffic
+  {"op": "generate", "class": "NV", "count": 4,
+   "seed": 42?, "steps": 50?, "output_dir": "..."?,
+   "postprocess": true?}                     -> {"ok": true, "files": [..],
+                                                 "output_dir", "elapsed_s"}
+  {"op": "shutdown"}                         -> {"ok": true}
+
+Execution model: connection threads only parse and enqueue; ONE worker
+thread owns the device (the chip has no useful intra-host concurrency and
+serializing keeps timings honest — NOTES_ROUND2.md). At dequeue time the
+worker coalesces queued requests that share (class, steps, postprocess,
+output_dir) and use server-drawn seeds (seed=None) into a single device
+batch — per-image recorded seeds keep every image reproducible regardless
+of how requests were merged (same guarantee as the reference's random
+mode, `image_generator.py:632-637`).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import queue
+import socket
+import socketserver
+import threading
+import time
+import uuid
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+
+class _Request:
+    __slots__ = ("payload", "event", "response")
+
+    def __init__(self, payload: Dict[str, Any]):
+        self.payload = payload
+        self.event = threading.Event()
+        self.response: Dict[str, Any] = {}
+
+
+def _coalesce_key(payload: Dict[str, Any]) -> Optional[Tuple]:
+    """Requests merge iff they target the same sampler executable and
+    artifact location AND let the server draw seeds. A fixed client seed
+    pins image indices, so such requests never merge."""
+    if payload.get("seed") is not None:
+        return None
+    return (payload["class"], payload.get("steps"),
+            bool(payload.get("postprocess", True)),
+            payload.get("output_dir"))
+
+
+def drain_batch(q: "queue.Queue[_Request]", first: _Request,
+                max_batch: int) -> List[_Request]:
+    """Greedily pull queued requests coalescible with `first` (no waiting)."""
+    batch = [first]
+    key = _coalesce_key(first.payload)
+    if key is None:
+        return batch
+    total = int(first.payload.get("count", 1))
+    skipped: List[_Request] = []
+    while total < max_batch:
+        try:
+            nxt = q.get_nowait()
+        except queue.Empty:
+            break
+        if _coalesce_key(nxt.payload) == key:
+            batch.append(nxt)
+            total += int(nxt.payload.get("count", 1))
+        else:
+            skipped.append(nxt)
+    for r in skipped:          # preserve FIFO for non-matching requests
+        q.put(r)
+    return batch
+
+
+class GenerationServer:
+    """TCP front + single device-owning worker around an ImageGenerator."""
+
+    def __init__(self, generator, host: str = "127.0.0.1", port: int = 0,
+                 output_root: str = "serve_output", max_batch: int = 64):
+        self.generator = generator
+        self.output_root = Path(output_root)
+        self.max_batch = max_batch
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._stop = threading.Event()
+        self._served = 0
+        self._t0 = time.time()
+
+        outer = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                for raw in self.rfile:
+                    line = raw.decode("utf-8").strip()
+                    if not line:
+                        continue
+                    try:
+                        payload = json.loads(line)
+                    except json.JSONDecodeError as exc:
+                        self._reply({"ok": False, "error": f"bad json: {exc}"})
+                        continue
+                    self._reply(outer._dispatch(payload))
+                    if payload.get("op") == "shutdown":
+                        return
+
+            def _reply(self, obj):
+                self.wfile.write((json.dumps(obj) + "\n").encode("utf-8"))
+                self.wfile.flush()
+
+        class Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._server = Server((host, port), Handler)
+        self.address = self._server.server_address
+        self._worker = threading.Thread(target=self._work_loop,
+                                        name="serve-worker", daemon=True)
+        self._accept = threading.Thread(target=self._server.serve_forever,
+                                        name="serve-accept", daemon=True)
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> "GenerationServer":
+        self._worker.start()
+        self._accept.start()
+        return self
+
+    def stop(self) -> None:
+        self._stop.set()
+        self._queue.put(None)  # wake worker
+        self._server.shutdown()
+        self._server.server_close()
+        if self._worker.is_alive():
+            self._worker.join(timeout=30)
+
+    def serve_forever(self) -> None:
+        try:
+            while not self._stop.is_set():
+                time.sleep(0.2)
+        except KeyboardInterrupt:
+            pass
+        finally:
+            self.stop()
+
+    # -- request handling --------------------------------------------------
+    def _dispatch(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        op = payload.get("op")
+        if op == "classes":
+            return {"ok": True,
+                    "classes": self.generator.get_available_classes()}
+        if op == "status":
+            return {"ok": True, "queue_depth": self._queue.qsize(),
+                    "served_images": self._served,
+                    "uptime_s": round(time.time() - self._t0, 1),
+                    "generator": self.generator.get_generation_status()}
+        if op == "shutdown":
+            threading.Thread(target=self.stop, daemon=True).start()
+            return {"ok": True, "shutting_down": True}
+        if op in ("generate", "warmup"):
+            if "class" not in payload:
+                return {"ok": False, "error": "missing 'class'"}
+            cls = payload["class"]
+            if cls not in self.generator.get_available_classes():
+                return {"ok": False, "error": f"unknown class {cls!r}"}
+            req = _Request(payload)
+            self._queue.put(req)
+            # generation blocks the calling connection thread, not the server
+            if not req.event.wait(timeout=float(payload.get("timeout_s", 3600))):
+                return {"ok": False, "error": "timed out waiting for worker"}
+            return req.response
+        return {"ok": False, "error": f"unknown op {op!r}"}
+
+    # -- worker ------------------------------------------------------------
+    def _work_loop(self) -> None:
+        while not self._stop.is_set():
+            req = self._queue.get()
+            if req is None:
+                break
+            batch = drain_batch(self._queue, req, self.max_batch)
+            try:
+                self._run_batch(batch)
+            except Exception as exc:  # defensive: a failed batch must not kill the worker
+                for r in batch:
+                    r.response = {"ok": False, "error": str(exc)}
+                    r.event.set()
+
+    def _run_batch(self, batch: List[_Request]) -> None:
+        head = batch[0].payload
+        cls = head["class"]
+        if head.get("op") == "warmup":
+            t0 = time.time()
+            ok = self.generator.model_manager.load_model(cls) is not None
+            batch[0].response = {"ok": ok,
+                                 "elapsed_s": round(time.time() - t0, 3)}
+            batch[0].event.set()
+            return
+
+        if head.get("steps"):
+            self.generator.set_inference_steps(int(head["steps"]))
+        self.generator.set_generation_seed(
+            int(head["seed"]) if head.get("seed") is not None else None)
+        out_dir = Path(head.get("output_dir") or
+                       (self.output_root / f"req_{uuid.uuid4().hex[:12]}"))
+        total = sum(int(r.payload.get("count", 1)) for r in batch)
+
+        class_dir = out_dir / cls
+        t0 = time.time()
+        result = self.generator.generate_images(
+            [(cls, total)], str(out_dir),
+            postprocess=bool(head.get("postprocess", True)))
+        elapsed = time.time() - t0
+        if "error" in result:
+            for r in batch:
+                r.response = {"ok": False, "error": result["error"]}
+                r.event.set()
+            return
+        # the generator names images ISIC_%07d.png from 1 per run
+        # (reference semantics, image_generator.py:615-619) — the produced
+        # set is deterministic
+        new_files = [str(class_dir / f"ISIC_{i:07d}.png")
+                     for i in range(1, total + 1)
+                     if (class_dir / f"ISIC_{i:07d}.png").exists()]
+        self._served += result.get("generated", 0)
+        # split files across the coalesced requests in FIFO order
+        offset = 0
+        for r in batch:
+            n = int(r.payload.get("count", 1))
+            r.response = {"ok": True, "class": cls,
+                          "files": new_files[offset:offset + n],
+                          "output_dir": str(out_dir),
+                          "coalesced": len(batch),
+                          "elapsed_s": round(elapsed, 3)}
+            offset += n
+            r.event.set()
+
+
+def request(host: str, port: int, payload: Dict[str, Any],
+            timeout: float = 3600.0) -> Dict[str, Any]:
+    """One-shot client: send a request line, return the parsed reply."""
+    with socket.create_connection((host, port), timeout=timeout) as sock:
+        sock.sendall((json.dumps(payload) + "\n").encode("utf-8"))
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = sock.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+    return json.loads(buf.decode("utf-8"))
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="synt-isic-serve",
+        description="long-lived TPU generation service (JSON-lines over TCP)")
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7933)
+    p.add_argument("--checkpoints", default=None)
+    p.add_argument("--output-root", default="serve_output")
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--batch", type=int, default=None,
+                   help="device batch size for the generator")
+    p.add_argument("--warmup", nargs="*", default=[],
+                   help="classes to load+compile before accepting traffic")
+    args = p.parse_args(argv)
+
+    from .generator import ImageGenerator
+    from .utils.compute import enable_compilation_cache
+
+    enable_compilation_cache()
+    gen = ImageGenerator(checkpoints_dir=args.checkpoints)
+    if args.steps:
+        gen.set_inference_steps(args.steps)
+    if args.batch:
+        gen.batch_size = args.batch
+    for cls in args.warmup:
+        print(f"warming up {cls}...", flush=True)
+        gen.model_manager.load_model(cls)
+
+    server = GenerationServer(gen, host=args.host, port=args.port,
+                              output_root=args.output_root).start()
+    print(f"serving on {server.address[0]}:{server.address[1]} "
+          f"({len(gen.get_available_classes())} classes)", flush=True)
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,133 @@
+"""Generation service (`serve.py`): protocol, worker, coalescing."""
+import json
+import queue
+import threading
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from synt_isic_tpu.generator import ImageGenerator
+from synt_isic_tpu.models.unet2d import UNet2DConfig
+from synt_isic_tpu.serve import GenerationServer, _Request, drain_batch, request
+
+from tests.torch_oracle.unet2d_torch import UNet2DTorch, tiny_config
+
+TINY = tiny_config()
+TINY_JAX = UNet2DConfig(
+    sample_size=TINY["sample_size"], layers_per_block=TINY["layers_per_block"],
+    block_out_channels=TINY["block_out_channels"],
+    down_block_types=TINY["down_block_types"],
+    up_block_types=TINY["up_block_types"],
+    attention_head_dim=TINY["attention_head_dim"],
+    norm_num_groups=TINY["norm_num_groups"])
+
+
+@pytest.fixture(scope="module")
+def server(tmp_path_factory):
+    ckpt = tmp_path_factory.mktemp("ckpt")
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen.set_inference_steps(4)
+    srv = GenerationServer(
+        gen, port=0, output_root=str(tmp_path_factory.mktemp("out"))).start()
+    yield srv
+    srv.stop()
+
+
+def _rpc(server, payload):
+    host, port = server.address
+    return request(host, port, payload, timeout=120)
+
+
+def test_classes_and_status(server):
+    assert _rpc(server, {"op": "classes"}) == {"ok": True, "classes": ["NV"]}
+    st = _rpc(server, {"op": "status"})
+    assert st["ok"] and st["queue_depth"] == 0 and "generator" in st
+
+
+def test_unknown_op_and_missing_class(server):
+    assert not _rpc(server, {"op": "nope"})["ok"]
+    assert not _rpc(server, {"op": "generate"})["ok"]
+    assert "unknown class" in _rpc(server, {"op": "generate",
+                                            "class": "MEL"})["error"]
+
+
+def test_warmup_then_generate(server):
+    w = _rpc(server, {"op": "warmup", "class": "NV"})
+    assert w["ok"]
+    r = _rpc(server, {"op": "generate", "class": "NV", "count": 2,
+                      "seed": 42, "postprocess": False})
+    assert r["ok"] and len(r["files"]) == 2 and r["coalesced"] == 1
+    from pathlib import Path
+
+    for f in r["files"]:
+        assert Path(f).exists()
+    # sidecar metadata records the reproducibility contract
+    sidecar = json.loads(Path(r["files"][0]).with_suffix(".json").read_text())
+    assert sidecar["seed"] is not None
+
+
+def test_generate_is_reproducible_with_fixed_seed(server):
+    r1 = _rpc(server, {"op": "generate", "class": "NV", "count": 1,
+                       "seed": 7, "postprocess": False})
+    r2 = _rpc(server, {"op": "generate", "class": "NV", "count": 1,
+                       "seed": 7, "postprocess": False})
+    from PIL import Image
+
+    a = np.asarray(Image.open(r1["files"][0]))
+    b = np.asarray(Image.open(r2["files"][0]))
+    np.testing.assert_array_equal(a, b)
+
+
+def test_concurrent_requests_all_served(server):
+    results = []
+
+    def go(i):
+        results.append(_rpc(server, {"op": "generate", "class": "NV",
+                                     "count": 1, "postprocess": False}))
+
+    threads = [threading.Thread(target=go, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert len(results) == 3 and all(r["ok"] for r in results)
+    assert all(len(r["files"]) == 1 for r in results)
+
+
+# -- coalescing unit tests (no device) -----------------------------------
+
+def _req(**kw):
+    payload = {"op": "generate", "class": "NV", "count": 1}
+    payload.update(kw)
+    return _Request(payload)
+
+
+def test_drain_batch_merges_seedless_same_target():
+    q = queue.Queue()
+    first = _req(count=2)
+    for r in [_req(count=3), _req(count=1)]:
+        q.put(r)
+    batch = drain_batch(q, first, max_batch=64)
+    assert len(batch) == 3
+    assert q.qsize() == 0
+
+
+def test_drain_batch_keeps_fixed_seed_requests_separate():
+    q = queue.Queue()
+    q.put(_req(seed=42))
+    batch = drain_batch(q, _req(), max_batch=64)
+    assert len(batch) == 1          # seeded request NOT merged
+    assert q.qsize() == 1           # and still queued FIFO
+
+
+def test_drain_batch_respects_max_batch_and_mixed_keys():
+    q = queue.Queue()
+    q.put(_req(count=10))
+    q.put(_req(count=10, steps=99))   # different executable -> no merge
+    batch = drain_batch(q, _req(count=60), max_batch=64)
+    assert [int(r.payload["count"]) for r in batch] == [60, 10]
+    assert q.qsize() == 1
