@@ -167,7 +167,55 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scheduler", choices=["ddpm", "ddim", "dpm_solver"],
                    default="ddpm")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--reproduce", type=str, metavar="SIDECAR_JSON",
+                   help="regenerate the exact image recorded by a per-image "
+                        "sidecar JSON (seed + steps + scheduler config; "
+                        "verified via the recorded noise hash). Use "
+                        "--no-postprocess if the original was generated "
+                        "without color postprocessing to get identical bytes")
     return p
+
+
+def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
+                           output: Optional[str] = None,
+                           postprocess: bool = True,
+                           model_config=None) -> int:
+    """Regenerate the image a sidecar JSON records (the reproducibility
+    contract of reference `image_generator.py:456-477`: same seed + steps +
+    scheduler config => same trajectory). The regenerated sidecar's
+    `noise_hash` must equal the original's — a mismatch means the wrong
+    checkpoint/config and exits nonzero."""
+    import json
+
+    meta = json.loads(Path(sidecar_path).read_text(encoding="utf-8"))
+    cls, seed = meta["class"], meta["seed"]
+    if seed is None:
+        print("sidecar records no seed — cannot reproduce", file=sys.stderr)
+        return 1
+    from .generator import ImageGenerator
+
+    gen = ImageGenerator(checkpoints_dir=checkpoints_dir,
+                         model_config=model_config)
+    gen.set_inference_steps(int(meta["inference_steps"]))
+    out_path = output or str(
+        Path(sidecar_path).with_name(Path(meta["filename"]).stem
+                                     + "_reproduced.png"))
+    ok, _ = gen.generate_single_image(cls, out_path, postprocess=postprocess,
+                                      seed=int(seed))
+    if not ok:
+        print(f"generation failed for class {cls}", file=sys.stderr)
+        return 1
+    redo = json.loads(Path(out_path).with_suffix(".json")
+                      .read_text(encoding="utf-8"))
+    if meta.get("noise_hash") and redo.get("noise_hash") != meta["noise_hash"]:
+        print(f"noise hash MISMATCH: {redo.get('noise_hash')} != "
+              f"{meta['noise_hash']} (different checkpoint or config?)",
+              file=sys.stderr)
+        return 1
+    print(f"reproduced {meta['filename']} -> {out_path} "
+          f"(noise hash verified)" if meta.get("noise_hash")
+          else f"reproduced {meta['filename']} -> {out_path}")
+    return 0
 
 
 def main(argv: Optional[List[str]] = None) -> int:
@@ -175,6 +223,10 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if args.reproduce:
+        return reproduce_from_sidecar(args.reproduce, args.checkpoints,
+                                      output=args.output,
+                                      postprocess=not args.no_postprocess)
     gen = ConsoleGenerator(base_dir=args.base_dir, checkpoints_dir=args.checkpoints,
                            inference_steps=args.steps, batch_size=args.batch,
                            scheduler=args.scheduler, seed=args.seed)

@@ -47,3 +47,37 @@ def test_regenerate_from_sidecar(tmp_path):
     assert (tmp_path / "redo.png").read_bytes() == img_path.read_bytes()
     redo_meta = json.loads((tmp_path / "redo.json").read_text())
     assert redo_meta["noise_hash"] == meta["noise_hash"]
+
+
+def test_cli_reproduce_flag(tmp_path, capsys):
+    """`--reproduce <sidecar.json>` regenerates the exact image and verifies
+    the noise hash."""
+    from synt_isic_tpu.cli import reproduce_from_sidecar
+
+    ckpt = tmp_path / "checkpoints"
+    ckpt.mkdir()
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen.set_inference_steps(4)
+    gen.set_generation_seed(123)
+    gen.generate_images([("NV", 1)], str(tmp_path / "run"), postprocess=False)
+    sidecar = tmp_path / "run" / "NV" / "ISIC_0000001.json"
+
+    rc = reproduce_from_sidecar(str(sidecar), str(ckpt),
+                                output=str(tmp_path / "redo.png"),
+                                postprocess=False, model_config=TINY_JAX)
+    assert rc == 0
+    assert ((tmp_path / "redo.png").read_bytes()
+            == (tmp_path / "run" / "NV" / "ISIC_0000001.png").read_bytes())
+
+    # corrupt the recorded hash -> must fail loudly
+    meta = json.loads(sidecar.read_text())
+    meta["noise_hash"] = "deadbeef"
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps(meta))
+    rc = reproduce_from_sidecar(str(bad), str(ckpt),
+                                output=str(tmp_path / "redo2.png"),
+                                postprocess=False, model_config=TINY_JAX)
+    assert rc == 1
