@@ -87,6 +87,20 @@ def main() -> int:
     report = auditor.audit(images, estimate_phototype_mask(images))
     print(f"    -> verdict: {report['verdict']}")
 
+    # 5. serving: hot models behind a TCP protocol
+    print("[5] serving (ephemeral port, one request, shutdown)")
+    from synt_isic_tpu.serve import GenerationServer, request
+
+    gen.set_xai_analyzer(None)  # serve plain generation
+
+    server = GenerationServer(gen, port=0,
+                              output_root=str(work / "serve")).start()
+    host, port = server.address
+    reply = request(host, port, {"op": "generate", "class": cls, "count": 1,
+                                 "seed": 7})
+    print(f"    -> {reply['files']}")
+    server.stop()
+
     print(f"done. outputs in {work}")
     return 0
 
