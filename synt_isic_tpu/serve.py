@@ -50,10 +50,10 @@ class _Request:
 
 
 def _coalesce_key(payload: Dict[str, Any]) -> Optional[Tuple]:
-    """Requests merge iff they target the same sampler executable and
-    artifact location AND let the server draw seeds. A fixed client seed
-    pins image indices, so such requests never merge."""
-    if payload.get("seed") is not None:
+    """Requests merge iff they are generates targeting the same sampler
+    executable and artifact location AND let the server draw seeds. A fixed
+    client seed pins image indices, so such requests never merge."""
+    if payload.get("op") != "generate" or payload.get("seed") is not None:
         return None
     return (payload["class"], payload.get("steps"),
             bool(payload.get("postprocess", True)),

@@ -131,3 +131,14 @@ def test_drain_batch_respects_max_batch_and_mixed_keys():
     batch = drain_batch(q, _req(count=60), max_batch=64)
     assert [int(r.payload["count"]) for r in batch] == [60, 10]
     assert q.qsize() == 1
+
+
+def test_drain_batch_never_merges_warmup_with_generate():
+    """A warmup op must not swallow queued generate requests (only the head
+    request of a warmup batch gets a response — merged ones would hang)."""
+    q = queue.Queue()
+    q.put(_req())        # seedless generate
+    warm = _Request({"op": "warmup", "class": "NV"})
+    batch = drain_batch(q, warm, max_batch=64)
+    assert len(batch) == 1
+    assert q.qsize() == 1
