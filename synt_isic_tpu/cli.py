@@ -197,9 +197,20 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
     gen = ImageGenerator(checkpoints_dir=checkpoints_dir,
                          model_config=model_config)
     gen.set_inference_steps(int(meta["inference_steps"]))
-    out_path = output or str(
-        Path(sidecar_path).with_name(Path(meta["filename"]).stem
-                                     + "_reproduced.png"))
+    # pin the reverse process: sidecars written by this framework record the
+    # sampler kind; older/reference sidecars default to the DDPM ancestral
+    # sampler (the reference's only sampler)
+    sched = meta.get("scheduler") or {}
+    gen.scheduler_kind = sched.get("kind", "ddpm")
+    gen.ddim_eta = float(sched.get("ddim_eta", 0.0))
+    reproduced_name = Path(meta["filename"]).stem + "_reproduced.png"
+    if output is None:
+        out_path = str(Path(sidecar_path).with_name(reproduced_name))
+    elif output.endswith(".png"):
+        out_path = output
+    else:  # a directory
+        Path(output).mkdir(parents=True, exist_ok=True)
+        out_path = str(Path(output) / reproduced_name)
     ok, _ = gen.generate_single_image(cls, out_path, postprocess=postprocess,
                                       seed=int(seed))
     if not ok:
@@ -207,14 +218,28 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
         return 1
     redo = json.loads(Path(out_path).with_suffix(".json")
                       .read_text(encoding="utf-8"))
+    # the noise hash covers only the seed->initial-noise pipeline (it is
+    # independent of checkpoint and sampler); byte comparison against the
+    # original image, when it is still next to the sidecar, is the full check
     if meta.get("noise_hash") and redo.get("noise_hash") != meta["noise_hash"]:
-        print(f"noise hash MISMATCH: {redo.get('noise_hash')} != "
-              f"{meta['noise_hash']} (different checkpoint or config?)",
-              file=sys.stderr)
+        print(f"initial-noise hash MISMATCH: {redo.get('noise_hash')} != "
+              f"{meta['noise_hash']} (seed pipeline changed)", file=sys.stderr)
         return 1
-    print(f"reproduced {meta['filename']} -> {out_path} "
-          f"(noise hash verified)" if meta.get("noise_hash")
-          else f"reproduced {meta['filename']} -> {out_path}")
+    original = Path(sidecar_path).with_name(meta["filename"])
+    if original.exists():
+        if original.read_bytes() == Path(out_path).read_bytes():
+            print(f"reproduced {meta['filename']} -> {out_path} "
+                  f"(byte-identical to the original)")
+        else:
+            print(f"reproduced {meta['filename']} -> {out_path}, but bytes "
+                  f"DIFFER from the original (different checkpoint, or "
+                  f"postprocess mismatch — try --no-postprocess)",
+                  file=sys.stderr)
+            return 1
+    else:
+        print(f"reproduced {meta['filename']} -> {out_path} "
+              f"(initial-noise hash verified; original not present for "
+              f"byte comparison)")
     return 0
 
 

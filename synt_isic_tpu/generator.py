@@ -230,7 +230,17 @@ class ImageGenerator:
             inference_steps=self.inference_steps,
             model_metadata=self.model_manager.model_metadata.get(class_name, {}),
             device=str(self.model_manager.device),
-            noise_hash=sample_out["noise_hashes"][idx])
+            noise_hash=sample_out["noise_hashes"][idx],
+            scheduler={
+                # the reference's static field set (image_generator.py:463-467)
+                "num_train_timesteps": 1000,
+                "beta_schedule": "squaredcos_cap_v2",
+                "prediction_type": "epsilon",
+                # additive fields: the SAMPLER actually used — without these
+                # a sidecar cannot pin the reverse process (--reproduce)
+                "kind": self.scheduler_kind,
+                "ddim_eta": self.ddim_eta,
+            })
 
     def generate_images(self, class_configs: List[Tuple[str, int]],
                         output_dir: str, postprocess: bool = True) -> Dict[str, Any]:

@@ -116,23 +116,13 @@ def hybrid_mesh(ici_axes: Optional[Dict[str, int]] = None,
     names = dcn_names + ici_only
     dcn_shape = [dcn_axes[n] for n in names if n in dcn_axes] + [1] * len(ici_only)
     ici_shape = [ici_axes.get(n, 1) for n in names]
+    # create_hybrid_device_mesh returns shape dcn_mesh_shape * mesh_shape
+    # elementwise, so a name shared between the tiers is already ONE flat
+    # axis of size dcn*ici (processes outer, local chips inner)
     devices = mesh_utils.create_hybrid_device_mesh(
         mesh_shape=ici_shape, dcn_mesh_shape=dcn_shape,
         devices=jax.devices())
-    mesh = Mesh(devices, tuple(names))
-    # flatten shared-name factors: reshape (dcn, ici) pairs into one axis
-    flat_shape = []
-    flat_names = []
-    arr = mesh.devices
-    for i, n in enumerate(names):
-        size = arr.shape[i]
-        if n in dcn_axes and n in ici_axes:
-            size = dcn_axes[n] * ici_axes[n]
-        flat_shape.append(size)
-        flat_names.append(n)
-    if tuple(flat_shape) != arr.shape:
-        arr = arr.reshape(tuple(flat_shape))
-    return Mesh(arr, tuple(flat_names))
+    return Mesh(devices, tuple(names))
 
 
 def local_batch_bounds(global_batch: int, process_id: Optional[int] = None,

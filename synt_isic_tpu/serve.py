@@ -41,12 +41,15 @@ from typing import Any, Dict, List, Optional, Tuple
 
 
 class _Request:
-    __slots__ = ("payload", "event", "response")
+    __slots__ = ("payload", "event", "response", "cancelled")
 
     def __init__(self, payload: Dict[str, Any]):
         self.payload = payload
         self.event = threading.Event()
         self.response: Dict[str, Any] = {}
+        # set when the waiting client gave up (timeout/disconnect); the
+        # worker drops cancelled requests instead of generating orphans
+        self.cancelled = False
 
 
 def _coalesce_key(payload: Dict[str, Any]) -> Optional[Tuple]:
@@ -74,9 +77,12 @@ def drain_batch(q: "queue.Queue[_Request]", first: _Request,
             nxt = q.get_nowait()
         except queue.Empty:
             break
-        if _coalesce_key(nxt.payload) == key:
+        if nxt.cancelled:
+            continue
+        n = int(nxt.payload.get("count", 1))
+        if _coalesce_key(nxt.payload) == key and total + n <= max_batch:
             batch.append(nxt)
-            total += int(nxt.payload.get("count", 1))
+            total += n
         else:
             skipped.append(nxt)
     for r in skipped:          # preserve FIFO for non-matching requests
@@ -92,6 +98,7 @@ class GenerationServer:
         self.generator = generator
         self.output_root = Path(output_root)
         self.max_batch = max_batch
+        self._default_steps = generator.inference_steps
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._served = 0
@@ -176,6 +183,7 @@ class GenerationServer:
             self._queue.put(req)
             # generation blocks the calling connection thread, not the server
             if not req.event.wait(timeout=float(payload.get("timeout_s", 3600))):
+                req.cancelled = True  # worker drops it if not yet started
                 return {"ok": False, "error": "timed out waiting for worker"}
             return req.response
         return {"ok": False, "error": f"unknown op {op!r}"}
@@ -186,6 +194,8 @@ class GenerationServer:
             req = self._queue.get()
             if req is None:
                 break
+            if req.cancelled:
+                continue
             batch = drain_batch(self._queue, req, self.max_batch)
             try:
                 self._run_batch(batch)
@@ -205,8 +215,9 @@ class GenerationServer:
             batch[0].event.set()
             return
 
-        if head.get("steps"):
-            self.generator.set_inference_steps(int(head["steps"]))
+        # per-request steps must not leak into later requests that omit it
+        self.generator.set_inference_steps(
+            int(head["steps"]) if head.get("steps") else self._default_steps)
         self.generator.set_generation_seed(
             int(head["seed"]) if head.get("seed") is not None else None)
         out_dir = Path(head.get("output_dir") or
@@ -214,6 +225,17 @@ class GenerationServer:
         total = sum(int(r.payload.get("count", 1)) for r in batch)
 
         class_dir = out_dir / cls
+        # generation numbers images from ISIC_0000001 per run (reference
+        # semantics) — a reused output_dir would silently overwrite images
+        # already served to an earlier client
+        if class_dir.exists() and any(class_dir.glob("ISIC_*.png")):
+            for r in batch:
+                r.response = {"ok": False, "error":
+                              f"output_dir {out_dir} already holds generated "
+                              f"{cls} images; use a fresh directory (or omit "
+                              f"output_dir for an auto-created one)"}
+                r.event.set()
+            return
         t0 = time.time()
         result = self.generator.generate_images(
             [(cls, total)], str(out_dir),
@@ -231,15 +253,23 @@ class GenerationServer:
                      for i in range(1, total + 1)
                      if (class_dir / f"ISIC_{i:07d}.png").exists()]
         self._served += result.get("generated", 0)
-        # split files across the coalesced requests in FIFO order
+        # split files across the coalesced requests in FIFO order; a
+        # stopped/partial run short-changes the tail requests, which must
+        # see ok:false rather than an empty-but-ok reply
         offset = 0
         for r in batch:
             n = int(r.payload.get("count", 1))
-            r.response = {"ok": True, "class": cls,
-                          "files": new_files[offset:offset + n],
+            files = new_files[offset:offset + n]
+            complete = len(files) == n
+            r.response = {"ok": complete, "class": cls,
+                          "files": files,
                           "output_dir": str(out_dir),
                           "coalesced": len(batch),
                           "elapsed_s": round(elapsed, 3)}
+            if not complete:
+                r.response["error"] = (
+                    f"partial generation: {len(files)}/{n} images "
+                    f"(stopped={result.get('stopped', False)})")
             offset += n
             r.event.set()
 

@@ -60,8 +60,8 @@ def main(argv=None) -> int:
     p.add_argument("--dp-mesh", action="store_true",
                    help="data-parallel training over all devices (and all "
                         "hosts when JAX_COORDINATOR_ADDRESS is set); "
-                        "--batch is then the GLOBAL batch and must divide "
-                        "the device count")
+                        "--batch is then the GLOBAL batch and must be a "
+                        "multiple of the device count")
     p.add_argument("--train-classifier", action="store_true",
                    help="train the ResNet18 lesion classifier instead of DDPMs")
     args = p.parse_args(argv)

@@ -173,8 +173,8 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
 
         if config.batch_size % mesh.shape["data"] != 0:
             raise ValueError(
-                f"batch_size {config.batch_size} must divide the mesh data "
-                f"axis ({mesh.shape['data']}) for dp training")
+                f"batch_size {config.batch_size} must be a multiple of the "
+                f"mesh data axis size ({mesh.shape['data']}) for dp training")
         state = jax.device_put(state, replicated_sharding(mesh))
 
     ckpt_dir = Path(checkpoint_dir)
@@ -204,7 +204,11 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
         for batch in prefetch(dataset.batches(config.batch_size, data_rng)):
             key, sub = jax.random.split(key)
             if mesh is not None:
-                batch = _mh.global_batch_array(np.asarray(batch), mesh)
+                # every process draws the same global batch (same dataset +
+                # same data_rng seed) and feeds only its own slice
+                batch = np.asarray(batch)
+                start, stop = _mh.local_batch_bounds(batch.shape[0])
+                batch = _mh.global_batch_array(batch[start:stop], mesh)
             else:
                 batch = jnp.asarray(batch)
             state, loss = step_fn(state, batch, sub)

@@ -81,3 +81,28 @@ def test_cli_reproduce_flag(tmp_path, capsys):
                                 output=str(tmp_path / "redo2.png"),
                                 postprocess=False, model_config=TINY_JAX)
     assert rc == 1
+
+
+def test_cli_reproduce_pins_scheduler_kind(tmp_path):
+    """A sidecar written from a DDIM run must reproduce through DDIM — the
+    recorded scheduler kind drives the reverse process (byte comparison
+    against the original proves it; a DDPM re-run would differ)."""
+    from synt_isic_tpu.cli import reproduce_from_sidecar
+
+    ckpt = tmp_path / "checkpoints"
+    ckpt.mkdir()
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen.set_inference_steps(4)
+    gen.scheduler_kind = "ddim"
+    gen.set_generation_seed(55)
+    gen.generate_images([("NV", 1)], str(tmp_path / "run"), postprocess=False)
+    sidecar = tmp_path / "run" / "NV" / "ISIC_0000001.json"
+    assert json.loads(sidecar.read_text())["scheduler"]["kind"] == "ddim"
+
+    rc = reproduce_from_sidecar(str(sidecar), str(ckpt),
+                                output=str(tmp_path / "redo.png"),
+                                postprocess=False, model_config=TINY_JAX)
+    assert rc == 0  # exits 0 only on byte-identity with the original here

@@ -82,6 +82,35 @@ def test_generate_is_reproducible_with_fixed_seed(server):
     np.testing.assert_array_equal(a, b)
 
 
+def test_steps_do_not_leak_between_requests(server):
+    """A request's custom `steps` must not change later requests that omit
+    steps (they get the server default, here 4)."""
+    _rpc(server, {"op": "generate", "class": "NV", "count": 1, "steps": 2,
+                  "seed": 5, "postprocess": False})
+    r = _rpc(server, {"op": "generate", "class": "NV", "count": 1,
+                      "seed": 5, "postprocess": False})
+    from pathlib import Path
+
+    sidecar = json.loads(Path(r["files"][0]).with_suffix(".json").read_text())
+    assert sidecar["inference_steps"] == 4
+
+
+def test_reused_output_dir_is_refused(server, tmp_path):
+    out = tmp_path / "fixed"
+    r1 = _rpc(server, {"op": "generate", "class": "NV", "count": 1,
+                       "seed": 1, "postprocess": False,
+                       "output_dir": str(out)})
+    assert r1["ok"]
+    r2 = _rpc(server, {"op": "generate", "class": "NV", "count": 1,
+                       "seed": 2, "postprocess": False,
+                       "output_dir": str(out)})
+    assert not r2["ok"] and "already holds" in r2["error"]
+    # the first client's served artifact is untouched
+    from pathlib import Path
+
+    assert Path(r1["files"][0]).exists()
+
+
 def test_concurrent_requests_all_served(server):
     results = []
 
@@ -126,11 +155,23 @@ def test_drain_batch_keeps_fixed_seed_requests_separate():
 
 def test_drain_batch_respects_max_batch_and_mixed_keys():
     q = queue.Queue()
-    q.put(_req(count=10))
+    q.put(_req(count=10))             # would overshoot 64 -> must NOT merge
+    q.put(_req(count=4))              # fits -> merges
     q.put(_req(count=10, steps=99))   # different executable -> no merge
     batch = drain_batch(q, _req(count=60), max_batch=64)
-    assert [int(r.payload["count"]) for r in batch] == [60, 10]
-    assert q.qsize() == 1
+    assert [int(r.payload["count"]) for r in batch] == [60, 4]
+    assert q.qsize() == 2
+
+
+def test_drain_batch_drops_cancelled_requests():
+    q = queue.Queue()
+    dead = _req()
+    dead.cancelled = True
+    q.put(dead)
+    q.put(_req(count=2))
+    batch = drain_batch(q, _req(count=1), max_batch=64)
+    assert [int(r.payload["count"]) for r in batch] == [1, 2]
+    assert q.qsize() == 0
 
 
 def test_drain_batch_never_merges_warmup_with_generate():

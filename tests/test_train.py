@@ -165,7 +165,7 @@ def test_train_class_mesh_rejects_nondividing_batch(tmp_path):
         pytest.skip("needs a multi-device mesh")
     cfg = TrainConfig(image_size=16, batch_size=3, epochs=1,
                       bf16_compute=False)
-    with pytest.raises(ValueError, match="divide"):
+    with pytest.raises(ValueError, match="multiple"):
         train_class("NV", _FixedDataset(3, 16), str(tmp_path), cfg,
                     model=UNet2D(config=TINY), mesh=mesh,
                     log=lambda *a: None)
