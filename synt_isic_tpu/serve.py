@@ -13,8 +13,9 @@ delimited JSON protocol over TCP:
   {"op": "warmup", "class": "NV"}            -> load + compile before traffic
   {"op": "generate", "class": "NV", "count": 4,
    "seed": 42?, "steps": 50?, "output_dir": "..."?,
-   "postprocess": true?}                     -> {"ok": true, "files": [..],
-                                                 "output_dir", "elapsed_s"}
+   "postprocess": true?, "xai": false?}      -> {"ok": true, "files": [..],
+                                                 "output_dir", "elapsed_s",
+                                                 "xai_dir"? }
   {"op": "shutdown"}                         -> {"ok": true}
 
 Execution model: connection threads only parse and enqueue; ONE worker
@@ -60,6 +61,7 @@ def _coalesce_key(payload: Dict[str, Any]) -> Optional[Tuple]:
         return None
     return (payload["class"], payload.get("steps"),
             bool(payload.get("postprocess", True)),
+            bool(payload.get("xai", False)),
             payload.get("output_dir"))
 
 
@@ -94,11 +96,17 @@ class GenerationServer:
     """TCP front + single device-owning worker around an ImageGenerator."""
 
     def __init__(self, generator, host: str = "127.0.0.1", port: int = 0,
-                 output_root: str = "serve_output", max_batch: int = 64):
+                 output_root: str = "serve_output", max_batch: int = 64,
+                 xai_analyzer_factory=None):
         self.generator = generator
         self.output_root = Path(output_root)
         self.max_batch = max_batch
         self._default_steps = generator.inference_steps
+        # XAI-as-a-service: requests with "xai": true run the integrated
+        # pipeline on each served image's captured trajectory. The analyzer
+        # (classifier + jitted attribution kernels) is built once, lazily.
+        self._xai_factory = xai_analyzer_factory
+        self._xai_analyzer = None
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
         self._served = 0
@@ -220,6 +228,18 @@ class GenerationServer:
             int(head["steps"]) if head.get("steps") else self._default_steps)
         self.generator.set_generation_seed(
             int(head["seed"]) if head.get("seed") is not None else None)
+        if head.get("xai"):
+            if self._xai_analyzer is None:
+                if self._xai_factory is not None:
+                    self._xai_analyzer = self._xai_factory()
+                else:
+                    from .xai.integration import create_integrated_xai_analyzer
+
+                    self._xai_analyzer = create_integrated_xai_analyzer()
+            self.generator.set_xai_analyzer(self._xai_analyzer)
+            self.generator.set_xai_frequency(1)
+        else:
+            self.generator.set_xai_analyzer(None)
         out_dir = Path(head.get("output_dir") or
                        (self.output_root / f"req_{uuid.uuid4().hex[:12]}"))
         total = sum(int(r.payload.get("count", 1)) for r in batch)
@@ -266,6 +286,8 @@ class GenerationServer:
                           "output_dir": str(out_dir),
                           "coalesced": len(batch),
                           "elapsed_s": round(elapsed, 3)}
+            if head.get("xai"):
+                r.response["xai_dir"] = str(out_dir / "xai_results" / cls)
             if not complete:
                 r.response["error"] = (
                     f"partial generation: {len(files)}/{n} images "

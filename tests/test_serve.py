@@ -183,3 +183,45 @@ def test_drain_batch_never_merges_warmup_with_generate():
     batch = drain_batch(q, warm, max_batch=64)
     assert len(batch) == 1
     assert q.qsize() == 1
+
+
+def test_xai_requests_do_not_coalesce_with_plain():
+    q = queue.Queue()
+    q.put(_req(xai=True))
+    batch = drain_batch(q, _req(), max_batch=64)
+    assert len(batch) == 1 and q.qsize() == 1
+
+
+def test_generate_with_xai_returns_artifacts(tmp_path_factory):
+    """XAI-as-a-service: "xai": true runs the integrated pipeline on each
+    served image's captured trajectory."""
+    from synt_isic_tpu.xai.integration import create_integrated_xai_analyzer
+
+    ckpt = tmp_path_factory.mktemp("ckpt_xai")
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen.set_inference_steps(4)
+    srv = GenerationServer(
+        gen, port=0, output_root=str(tmp_path_factory.mktemp("out_xai")),
+        xai_analyzer_factory=lambda: create_integrated_xai_analyzer(
+            ig_n_steps=2, shap_n_samples=4, n_bootstrap=20, n_permutations=20,
+            with_sanity=False, verbose=False)).start()
+    try:
+        host, port = srv.address
+        r = request(host, port, {"op": "generate", "class": "NV", "count": 1,
+                                 "seed": 3, "postprocess": False,
+                                 "xai": True}, timeout=600)
+        assert r["ok"], r
+        from pathlib import Path
+
+        xai_dir = Path(r["xai_dir"])
+        assert xai_dir.exists()
+        assert any(xai_dir.rglob("analysis_results.json"))
+        # a later non-xai request must not run the pipeline
+        r2 = request(host, port, {"op": "generate", "class": "NV",
+                                  "count": 1, "seed": 4,
+                                  "postprocess": False}, timeout=600)
+        assert r2["ok"] and "xai_dir" not in r2
+    finally:
+        srv.stop()
