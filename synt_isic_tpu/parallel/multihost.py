@@ -118,10 +118,14 @@ def hybrid_mesh(ici_axes: Optional[Dict[str, int]] = None,
     ici_shape = [ici_axes.get(n, 1) for n in names]
     # create_hybrid_device_mesh returns shape dcn_mesh_shape * mesh_shape
     # elementwise, so a name shared between the tiers is already ONE flat
-    # axis of size dcn*ici (processes outer, local chips inner)
+    # axis of size dcn*ici (processes outer, local chips inner).
+    # process_is_granule: our dcn_axes multiply to process_count by
+    # contract, so the DCN granule is the PROCESS — the slice-granule
+    # default would reject both CPU meshes (no slice_index) and multi-host
+    # single-slice TPU topologies.
     devices = mesh_utils.create_hybrid_device_mesh(
         mesh_shape=ici_shape, dcn_mesh_shape=dcn_shape,
-        devices=jax.devices())
+        devices=jax.devices(), process_is_granule=True)
     return Mesh(devices, tuple(names))
 
 

@@ -95,3 +95,63 @@ def test_multihost_feeding_matches_single_device_math():
     got = float(mean_norm(arr))
     want = float(np.mean(np.sum(data * data, axis=-1)))
     assert abs(got - want) < 1e-4
+
+
+MULTIPROC_SCRIPT = r'''
+import os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+import numpy as np, jax.numpy as jnp
+sys.path.insert(0, os.environ["REPO_ROOT"])
+from synt_isic_tpu.parallel import multihost as mh
+assert jax.process_count() == nproc
+assert mh.is_multihost()
+mesh = mh.hybrid_mesh()
+assert mesh.shape["data"] == nproc * 2
+start, stop = mh.local_batch_bounds(8)
+assert (stop - start) == 4 and start == pid * 4
+data = np.arange(8 * 3, dtype=np.float32).reshape(8, 3)
+arr = mh.global_batch_array(data[start:stop], mesh)
+assert arr.shape == (8, 3)
+total = float(jax.jit(jnp.sum)(arr))
+assert abs(total - float(data.sum())) < 1e-5, total
+tree = mh.broadcast_from_host0({"v": jnp.full((3,), float(pid))})
+assert float(tree["v"][0]) == 0.0          # host 0's value everywhere
+mh.host0_only(lambda: None)
+print("MULTIPROC_OK", flush=True)
+'''
+
+
+def test_two_real_processes_over_local_coordinator(tmp_path):
+    """TRUE multi-process validation of the DCN tier: two OS processes join
+    one JAX runtime over a localhost coordinator, build a hybrid mesh
+    spanning 2 processes x 2 virtual devices, feed per-process slices of a
+    global batch, and agree on a jitted global reduction + broadcast."""
+    import os
+    import subprocess
+
+    script = tmp_path / "proc.py"
+    script.write_text(MULTIPROC_SCRIPT)
+    env = dict(os.environ,
+               REPO_ROOT=str(__import__("pathlib").Path(__file__).parents[1]))
+    env.pop("JAX_PLATFORMS", None)
+    port = "9934"
+    procs = [subprocess.Popen(["python", str(script), str(i), "2", port],
+                              stdout=subprocess.PIPE,
+                              stderr=subprocess.STDOUT, env=env, text=True)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0 and "MULTIPROC_OK" in out, \
+            f"proc{i} rc={p.returncode}:\n{out[-2000:]}"
