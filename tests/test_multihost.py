@@ -15,6 +15,14 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from synt_isic_tpu.parallel import multihost as mh
 
+from synt_isic_tpu.models.unet2d import UNet2DConfig
+
+TINY_TRAIN = UNet2DConfig(
+    sample_size=16, layers_per_block=1, block_out_channels=(8, 16, 16),
+    attention_head_dim=4, norm_num_groups=2,
+    down_block_types=("DownBlock2D", "AttnDownBlock2D", "DownBlock2D"),
+    up_block_types=("UpBlock2D", "AttnUpBlock2D", "UpBlock2D"))
+
 
 def test_initialize_is_noop_without_coordinator(monkeypatch):
     monkeypatch.delenv("JAX_COORDINATOR_ADDRESS", raising=False)
@@ -155,3 +163,96 @@ def test_two_real_processes_over_local_coordinator(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0 and "MULTIPROC_OK" in out, \
             f"proc{i} rc={p.returncode}:\n{out[-2000:]}"
+
+
+TRAIN_SCRIPT = r'''
+import os, sys
+pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+workdir = sys.argv[4]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                           num_processes=nproc, process_id=pid)
+import numpy as np
+sys.path.insert(0, os.environ["REPO_ROOT"])
+from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig
+from synt_isic_tpu.parallel import multihost as mh
+from synt_isic_tpu.train.train_ddpm import TrainConfig, train_class
+
+TINY = UNet2DConfig(sample_size=16, layers_per_block=1,
+                    block_out_channels=(8, 16, 16), attention_head_dim=4,
+                    norm_num_groups=2,
+                    down_block_types=("DownBlock2D", "AttnDownBlock2D", "DownBlock2D"),
+                    up_block_types=("UpBlock2D", "AttnUpBlock2D", "UpBlock2D"))
+
+class FixedDataset:
+    def __init__(self):
+        self.data = (np.random.default_rng(7)
+                     .uniform(-1, 1, (8, 16, 16, 3)).astype(np.float32))
+    def __len__(self):
+        return len(self.data)
+    def batches(self, batch_size, rng):
+        for i in range(0, len(self.data), batch_size):
+            yield self.data[i:i + batch_size]
+
+cfg = TrainConfig(image_size=16, batch_size=8, learning_rate=1e-3, epochs=1,
+                  bf16_compute=False, snapshot_every=100)
+res = train_class("NV", FixedDataset(), workdir, cfg,
+                  model=UNet2D(config=TINY), mesh=mh.hybrid_mesh(),
+                  log=lambda *a: None)
+print("TRAIN_LOSS", res["history"][0], flush=True)
+'''
+
+
+def test_two_process_dp_training_matches_single_device(tmp_path):
+    """Data-parallel TRAINING across two real processes: the gradient psum
+    crosses the process boundary, each process feeds only its slice, and
+    the epoch loss matches the single-device run exactly (dp changes
+    layout, never values). Only process 0 writes checkpoints."""
+    import os
+    import re
+    import subprocess
+
+    from synt_isic_tpu.models.unet2d import UNet2D
+    from synt_isic_tpu.train.train_ddpm import TrainConfig, train_class
+
+    script = tmp_path / "train_proc.py"
+    script.write_text(TRAIN_SCRIPT)
+    shared = tmp_path / "ckpt"
+    env = dict(os.environ,
+               REPO_ROOT=str(__import__("pathlib").Path(__file__).parents[1]))
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        ["python", str(script), str(i), "2", "9951", str(shared)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
+        for i in range(2)]
+    outs = [p.communicate(timeout=420)[0] for p in procs]
+    losses = []
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc{i} rc={p.returncode}:\n{out[-2000:]}"
+        m = re.search(r"TRAIN_LOSS ([0-9.]+)", out)
+        assert m, out[-2000:]
+        losses.append(float(m.group(1)))
+    assert losses[0] == losses[1]
+    assert (shared / "unet_NV_best.pth").exists()
+
+    # single-device ground truth (same seeds, same fixed dataset)
+    cfg = TrainConfig(image_size=16, batch_size=8, learning_rate=1e-3,
+                      epochs=1, bf16_compute=False, snapshot_every=100)
+    r = train_class("NV", _SingleFixedDataset(), str(tmp_path / "single"),
+                    cfg, model=UNet2D(config=TINY_TRAIN), log=lambda *a: None)
+    assert abs(r["history"][0] - losses[0]) < 2e-4
+
+
+class _SingleFixedDataset:
+    def __init__(self):
+        self.data = (np.random.default_rng(7)
+                     .uniform(-1, 1, (8, 16, 16, 3)).astype(np.float32))
+
+    def __len__(self):
+        return len(self.data)
+
+    def batches(self, batch_size, rng):
+        for i in range(0, len(self.data), batch_size):
+            yield self.data[i:i + batch_size]
