@@ -3,7 +3,7 @@
 Two configs on the real TPU chip (full-size ~25M-param UNet2D, bf16
 compute, jitted lax.scan sampler):
 
-  * PRODUCTION / headline: DDIM T=50, batch 64 — the reference GUI's
+  * PRODUCTION / headline: DDIM T=50, batch 128 — the reference GUI's
     default inference_timesteps=50 (`core/config/config_manager.py:54`)
     at a throughput-oriented batch;
   * RESEARCH: DDPM T=1000, batch 8 — the console CLI / smoke-test config
@@ -33,9 +33,9 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
 BASELINE_PROBE_STEPS = 3
-HEADLINE = dict(scheduler="ddim", steps=50, batch=64)
+HEADLINE = dict(scheduler="ddim", steps=50, batch=128)
 RESEARCH = dict(scheduler="ddpm", steps=1000, batch=8)
-FAST = dict(scheduler="dpm_solver", steps=20, batch=64)  # 2nd-order solver
+FAST = dict(scheduler="dpm_solver", steps=20, batch=128)  # 2nd-order solver
 
 
 def bench_tpu(scheduler: str, steps: int, batch: int) -> float:
@@ -126,14 +126,14 @@ def main() -> None:
         return round(a / b, 2) if b == b and b > 0 else None
 
     print(json.dumps({
-        "metric": "images_per_sec_chip_ddim_128_T50_b64_bf16",
+        "metric": "images_per_sec_chip_ddim_128_T50_b128_bf16",
         "value": round(headline_ips, 4),
         "unit": "images/sec",
         "vs_baseline": ratio(headline_ips, base_headline),
         "extra": {
             "ddpm_T1000_b8_images_per_sec": round(research_ips, 4),
             "ddpm_T1000_vs_baseline": ratio(research_ips, base_research),
-            "dpm_solver_T20_b64_images_per_sec": round(fast_ips, 4),
+            "dpm_solver_T20_b128_images_per_sec": round(fast_ips, 4),
             "baseline": "torch-CPU 1-core host, reference per-step loop "
                         "(extrapolated from 3 steps)",
         },
