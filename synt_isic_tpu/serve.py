@@ -319,8 +319,9 @@ def main(argv=None) -> int:
     p.add_argument("--checkpoints", default=None)
     p.add_argument("--output-root", default="serve_output")
     p.add_argument("--steps", type=int, default=None)
-    p.add_argument("--batch", type=int, default=None,
-                   help="device batch size for the generator")
+    p.add_argument("--batch", type=int, default=128,
+                   help="device batch size for the generator (128 is the "
+                        "measured single-chip throughput knee, DEPLOYMENT.md)")
     p.add_argument("--warmup", nargs="*", default=[],
                    help="classes to load+compile before accepting traffic")
     args = p.parse_args(argv)
