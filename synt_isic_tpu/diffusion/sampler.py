@@ -353,8 +353,11 @@ class DiffusionSampler:
                            capture_trajectory=capture_trajectory)
 
 
-def to_uint8_images(images: jax.Array) -> np.ndarray:
+def to_uint8_images(images) -> np.ndarray:
     """[-1,1] NHWC float -> uint8, the reference's de-normalization
-    (`image_generator.py:440-448`)."""
-    arr = np.asarray(jnp.clip((images + 1.0) / 2.0, 0.0, 1.0))
+    (`image_generator.py:440-448`). Pure numpy — routing this through jnp
+    costs a device round-trip per call (~100 ms each on a tunneled link),
+    which dominated the artifact-write loop."""
+    arr = np.asarray(images, dtype=np.float32)
+    arr = np.clip((arr + 1.0) / 2.0, 0.0, 1.0)
     return (arr * 255.0).astype(np.uint8)

@@ -272,24 +272,55 @@ class ImageGenerator:
                 class_image_count = 0
                 self._log(f"generating {count} images for class {class_name}")
 
-                index = 0
-                while index < count and not self.stop_requested:
+                need_traj = self.save_trajectory and self.xai_analyzer is not None
+
+                def dispatch_block(index):
                     block = min(self.batch_size, count - index)
                     # trajectory capture holds (steps, block, H, W, C) on
                     # device — cap the block so HBM stays bounded
                     # (~steps*block*64KB fp32 at 128²)
-                    if self.save_trajectory and self.xai_analyzer is not None:
+                    if need_traj:
                         max_traj_block = max(1, (4 << 30) //
                                              (self.inference_steps * 64 * 1024))
                         block = min(block, max_traj_block)
                     seeds = np.asarray(
                         [self._seed_for(class_name, index + j, offsets)
                          for j in range(block)], dtype=np.uint32)
-                    need_traj = self.save_trajectory and self.xai_analyzer is not None
-                    out = self._sample_batch(class_name, seeds, need_traj)
-                    if out is None:
-                        self._log(f"model unavailable for {class_name}", "error")
-                        break
+                    return self._sample_batch(class_name, seeds, need_traj), \
+                        seeds, block
+
+                # two-stage software pipeline: the sampler dispatch is async
+                # (jit results are futures), so block k's PNG/sidecar/CSV
+                # writes run WHILE block k+1 computes on the device. Not
+                # used in trajectory mode — two in-flight trajectories
+                # would double the capped HBM footprint.
+                pipeline = not need_traj
+                index = 0
+                pending = None  # (out, seeds, block)
+                while ((index < count or pending is not None)
+                       and not self.stop_requested):
+                    nxt = None
+                    if index < count:
+                        out, seeds, block = dispatch_block(index)
+                        if out is None:
+                            self._log(f"model unavailable for {class_name}",
+                                      "error")
+                            count = index  # drain pending, dispatch no more
+                        else:
+                            nxt = (out, seeds, block)
+                            index += block
+                    if not pipeline and nxt is not None:
+                        pending, nxt = nxt, None
+                    if pending is None:
+                        pending = nxt
+                        continue
+                    out, seeds, block = pending
+                    pending = nxt
+                    # ONE device->host transfer for the whole block — a
+                    # per-image `images[idx]` fetch costs a device slice +
+                    # round-trip each (~100 ms/image through a tunneled
+                    # link, dominating the write loop)
+                    out = dict(out, images=np.asarray(out["images"]))
                     for j in range(block):
                         if self.stop_requested:
                             break
@@ -331,7 +362,6 @@ class ImageGenerator:
                                                            filename, str(file_path))
                             except Exception as exc:
                                 self._log(f"integrated XAI failed: {exc}", "warning")
-                    index += block
 
             elapsed = time.time() - t_start
             result = {
