@@ -43,13 +43,19 @@ def main() -> int:
 
     enable_compilation_cache()
     work = Path(tempfile.mkdtemp(prefix="bench_serve_"))
-    ckpt_dir = Path(args.checkpoints) if args.checkpoints else work / "ckpt"
-    if not any(ckpt_dir.glob("unet_*_best.pth") if ckpt_dir.exists() else []):
+    if args.checkpoints:
+        # never write into a user-supplied checkpoint directory
+        ckpt_dir = Path(args.checkpoints)
+        if not any(ckpt_dir.glob("unet_*_best.pth")):
+            print(f"error: no unet_*_best.pth in {ckpt_dir}", file=sys.stderr)
+            return 1
+    else:
         from synt_isic_tpu.models.unet2d import (UNet2D, UNet2DConfig,
                                                  init_unet_params)
         from synt_isic_tpu.train.train_ddpm import save_checkpoint_torch_format
 
-        ckpt_dir.mkdir(parents=True, exist_ok=True)
+        ckpt_dir = work / "ckpt"
+        ckpt_dir.mkdir(parents=True)
         params = init_unet_params(UNet2D(config=UNet2DConfig()),
                                   jax.random.PRNGKey(0))
         save_checkpoint_torch_format(params, str(ckpt_dir / "unet_NV_best.pth"))

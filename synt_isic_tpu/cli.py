@@ -197,12 +197,17 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
     gen = ImageGenerator(checkpoints_dir=checkpoints_dir,
                          model_config=model_config)
     gen.set_inference_steps(int(meta["inference_steps"]))
-    # pin the reverse process: sidecars written by this framework record the
-    # sampler kind; older/reference sidecars default to the DDPM ancestral
-    # sampler (the reference's only sampler)
+    # pin the reverse process from the recorded sampler kind; sidecars that
+    # predate kind-recording can only be ASSUMED ddpm (the reference's only
+    # sampler) — then byte comparison against the original is the sole
+    # proof, and without it we exit 2, not 0
     sched = meta.get("scheduler") or {}
+    kind_recorded = "kind" in sched
     gen.scheduler_kind = sched.get("kind", "ddpm")
     gen.ddim_eta = float(sched.get("ddim_eta", 0.0))
+    if not kind_recorded:
+        print("warning: sidecar predates sampler-kind recording — assuming "
+              "the DDPM ancestral sampler", file=sys.stderr)
     reproduced_name = Path(meta["filename"]).stem + "_reproduced.png"
     if output is None:
         out_path = str(Path(sidecar_path).with_name(reproduced_name))
@@ -240,6 +245,10 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
         print(f"reproduced {meta['filename']} -> {out_path} "
               f"(initial-noise hash verified; original not present for "
               f"byte comparison)")
+        if not kind_recorded:
+            print("UNVERIFIED: the sampler kind was assumed and the original "
+                  "image is not available to compare against", file=sys.stderr)
+            return 2
     return 0
 
 

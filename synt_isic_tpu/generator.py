@@ -276,12 +276,13 @@ class ImageGenerator:
 
                 def dispatch_block(index):
                     block = min(self.batch_size, count - index)
-                    # trajectory capture holds (steps, block, H, W, C) on
-                    # device — cap the block so HBM stays bounded
-                    # (~steps*block*64KB fp32 at 128²)
+                    # trajectory capture holds (steps, block, H, W, C) fp32
+                    # on device — cap the block so HBM stays bounded
                     if need_traj:
+                        size = self.model_manager.model.config.sample_size
+                        frame_bytes = size * size * 3 * 4  # 192KB at 128²
                         max_traj_block = max(1, (4 << 30) //
-                                             (self.inference_steps * 64 * 1024))
+                                             (self.inference_steps * frame_bytes))
                         block = min(block, max_traj_block)
                     seeds = np.asarray(
                         [self._seed_for(class_name, index + j, offsets)

@@ -287,7 +287,15 @@ class GenerationServer:
                           "coalesced": len(batch),
                           "elapsed_s": round(elapsed, 3)}
             if head.get("xai"):
-                r.response["xai_dir"] = str(out_dir / "xai_results" / cls)
+                # per-image XAI failures are logged-and-continued by the
+                # generator; report honestly when no artifacts materialized
+                xd = out_dir / "xai_results" / cls
+                if xd.exists():
+                    r.response["xai_dir"] = str(xd)
+                else:
+                    r.response["xai_dir"] = None
+                    r.response["xai_error"] = ("XAI produced no artifacts "
+                                               "(see server logs)")
             if not complete:
                 r.response["error"] = (
                     f"partial generation: {len(files)}/{n} images "
@@ -322,15 +330,25 @@ def main(argv=None) -> int:
     p.add_argument("--batch", type=int, default=128,
                    help="device batch size for the generator (128 is the "
                         "measured single-chip throughput knee, DEPLOYMENT.md)")
+    p.add_argument("--max-batch", type=int, default=None,
+                   help="coalescing cap in images (default: --batch — the "
+                        "device batch the executables are warmed for)")
+    p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
+                   help="compute dtype (bf16 is the production path all "
+                        "published throughput numbers use)")
     p.add_argument("--warmup", nargs="*", default=[],
                    help="classes to load+compile before accepting traffic")
     args = p.parse_args(argv)
+
+    import jax.numpy as jnp
 
     from .generator import ImageGenerator
     from .utils.compute import enable_compilation_cache
 
     enable_compilation_cache()
-    gen = ImageGenerator(checkpoints_dir=args.checkpoints)
+    gen = ImageGenerator(
+        checkpoints_dir=args.checkpoints,
+        compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
     if args.steps:
         gen.set_inference_steps(args.steps)
     if args.batch:
@@ -340,7 +358,8 @@ def main(argv=None) -> int:
         gen.model_manager.load_model(cls)
 
     server = GenerationServer(gen, host=args.host, port=args.port,
-                              output_root=args.output_root).start()
+                              output_root=args.output_root,
+                              max_batch=args.max_batch or args.batch).start()
     print(f"serving on {server.address[0]}:{server.address[1]} "
           f"({len(gen.get_available_classes())} classes)", flush=True)
     server.serve_forever()

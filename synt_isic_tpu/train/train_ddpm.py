@@ -160,6 +160,13 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
     sharded over it (multi-chip dp; on a `multihost.hybrid_mesh` the data
     axis spans hosts over DCN) while params replicate; XLA inserts the
     gradient psum. Checkpoint writes then go through process 0 only.
+
+    Scaling note: every process materializes the full global batch (same
+    dataset + rng on each host keeps augmentation draws identical to the
+    single-device run — exact loss parity) and feeds only its slice, so
+    host-side input work does not shrink with process count. Fine at the
+    reference's data scale (≤500 images/class); per-host-slice loading
+    would need per-image rng keyed on (seed, epoch, global index).
     """
     model = model or UNet2D(
         config=UNet2DConfig(sample_size=config.image_size),

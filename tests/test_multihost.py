@@ -134,6 +134,16 @@ print("MULTIPROC_OK", flush=True)
 '''
 
 
+def _free_port() -> str:
+    """An OS-assigned free TCP port (fixed ports collide across concurrent
+    runs and linger in TIME_WAIT)."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return str(s.getsockname()[1])
+
+
 def test_two_real_processes_over_local_coordinator(tmp_path):
     """TRUE multi-process validation of the DCN tier: two OS processes join
     one JAX runtime over a localhost coordinator, build a hybrid mesh
@@ -147,7 +157,7 @@ def test_two_real_processes_over_local_coordinator(tmp_path):
     env = dict(os.environ,
                REPO_ROOT=str(__import__("pathlib").Path(__file__).parents[1]))
     env.pop("JAX_PLATFORMS", None)
-    port = "9934"
+    port = _free_port()
     procs = [subprocess.Popen(["python", str(script), str(i), "2", port],
                               stdout=subprocess.PIPE,
                               stderr=subprocess.STDOUT, env=env, text=True)
@@ -223,11 +233,19 @@ def test_two_process_dp_training_matches_single_device(tmp_path):
     env = dict(os.environ,
                REPO_ROOT=str(__import__("pathlib").Path(__file__).parents[1]))
     env.pop("JAX_PLATFORMS", None)
+    port = _free_port()
     procs = [subprocess.Popen(
-        ["python", str(script), str(i), "2", "9951", str(shared)],
+        ["python", str(script), str(i), "2", port, str(shared)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env, text=True)
         for i in range(2)]
-    outs = [p.communicate(timeout=420)[0] for p in procs]
+    outs = []
+    for p in procs:
+        try:
+            outs.append(p.communicate(timeout=420)[0])
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            outs.append(p.communicate()[0])
     losses = []
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc{i} rc={p.returncode}:\n{out[-2000:]}"
