@@ -62,8 +62,9 @@ def main():
     print(f"device: {jax.devices()[0]} ({platform})", flush=True)
 
     for batch, steps, sched in [(8, 1000, "ddpm"), (32, 1000, "ddpm"),
-                                (64, 50, "ddim"), (64, 50, "ddpm"),
-                                (64, 50, "dpm_solver"), (64, 20, "dpm_solver")]:
+                                (64, 50, "ddim"), (128, 50, "ddim"),
+                                (64, 50, "ddpm"), (64, 50, "dpm_solver"),
+                                (128, 20, "dpm_solver")]:
         ips = bench_sampler(batch, steps, sched)
         note = ("2nd-order solver: DDIM-50-class accuracy at T=20"
                 if sched == "dpm_solver" and steps == 20 else "")
