@@ -23,6 +23,9 @@ def __getattr__(name):  # lazy: keep bare `import synt_isic_tpu` light
     if name == "create_integrated_xai_analyzer":
         from .xai.integration import create_integrated_xai_analyzer
         return create_integrated_xai_analyzer
+    if name == "GenerationServer":
+        from .serve import GenerationServer
+        return GenerationServer
     raise AttributeError(name)
 
 
@@ -36,4 +39,5 @@ __all__ = [
     "ModelManager",
     "CacheManager",
     "create_integrated_xai_analyzer",
+    "GenerationServer",
 ]
