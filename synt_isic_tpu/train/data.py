@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import os
 from pathlib import Path
-from typing import Iterator
+from typing import Iterator, Optional, Tuple
 
 import numpy as np
 from PIL import Image
@@ -234,12 +234,30 @@ class SingleClassDataset:
         return arr
 
     def batches(self, batch_size: int, rng: np.random.Generator,
-                shuffle: bool = True) -> Iterator[np.ndarray]:
-        """Yields augmented NHWC batches in [-1,1]."""
+                shuffle: bool = True,
+                local_range: Optional[Tuple[int, int]] = None
+                ) -> Iterator[np.ndarray]:
+        """Yields augmented NHWC batches in [-1,1].
+
+        Augmentation draws come from PER-IMAGE streams seeded by one bulk
+        draw from `rng`, so an epoch's randomness is fixed by `rng` alone —
+        independent of which rows a process materializes. That makes
+        `local_range=(lo, hi)` possible: yield only rows [lo, hi) of every
+        batch, LOADING/AUGMENTING only those. Multi-host dp feeding passes
+        `multihost.local_batch_bounds(batch_size)` here, so per-host input
+        work shrinks 1/n while the global batch (and the loss sequence)
+        stays identical to the single-device run.
+        """
         order = np.arange(len(self))
         if shuffle:
             rng.shuffle(order)
+        img_seeds = rng.integers(0, np.iinfo(np.int64).max, size=len(order))
+        lo, hi = local_range if local_range is not None else (0, batch_size)
         for start in range(0, len(order) - batch_size + 1, batch_size):
-            idxs = order[start:start + batch_size]
-            raw = np.stack([self.load_raw(int(i)) for i in idxs])
-            yield augment_batch(raw, rng, self.image_size)
+            rows = range(start + lo, start + min(hi, batch_size))
+            imgs = []
+            for k in rows:
+                img_rng = np.random.default_rng(int(img_seeds[k]))
+                imgs.append(augment_image(self.load_raw(int(order[k])),
+                                          img_rng, self.image_size))
+            yield np.stack(imgs)

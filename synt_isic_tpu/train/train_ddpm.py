@@ -161,12 +161,13 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
     axis spans hosts over DCN) while params replicate; XLA inserts the
     gradient psum. Checkpoint writes then go through process 0 only.
 
-    Scaling note: every process materializes the full global batch (same
-    dataset + rng on each host keeps augmentation draws identical to the
-    single-device run — exact loss parity) and feeds only its slice, so
-    host-side input work does not shrink with process count. Fine at the
-    reference's data scale (≤500 images/class); per-host-slice loading
-    would need per-image rng keyed on (seed, epoch, global index).
+    Multi-host input scaling: when the dataset's `batches` supports
+    `local_range` (SingleClassDataset does), each process loads and
+    augments ONLY its 1/n of every global batch — per-image rng streams
+    make the epoch's randomness independent of who materializes which rows,
+    so the loss sequence still matches the single-device run exactly.
+    Datasets without `local_range` fall back to full-batch-then-slice
+    (host input work constant per process, fine at reference data scale).
     """
     model = model or UNet2D(
         config=UNet2DConfig(sample_size=config.image_size),
@@ -205,17 +206,37 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
 
     from .data import prefetch
 
+    # multi-host feeding: datasets whose `batches` supports `local_range`
+    # load/augment ONLY this process's rows of every global batch (per-image
+    # rng streams keep the epoch's randomness process-independent); others
+    # materialize the full batch and slice (every process must still consume
+    # the same data_rng draws)
+    import inspect
+
+    local_bounds = None
+    dataset_slices = False
+    if mesh is not None and jax.process_count() > 1:
+        local_bounds = _mh.local_batch_bounds(config.batch_size)
+        try:
+            dataset_slices = ("local_range"
+                              in inspect.signature(dataset.batches).parameters)
+        except (TypeError, ValueError):
+            dataset_slices = False
+
     for epoch in range(1, config.epochs + 1):
         t0 = time.time()
         losses = []
-        for batch in prefetch(dataset.batches(config.batch_size, data_rng)):
+        batch_iter = (dataset.batches(config.batch_size, data_rng,
+                                      local_range=local_bounds)
+                      if dataset_slices
+                      else dataset.batches(config.batch_size, data_rng))
+        for batch in prefetch(batch_iter):
             key, sub = jax.random.split(key)
             if mesh is not None:
-                # every process draws the same global batch (same dataset +
-                # same data_rng seed) and feeds only its own slice
                 batch = np.asarray(batch)
-                start, stop = _mh.local_batch_bounds(batch.shape[0])
-                batch = _mh.global_batch_array(batch[start:stop], mesh)
+                if not dataset_slices and local_bounds is not None:
+                    batch = batch[local_bounds[0]:local_bounds[1]]
+                batch = _mh.global_batch_array(batch, mesh)
             else:
                 batch = jnp.asarray(batch)
             state, loss = step_fn(state, batch, sub)

@@ -52,3 +52,30 @@ def test_multiclass_dataset(isic_tree):
     assert set(labels).issubset({0, 1, 2})
     # ImageNet normalization applied (values outside [0,1])
     assert images.min() < -0.5
+
+
+def test_single_class_local_range_matches_full_batches(isic_tree):
+    """Per-image rng streams: loading only rows [lo, hi) of each batch must
+    produce EXACTLY the corresponding rows of the full batches (the
+    multi-host feeding contract — a process's slice is independent of who
+    else materializes what)."""
+    img_dir, csv = isic_tree
+    ds = SingleClassDataset(img_dir, csv, class_id=0, image_size=32,
+                            max_samples=6)
+    full = list(ds.batches(4, np.random.default_rng(5)))
+    lo_half = list(ds.batches(4, np.random.default_rng(5), local_range=(0, 2)))
+    hi_half = list(ds.batches(4, np.random.default_rng(5), local_range=(2, 4)))
+    assert len(full) == len(lo_half) == len(hi_half)
+    for fb, lb, hb in zip(full, lo_half, hi_half):
+        np.testing.assert_array_equal(lb, fb[0:2])
+        np.testing.assert_array_equal(hb, fb[2:4])
+
+
+def test_single_class_batches_deterministic_per_rng_seed(isic_tree):
+    img_dir, csv = isic_tree
+    ds = SingleClassDataset(img_dir, csv, class_id=0, image_size=32,
+                            max_samples=6)
+    a = list(ds.batches(3, np.random.default_rng(9)))
+    b = list(ds.batches(3, np.random.default_rng(9)))
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)

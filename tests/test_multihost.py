@@ -202,9 +202,10 @@ class FixedDataset:
                      .uniform(-1, 1, (8, 16, 16, 3)).astype(np.float32))
     def __len__(self):
         return len(self.data)
-    def batches(self, batch_size, rng):
+    def batches(self, batch_size, rng, local_range=None):
+        lo, hi = local_range if local_range else (0, batch_size)
         for i in range(0, len(self.data), batch_size):
-            yield self.data[i:i + batch_size]
+            yield self.data[i + lo:i + min(hi, batch_size)]
 
 cfg = TrainConfig(image_size=16, batch_size=8, learning_rate=1e-3, epochs=1,
                   bf16_compute=False, snapshot_every=100)
