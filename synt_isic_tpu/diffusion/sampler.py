@@ -320,7 +320,13 @@ class DiffusionSampler:
         batch = int(seeds_arr.shape[0])
         keys = self.keys_for_seeds(seeds_arr)
         noise = self.initial_noise(seeds_arr) if initial_noise is None else initial_noise
-        noise_np = np.asarray(noise)
+        if getattr(noise, "is_fully_addressable", True):
+            noise_np = np.asarray(noise)
+        else:
+            # a global array on a multi-process mesh can't be materialized
+            # on one host; such noise is always seed-derived
+            # (ShardedSampler), so recompute it host-side for the hashes
+            noise_np = np.asarray(self.initial_noise(seeds_arr))
         hashes = [noise_hash(noise_np[i]) for i in range(batch)]
 
         if stream_to_host and capture_trajectory:

@@ -159,6 +159,18 @@ def global_batch_array(local_data: np.ndarray, mesh: Mesh,
     return jax.make_array_from_process_local_data(sharding, local_data)
 
 
+def replicated_global(tree: Any, mesh: Mesh) -> Any:
+    """Place a host pytree fully replicated on a (possibly multi-process)
+    mesh. Every process must hold the same values (load on host 0 +
+    `broadcast_from_host0` first if not)."""
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), tree)
+
+
 def broadcast_from_host0(tree: Any) -> Any:
     """Make host 0's pytree the value on every process (e.g. loaded
     checkpoint params, sampled seeds). No-op single-process."""

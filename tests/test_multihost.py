@@ -209,10 +209,31 @@ class FixedDataset:
 
 cfg = TrainConfig(image_size=16, batch_size=8, learning_rate=1e-3, epochs=1,
                   bf16_compute=False, snapshot_every=100)
+mesh = mh.hybrid_mesh()
 res = train_class("NV", FixedDataset(), workdir, cfg,
-                  model=UNet2D(config=TINY), mesh=mh.hybrid_mesh(),
+                  model=UNet2D(config=TINY), mesh=mesh,
                   log=lambda *a: None)
 print("TRAIN_LOSS", res["history"][0], flush=True)
+
+# flagship workload across hosts: dp-sharded SAMPLING on the same mesh
+import jax.numpy as jnp
+from synt_isic_tpu.diffusion import DiffusionSampler, DiffusionSchedule, SamplerConfig
+from synt_isic_tpu.parallel.sharded_sampler import ShardedSampler
+
+model = UNet2D(config=TINY)
+from synt_isic_tpu.io.pth import load_pth
+from synt_isic_tpu.io.convert import torch_to_flax
+params = torch_to_flax(load_pth(workdir + "/unet_NV_best.pth"))
+sampler = DiffusionSampler(
+    lambda p, x, t: model.apply({"params": p}, x, t),
+    DiffusionSchedule.create(),
+    SamplerConfig(num_inference_steps=3, scheduler="ddim", image_size=16))
+out = ShardedSampler(sampler, mesh).sample(params, np.arange(8, dtype=np.uint32))
+# a dp-sharded global array is not fully addressable on one host — gather
+from jax.experimental import multihost_utils
+imgs = np.asarray(multihost_utils.process_allgather(out["images"], tiled=True))
+assert imgs.shape == (8, 16, 16, 3) and np.isfinite(imgs).all()
+print("SAMPLE_SUM", round(float(np.abs(imgs).sum()), 3), flush=True)
 '''
 
 
@@ -254,6 +275,9 @@ def test_two_process_dp_training_matches_single_device(tmp_path):
         assert m, out[-2000:]
         losses.append(float(m.group(1)))
     assert losses[0] == losses[1]
+    sums = [re.search(r"SAMPLE_SUM ([0-9.]+)", o) for o in outs]
+    assert all(sums), outs[0][-1000:]
+    assert sums[0].group(1) == sums[1].group(1)  # cross-host sampling agrees
     assert (shared / "unet_NV_best.pth").exists()
 
     # single-device ground truth (same seeds, same fixed dataset)
