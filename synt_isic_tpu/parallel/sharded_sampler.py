@@ -45,19 +45,21 @@ class ShardedSampler:
         if padded != n:
             seeds_arr = np.concatenate([seeds_arr,
                                         seeds_arr[: padded - n]])  # pad, drop later
-        noise = self.sampler.initial_noise(seeds_arr)
         if jax.process_count() > 1:
             # mesh spans hosts: plain device_put cannot target
-            # non-addressable devices — assemble from per-process slices
-            # (each process computes all seeds' noise cheaply, feeds its own)
+            # non-addressable devices — assemble from per-process slices.
+            # Noise is per-seed-independent, so each process computes ONLY
+            # its own seeds' noise
             from .multihost import (global_batch_array, local_batch_bounds,
                                     replicated_global)
 
             start, stop = local_batch_bounds(len(seeds_arr))
-            noise = global_batch_array(np.asarray(noise)[start:stop],
-                                       self.mesh, self.axis)
+            noise = global_batch_array(
+                np.asarray(self.sampler.initial_noise(seeds_arr[start:stop])),
+                self.mesh, self.axis)
             params = replicated_global(model_params, self.mesh)
         else:
+            noise = self.sampler.initial_noise(seeds_arr)
             noise = jax.device_put(noise, batch_sharding(self.mesh, self.axis))
             params = jax.device_put(model_params, replicated_sharding(self.mesh))
         out = self.sampler.sample(params, seeds_arr, capture_trajectory,

@@ -1,6 +1,6 @@
 from .train_ddpm import TrainConfig, TrainState, create_train_state, train_step, train_class
-from .data import SingleClassDataset, MultiClassDataset, enhance_color, augment_batch
+from .data import SingleClassDataset, MultiClassDataset, enhance_color, augment_image
 
 __all__ = ["TrainConfig", "TrainState", "create_train_state", "train_step",
            "train_class", "SingleClassDataset", "MultiClassDataset",
-           "enhance_color", "augment_batch"]
+           "enhance_color", "augment_image"]

@@ -108,9 +108,6 @@ def augment_image(arr01: np.ndarray, rng: np.random.Generator,
     return arr * 2.0 - 1.0
 
 
-def augment_batch(images01: np.ndarray, rng: np.random.Generator,
-                  out_size: int = 128) -> np.ndarray:
-    return np.stack([augment_image(img, rng, out_size) for img in images01])
 
 
 def prefetch(iterator, depth: int = 2):
