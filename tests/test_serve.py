@@ -225,3 +225,22 @@ def test_generate_with_xai_returns_artifacts(tmp_path_factory):
         assert r2["ok"] and "xai_dir" not in r2
     finally:
         srv.stop()
+
+
+def test_protocol_bad_json_and_persistent_connection(server):
+    """One connection can carry several newline-delimited requests, and a
+    malformed line gets an error reply without killing the connection."""
+    import socket
+
+    host, port = server.address
+    with socket.create_connection((host, port), timeout=60) as sock:
+        f = sock.makefile("rwb")
+        for payload, check in [
+            (b"{not json}\n", lambda r: not r["ok"] and "bad json" in r["error"]),
+            (b'{"op": "classes"}\n', lambda r: r["ok"] and r["classes"] == ["NV"]),
+            (b'{"op": "status"}\n', lambda r: r["ok"]),
+        ]:
+            f.write(payload)
+            f.flush()
+            reply = json.loads(f.readline().decode())
+            assert check(reply), reply
