@@ -177,6 +177,12 @@ class GenerationServer:
             return {"ok": True, "queue_depth": self._queue.qsize(),
                     "served_images": self._served,
                     "uptime_s": round(time.time() - self._t0, 1),
+                    "classes": self.generator.get_available_classes(),
+                    "loaded_models": sorted(
+                        self.generator.model_manager.loaded_params),
+                    "device_batch": self.generator.batch_size,
+                    "max_batch": self.max_batch,
+                    "default_steps": self._default_steps,
                     "generator": self.generator.get_generation_status()}
         if op == "shutdown":
             threading.Thread(target=self.stop, daemon=True).start()

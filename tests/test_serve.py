@@ -46,6 +46,8 @@ def test_classes_and_status(server):
     assert _rpc(server, {"op": "classes"}) == {"ok": True, "classes": ["NV"]}
     st = _rpc(server, {"op": "status"})
     assert st["ok"] and st["queue_depth"] == 0 and "generator" in st
+    assert st["classes"] == ["NV"] and st["default_steps"] == 4
+    assert isinstance(st["loaded_models"], list)
 
 
 def test_unknown_op_and_missing_class(server):
