@@ -96,6 +96,12 @@ def main() -> int:
           f"(ok={ok}, coalesced={sorted(r.get('coalesced', 0) for r in results)}, "
           f"{args.clients} clients x {args.count}, "
           f"{args.scheduler} T={args.steps} block={args.batch})")
+    import json
+
+    print(json.dumps({
+        "metric": f"served_images_per_sec_{args.scheduler}_T{args.steps}"
+                  f"_c{args.clients}x{args.count}",
+        "value": round(n / dt, 3), "unit": "images/sec", "ok": ok}))
     srv.stop()
     return 0 if ok else 1
 
