@@ -80,6 +80,11 @@ def main() -> int:
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--luminance-threshold", type=float, default=-0.25)
+    p.add_argument("--group-labels", default=None,
+                   help="file with one 0/1 per line (or a .npy bool array) "
+                        "giving curated group membership per image, in the "
+                        "sorted image order; without it the luminance "
+                        "HEURISTIC stands in and the report is marked so")
     p.add_argument("--out", default="fairness_report.json")
     args = p.parse_args()
 
@@ -100,11 +105,28 @@ def main() -> int:
         clf = LesionClassifier.random_init()
         print("classifier: random init (scores are structural only)")
 
-    mask = estimate_phototype_mask(images, args.luminance_threshold)
+    if args.group_labels:
+        lp = Path(args.group_labels)
+        if lp.suffix == ".npy":
+            mask = np.asarray(np.load(lp), bool)
+        else:
+            mask = np.asarray(
+                [int(t) for t in lp.read_text().split()], bool)
+        if len(mask) != len(images):
+            raise SystemExit(f"--group-labels has {len(mask)} entries for "
+                             f"{len(images)} images")
+        group_source = f"labels_file:{lp.name}"
+    else:
+        mask = estimate_phototype_mask(images, args.luminance_threshold)
+        group_source = "luminance_heuristic"
+        print("NOTE: group mask is the luminance HEURISTIC, not curated "
+              "phototype labels — conclusions are indicative only "
+              "(pass --group-labels for a real audit)")
     print(f"dark-phototype group: {int(mask.sum())}/{len(mask)}")
     auditor = FairnessAuditor(clf, batch_size=args.batch)
     target = CLASS_NAMES.index(args.target_class) if args.target_class else None
-    report = auditor.audit(images, mask, target_class=target)
+    report = auditor.audit(images, mask, target_class=target,
+                           group_source=group_source)
 
     from synt_isic_tpu.xai.pipeline import json_safe
     Path(args.out).write_text(json.dumps(json_safe(report), indent=2))

@@ -192,16 +192,23 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
     if seed is None:
         print("sidecar records no seed — cannot reproduce", file=sys.stderr)
         return 1
+    import jax.numpy as jnp
+
     from .generator import ImageGenerator
 
+    sched = meta.get("scheduler") or {}
+    # rebuild with the recorded compute dtype — served images default to
+    # bf16 and would never byte-match an f32 regeneration; sidecars that
+    # predate dtype recording were always written by f32 generators
+    compute_dtype = jnp.dtype(sched.get("dtype", "float32"))
     gen = ImageGenerator(checkpoints_dir=checkpoints_dir,
-                         model_config=model_config)
+                         model_config=model_config,
+                         compute_dtype=compute_dtype)
     gen.set_inference_steps(int(meta["inference_steps"]))
     # pin the reverse process from the recorded sampler kind; sidecars that
     # predate kind-recording can only be ASSUMED ddpm (the reference's only
     # sampler) — then byte comparison against the original is the sole
     # proof, and without it we exit 2, not 0
-    sched = meta.get("scheduler") or {}
     kind_recorded = "kind" in sched
     gen.scheduler_kind = sched.get("kind", "ddpm")
     gen.ddim_eta = float(sched.get("ddim_eta", 0.0))

@@ -54,20 +54,25 @@ class SamplerConfig:
 
 
 def save_indices(num_steps: int, save_every: int,
-                 timesteps: Optional[np.ndarray] = None) -> List[int]:
+                 timesteps: Optional[np.ndarray] = None,
+                 num_train_timesteps: Optional[int] = None) -> List[int]:
     """Frame indices the XAI trajectory keeps (reference `XAI.py:750-779`).
 
     Normal mode: every `save_every`-th step index plus always the last.
     Absolute-t mode (save_every >= num_steps): indices whose train-timestep
-    is closest to each multiple of save_every, plus t=0 and t_max.
+    is closest to each multiple of save_every, plus t=0 and t_max. The
+    train-t walk is bounded by the schedule's actual horizon (the reference
+    hardcodes its fixed T_train=1000); when unspecified it falls back to
+    the largest timestep present.
     """
     idx = set(range(0, num_steps, save_every))
     idx.add(num_steps - 1)
     if save_every >= num_steps and timesteps is not None:
         t_list = [int(t) for t in timesteps]
+        horizon = int(num_train_timesteps) if num_train_timesteps else max(t_list)
         desired = {0, max(t_list)}
         k = 0
-        while k <= 1000:
+        while k <= horizon:
             desired.add(k)
             k += max(1, int(save_every))
         for dt in desired:
@@ -185,7 +190,8 @@ class DiffusionSampler:
             # timesteps enable the absolute-t mode (save_every >= steps):
             # frames nearest each multiple of save_every in train-t units,
             # still compiled as segmented scans with O(saved) device memory
-            saves = save_indices(num_steps, every, self.timesteps)
+            saves = save_indices(num_steps, every, self.timesteps,
+                                 self.schedule.num_train_timesteps)
             # segment lengths between save points (first starts at step 0)
             bounds = [-1] + saves
             segments = [(bounds[i] + 1, bounds[i + 1] - bounds[i])
@@ -272,7 +278,8 @@ class DiffusionSampler:
     def _sample_streamed(self, model_params, noise, keys, seeds_arr,
                          hashes, every: int) -> Dict[str, Any]:
         cfg = self.config
-        saves = save_indices(cfg.num_inference_steps, every, self.timesteps)
+        saves = save_indices(cfg.num_inference_steps, every, self.timesteps,
+                             self.schedule.num_train_timesteps)
         bounds = [-1] + saves
         segments = [(bounds[i] + 1, bounds[i + 1] - bounds[i])
                     for i in range(len(saves))]
@@ -350,7 +357,8 @@ class DiffusionSampler:
             out["trajectory"] = traj  # (n_saved, B, H, W, C)
             out["save_indices"] = save_indices(self.config.num_inference_steps,
                                                int(capture_trajectory),
-                                               self.timesteps)
+                                               self.timesteps,
+                                               self.schedule.num_train_timesteps)
         return out
 
     def sample_single(self, model_params, seed: int,

@@ -240,6 +240,9 @@ class ImageGenerator:
                 # a sidecar cannot pin the reverse process (--reproduce)
                 "kind": self.scheduler_kind,
                 "ddim_eta": self.ddim_eta,
+                # compute dtype: bf16 (the serving default) and f32 produce
+                # different bytes, so reproduce must rebuild with the same
+                "dtype": jnp.dtype(self.model_manager.dtype).name,
             })
 
     def generate_images(self, class_configs: List[Tuple[str, int]],

@@ -71,6 +71,7 @@ class ModelManager:
         self.cache = cache_manager
         self.logger = logger or Logger("model_manager")
         self.device = device or jax.devices()[0]
+        self.dtype = dtype  # compute dtype; recorded in sidecars (reproduce)
         self.model = UNet2D(config=model_config or UNet2DConfig(), dtype=dtype)
         # sampling variant: Pallas fused attention + fast GroupNorm (f32
         # stats, bf16 arithmetic) on TPU — identical param tree, bf16-level

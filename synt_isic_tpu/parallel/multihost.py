@@ -192,9 +192,30 @@ def sync_hosts(name: str = "barrier") -> None:
 
 def host0_only(fn, *args, **kwargs):
     """Run a host-side side effect (checkpoint/CSV/artifact writes) on
-    process 0 only, then barrier so other processes can't race past it."""
+    process 0 only, then barrier so other processes can't race past it.
+
+    If `fn` raises on process 0 the barrier is STILL entered (try/finally)
+    — otherwise every other process would block in sync_hosts forever,
+    turning a local write error into a distributed hang — and the failure
+    is then broadcast so all processes raise instead of proceeding on a
+    missing artifact."""
     result = None
+    err: Exception | None = None
     if jax.process_index() == 0:
-        result = fn(*args, **kwargs)
-    sync_hosts("host0_only")
+        try:
+            result = fn(*args, **kwargs)
+        except Exception as exc:
+            err = exc
+    if jax.process_count() > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        # the broadcast is itself a collective, so it doubles as the barrier
+        failed = bool(multihost_utils.broadcast_one_to_all(
+            np.asarray(err is not None)))
+        if failed and err is None:
+            raise RuntimeError(
+                "host0_only: process 0 raised during the side effect")
+    if err is not None:
+        raise err
     return result

@@ -37,8 +37,20 @@ import socketserver
 import threading
 import time
 import uuid
+from collections import deque
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
+
+
+def _snapshot_keys(d: Dict[str, Any]) -> List[str]:
+    """Sorted key snapshot of a dict another thread may be inserting into
+    (the worker loads models while connection threads serve `status`)."""
+    for _ in range(8):
+        try:
+            return sorted(d)
+        except RuntimeError:  # "dictionary changed size during iteration"
+            continue
+    return []
 
 
 class _Request:
@@ -66,29 +78,46 @@ def _coalesce_key(payload: Dict[str, Any]) -> Optional[Tuple]:
 
 
 def drain_batch(q: "queue.Queue[_Request]", first: _Request,
-                max_batch: int) -> List[_Request]:
-    """Greedily pull queued requests coalescible with `first` (no waiting)."""
+                max_batch: int,
+                backlog: Optional["deque[_Request]"] = None) -> List[_Request]:
+    """Greedily pull queued requests coalescible with `first` (no waiting).
+
+    Non-matching requests land in `backlog` — a worker-owned deque serviced
+    BEFORE new queue items — so a request skipped during a drain keeps its
+    place at the front instead of being re-queued behind later arrivals
+    (re-putting at the tail starves it under sustained coalescible load)."""
+    if backlog is None:
+        backlog = deque()
     batch = [first]
     key = _coalesce_key(first.payload)
     if key is None:
         return batch
     total = int(first.payload.get("count", 1))
-    skipped: List[_Request] = []
+    # scan the existing backlog first (it holds the oldest requests)
+    for r in list(backlog):
+        if total >= max_batch:
+            break
+        if r.cancelled:
+            backlog.remove(r)
+            continue
+        n = int(r.payload.get("count", 1))
+        if _coalesce_key(r.payload) == key and total + n <= max_batch:
+            backlog.remove(r)
+            batch.append(r)
+            total += n
     while total < max_batch:
         try:
             nxt = q.get_nowait()
         except queue.Empty:
             break
-        if nxt.cancelled:
+        if nxt is None or nxt.cancelled:
             continue
         n = int(nxt.payload.get("count", 1))
         if _coalesce_key(nxt.payload) == key and total + n <= max_batch:
             batch.append(nxt)
             total += n
         else:
-            skipped.append(nxt)
-    for r in skipped:          # preserve FIFO for non-matching requests
-        q.put(r)
+            backlog.append(nxt)
     return batch
 
 
@@ -108,6 +137,7 @@ class GenerationServer:
         self._xai_factory = xai_analyzer_factory
         self._xai_analyzer = None
         self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self._backlog: "deque[_Request]" = deque()  # worker-owned
         self._stop = threading.Event()
         self._served = 0
         self._t0 = time.time()
@@ -174,11 +204,12 @@ class GenerationServer:
             return {"ok": True,
                     "classes": self.generator.get_available_classes()}
         if op == "status":
-            return {"ok": True, "queue_depth": self._queue.qsize(),
+            return {"ok": True,
+                    "queue_depth": self._queue.qsize() + len(self._backlog),
                     "served_images": self._served,
                     "uptime_s": round(time.time() - self._t0, 1),
                     "classes": self.generator.get_available_classes(),
-                    "loaded_models": sorted(
+                    "loaded_models": _snapshot_keys(
                         self.generator.model_manager.loaded_params),
                     "device_batch": self.generator.batch_size,
                     "max_batch": self.max_batch,
@@ -188,6 +219,8 @@ class GenerationServer:
             threading.Thread(target=self.stop, daemon=True).start()
             return {"ok": True, "shutting_down": True}
         if op in ("generate", "warmup"):
+            if self._stop.is_set():
+                return {"ok": False, "error": "server shutting down"}
             if "class" not in payload:
                 return {"ok": False, "error": "missing 'class'"}
             cls = payload["class"]
@@ -203,19 +236,47 @@ class GenerationServer:
         return {"ok": False, "error": f"unknown op {op!r}"}
 
     # -- worker ------------------------------------------------------------
+    def _next_request(self) -> Optional[_Request]:
+        """Oldest pending request: backlog (skipped during earlier drains)
+        strictly before new queue arrivals."""
+        while self._backlog:
+            r = self._backlog.popleft()
+            if not r.cancelled:
+                return r
+        return self._queue.get()
+
     def _work_loop(self) -> None:
-        while not self._stop.is_set():
-            req = self._queue.get()
-            if req is None:
-                break
-            if req.cancelled:
-                continue
-            batch = drain_batch(self._queue, req, self.max_batch)
-            try:
-                self._run_batch(batch)
-            except Exception as exc:  # defensive: a failed batch must not kill the worker
-                for r in batch:
-                    r.response = {"ok": False, "error": str(exc)}
+        try:
+            while not self._stop.is_set():
+                req = self._next_request()
+                if req is None:
+                    break
+                if req.cancelled:
+                    continue
+                batch = drain_batch(self._queue, req, self.max_batch,
+                                    self._backlog)
+                try:
+                    self._run_batch(batch)
+                except Exception as exc:  # defensive: a failed batch must not kill the worker
+                    for r in batch:
+                        r.response = {"ok": False, "error": str(exc)}
+                        r.event.set()
+        finally:
+            # shutdown: every pending request must get a reply — otherwise
+            # blocked connection threads (and embedded callers) hang until
+            # their timeout_s (3600 s default)
+            pending = list(self._backlog)
+            self._backlog.clear()
+            while True:
+                try:
+                    r = self._queue.get_nowait()
+                except queue.Empty:
+                    break
+                if r is not None:
+                    pending.append(r)
+            for r in pending:
+                if not r.event.is_set():
+                    r.response = {"ok": False, "error": "server shutting down"}
                     r.event.set()
 
     def _run_batch(self, batch: List[_Request]) -> None:

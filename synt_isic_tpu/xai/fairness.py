@@ -69,9 +69,16 @@ class FairnessAuditor:
     def audit(self, images: np.ndarray, group_mask: np.ndarray,
               target_class: Optional[int] = None,
               labels: Optional[np.ndarray] = None,
-              alpha: float = 0.1) -> Dict[str, Any]:
+              alpha: float = 0.1,
+              group_source: str = "provided_labels") -> Dict[str, Any]:
         """Compare classifier behavior between group (mask=True) and the
-        complement. `target_class` defaults to per-sample argmax scoring."""
+        complement. `target_class` defaults to per-sample argmax scoring.
+
+        `group_source` is recorded verbatim in the report: audits whose
+        mask came from `estimate_phototype_mask` must pass
+        "luminance_heuristic" so their conclusions are never mistaken for
+        curated-phototype-label results (the reference's corpus claim,
+        `/root/reference/README.md:31`, rests on curated labels)."""
         group_mask = np.asarray(group_mask, bool)
         probs = self.probabilities(images)
         preds = probs.argmax(axis=1)
@@ -81,7 +88,13 @@ class FairnessAuditor:
         results: Dict[str, Any] = {
             "n_group": int(g.sum()),
             "n_rest": int(r.sum()),
+            "group_source": str(group_source),
         }
+        if group_source == "luminance_heuristic":
+            results["group_source_caveat"] = (
+                "group membership was estimated by a border-ring luminance "
+                "threshold, not curated phototype labels; treat fairness "
+                "conclusions as indicative only")
 
         # prediction distribution + demographic parity gaps
         dist_g = np.bincount(preds[g], minlength=len(self.class_names)) / max(g.sum(), 1)

@@ -193,6 +193,23 @@ def test_save_indices_modes():
     assert 500 in sel_ts and 740 in sel_ts or 760 in sel_ts
 
 
+def test_save_indices_respects_schedule_horizon():
+    """Absolute-t mode must walk the SCHEDULE's train horizon, not a
+    hardcoded 1000 (regression: frames between t=1000 and t_max were
+    silently dropped for longer schedules)."""
+    # 10 leading timesteps of a T=2000 schedule: 1800, 1600, ..., 0
+    ts = np.asarray(list(range(1800, -1, -200)))
+    idx = save_indices(10, 300, ts, num_train_timesteps=2000)
+    sel_ts = {int(ts[i]) for i in idx}
+    # frames nearest 1200 and 1500 exist only when the walk passes t=1000
+    assert 1200 in sel_ts
+    assert {1400, 1600} & sel_ts  # nearest to the k=1500 gridpoint
+    # without the horizon the walk stops at max(t): still includes the ends
+    idx_default = save_indices(10, 300, ts)
+    sel_default = {int(ts[i]) for i in idx_default}
+    assert 0 in sel_default and 1800 in sel_default
+
+
 def test_noise_hash_stability():
     arr = np.ones((3, 4), np.float32)
     h1 = noise_hash(arr)

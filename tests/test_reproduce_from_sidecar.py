@@ -106,3 +106,31 @@ def test_cli_reproduce_pins_scheduler_kind(tmp_path):
                                 output=str(tmp_path / "redo.png"),
                                 postprocess=False, model_config=TINY_JAX)
     assert rc == 0  # exits 0 only on byte-identity with the original here
+
+
+def test_cli_reproduce_pins_compute_dtype(tmp_path):
+    """A sidecar written by a bf16 generator (the serving default) must
+    reproduce through a bf16 generator — an f32 regeneration produces
+    different bytes and previously failed with a misleading 'different
+    checkpoint' error (ADVICE r2, generator.py:234)."""
+    import jax.numpy as jnp
+
+    from synt_isic_tpu.cli import reproduce_from_sidecar
+
+    ckpt = tmp_path / "checkpoints"
+    ckpt.mkdir()
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX,
+                         compute_dtype=jnp.bfloat16)
+    gen.set_inference_steps(4)
+    gen.set_generation_seed(77)
+    gen.generate_images([("NV", 1)], str(tmp_path / "run"), postprocess=False)
+    sidecar = tmp_path / "run" / "NV" / "ISIC_0000001.json"
+    assert json.loads(sidecar.read_text())["scheduler"]["dtype"] == "bfloat16"
+
+    rc = reproduce_from_sidecar(str(sidecar), str(ckpt),
+                                output=str(tmp_path / "redo.png"),
+                                postprocess=False, model_config=TINY_JAX)
+    assert rc == 0  # byte-identity requires rebuilding with bf16 compute

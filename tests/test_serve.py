@@ -2,6 +2,7 @@
 import json
 import queue
 import threading
+from collections import deque
 
 import numpy as np
 import pytest
@@ -149,20 +150,39 @@ def test_drain_batch_merges_seedless_same_target():
 
 def test_drain_batch_keeps_fixed_seed_requests_separate():
     q = queue.Queue()
+    backlog = deque()
     q.put(_req(seed=42))
-    batch = drain_batch(q, _req(), max_batch=64)
+    batch = drain_batch(q, _req(), max_batch=64, backlog=backlog)
     assert len(batch) == 1          # seeded request NOT merged
-    assert q.qsize() == 1           # and still queued FIFO
+    # skipped request is held at the FRONT of the worker backlog (serviced
+    # before new queue arrivals — no starvation)
+    assert q.qsize() == 0 and len(backlog) == 1
 
 
 def test_drain_batch_respects_max_batch_and_mixed_keys():
     q = queue.Queue()
+    backlog = deque()
     q.put(_req(count=10))             # would overshoot 64 -> must NOT merge
     q.put(_req(count=4))              # fits -> merges
     q.put(_req(count=10, steps=99))   # different executable -> no merge
-    batch = drain_batch(q, _req(count=60), max_batch=64)
+    batch = drain_batch(q, _req(count=60), max_batch=64, backlog=backlog)
     assert [int(r.payload["count"]) for r in batch] == [60, 4]
-    assert q.qsize() == 2
+    # the overshoot request was skipped into the backlog (front of the
+    # line); the drain stopped at max_batch so steps=99 stays queued
+    assert len(backlog) == 1 and int(backlog[0].payload["count"]) == 10
+    assert q.qsize() == 1
+
+
+def test_drain_batch_scans_backlog_before_queue():
+    """A request skipped by an earlier drain merges in a later compatible
+    drain, ahead of newer queue arrivals — the anti-starvation contract."""
+    q = queue.Queue()
+    backlog = deque([_req(count=3), _req(count=2, steps=99)])
+    q.put(_req(count=1))
+    batch = drain_batch(q, _req(count=1), max_batch=64, backlog=backlog)
+    # head + backlog match (3) + queue match (1); steps=99 stays backlogged
+    assert [int(r.payload["count"]) for r in batch] == [1, 3, 1]
+    assert len(backlog) == 1 and backlog[0].payload["steps"] == 99
 
 
 def test_drain_batch_drops_cancelled_requests():
@@ -189,9 +209,33 @@ def test_drain_batch_never_merges_warmup_with_generate():
 
 def test_xai_requests_do_not_coalesce_with_plain():
     q = queue.Queue()
+    backlog = deque()
     q.put(_req(xai=True))
-    batch = drain_batch(q, _req(), max_batch=64)
-    assert len(batch) == 1 and q.qsize() == 1
+    batch = drain_batch(q, _req(), max_batch=64, backlog=backlog)
+    assert len(batch) == 1 and len(backlog) == 1
+
+
+def test_shutdown_drains_pending_requests(tmp_path_factory):
+    """On shutdown every queued/backlogged request gets an ok:false reply
+    immediately — blocked clients must not hang until timeout_s."""
+    ckpt = tmp_path_factory.mktemp("ckpt_drain")
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    srv = GenerationServer(gen, port=0,
+                           output_root=str(tmp_path_factory.mktemp("out_d")))
+    # do NOT start the worker: simulate requests stuck behind a long job
+    queued = _req()
+    backlogged = _req(seed=7)
+    srv._queue.put(queued)
+    srv._backlog.append(backlogged)
+    srv._stop.set()
+    srv._queue.put(None)
+    srv._work_loop()  # run the loop body directly; exits via the sentinel
+    for r in (queued, backlogged):
+        assert r.event.is_set()
+        assert r.response["ok"] is False
+        assert "shutting down" in r.response["error"]
 
 
 def test_generate_with_xai_returns_artifacts(tmp_path_factory):
