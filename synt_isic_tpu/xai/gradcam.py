@@ -19,21 +19,40 @@ GradCAM math (Selvaraju et al. 2017, as implemented by pytorch_grad_cam):
 """
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.classifier import LesionClassifier
 
 
 def compute_gradcam(classifier: LesionClassifier, images: jnp.ndarray,
-                    target_class: int, output_size: int = 224) -> np.ndarray:
+                    target_class: int, output_size: int = 224,
+                    mesh: Optional[Mesh] = None,
+                    mesh_axis: str = "data") -> np.ndarray:
     """images: (B,H,W,C) in [-1,1] diffusion space. Returns (B, output_size,
-    output_size) CAMs normalized to [0,1]."""
+    output_size) CAMs normalized to [0,1].
+
+    With a mesh the frame batch shards over `mesh_axis` (params replicated,
+    zero collectives — each CAM is per-image: own vjp, own min-max
+    normalization). The reference computes them one frame at a time with
+    pytorch_grad_cam hooks (`xai/XAI.py:2941-3170`)."""
     if images.ndim == 3:
         images = images[None]
+    if mesh is not None:
+        shards = mesh.shape[mesh_axis]
+        b = images.shape[0]
+        pad = (-b) % shards
+        if pad:
+            images = jnp.concatenate(
+                [images, jnp.repeat(images[-1:], pad, axis=0)])
+        fn = _get_jitted(classifier, int(target_class), images.shape,
+                         output_size, mesh, mesh_axis)
+        placed = jax.device_put(images, NamedSharding(mesh, P(mesh_axis)))
+        return np.asarray(fn(classifier.params, placed))[:b]
     fn = _get_jitted(classifier, int(target_class), images.shape, output_size)
     return np.asarray(fn(classifier.params, images))
 
@@ -41,8 +60,11 @@ def compute_gradcam(classifier: LesionClassifier, images: jnp.ndarray,
 _CACHE: Dict = {}
 
 
-def _get_jitted(classifier: LesionClassifier, target_class: int, shape, output_size: int):
-    key = (id(classifier.model), target_class, tuple(shape), output_size)
+def _get_jitted(classifier: LesionClassifier, target_class: int, shape,
+                output_size: int, mesh: Optional[Mesh] = None,
+                mesh_axis: str = "data"):
+    key = (id(classifier.model), target_class, tuple(shape), output_size,
+           id(mesh) if mesh is not None else None, mesh_axis)
     if key in _CACHE:
         return _CACHE[key]
 
@@ -70,7 +92,12 @@ def _get_jitted(classifier: LesionClassifier, target_class: int, shape, output_s
                                method="bilinear")
         return jnp.clip(cam, 0.0, 1.0)
 
-    fn = jax.jit(cam_fn)
+    if mesh is not None:
+        fn = jax.jit(jax.shard_map(cam_fn, mesh=mesh,
+                                   in_specs=(P(), P(mesh_axis)),
+                                   out_specs=P(mesh_axis)))
+    else:
+        fn = jax.jit(cam_fn)
     _CACHE[key] = fn
     return fn
 

@@ -45,7 +45,9 @@ class IntegratedXAIAnalyzer:
                  save_figures: bool = True,
                  n_bootstrap: int = 1000,
                  n_permutations: int = 10000,
-                 seed: int = 0):
+                 seed: int = 0,
+                 mesh=None,
+                 mesh_axis: str = "data"):
         if classifier is not None:
             self.classifier = classifier
         elif classifier_path and Path(classifier_path).exists():
@@ -57,9 +59,15 @@ class IntegratedXAIAnalyzer:
             self.classifier = LesionClassifier.random_init(num_classes=num_classes)
             if verbose:
                 print("[xai] classifier: random init (no checkpoint found)")
+        # mesh: shard the heavy frame-batched attribution kernels (IG,
+        # patch-SHAP, Grad-CAM, Time-SHAP scoring) over the device mesh —
+        # layout-independent results, see `attribution.XAIAnalyzer`
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
         self.xai_analyzer = XAIAnalyzer(self.classifier, ig_n_steps=ig_n_steps,
                                         shap_n_samples=shap_n_samples,
-                                        seed=seed, verbose=verbose)
+                                        seed=seed, verbose=verbose,
+                                        mesh=mesh, mesh_axis=mesh_axis)
         self.intervention_types = list(intervention_types)
         self.with_gradcam = with_gradcam
         self.with_sanity = with_sanity
@@ -96,6 +104,7 @@ class IntegratedXAIAnalyzer:
             intervention_types=self.intervention_types,
             with_gradcam=self.with_gradcam, with_sanity=self.with_sanity,
             n_bootstrap=self.n_bootstrap, n_permutations=self.n_permutations,
+            mesh=self.mesh, mesh_axis=self.mesh_axis,
             log=print if self.verbose else (lambda *_: None))
 
         traj_grid = out_dir / "trajectory_all_steps.png"

@@ -75,11 +75,22 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
                                    n_permutations: int = 10000,
                                    with_gradcam: bool = True,
                                    with_sanity: bool = True,
+                                   mesh=None,
+                                   mesh_axis: str = "data",
                                    progress_cb=None,
                                    log=print) -> Dict[str, Any]:
     frames = _stack_trajectory(trajectory)        # (S, H, W, C)
     timesteps = [float(t) for t in timesteps]
     n_frames = frames.shape[0]
+
+    # mesh: shard the heavy per-frame kernels (IG α-grids, SHAP mask
+    # batches, Grad-CAM vjps, Time-SHAP scoring) over the device mesh —
+    # these are 7/8 of the pipeline's FLOPs and embarrassingly parallel
+    # across frames (reference hot loops `xai/XAI.py:1039-1177,2941-3170`)
+    if mesh is not None:
+        xai_analyzer.set_mesh(mesh, mesh_axis)
+    else:
+        mesh, mesh_axis = xai_analyzer.mesh, xai_analyzer.mesh_axis
 
     if save_results and results_dir is None:
         stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
@@ -241,7 +252,8 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
     if with_gradcam:
         log("[xai] Grad-CAM block (batched over all frames)")
         try:
-            cams = compute_gradcam(classifier, frames, target_class_id)  # (S,224,224)
+            cams = compute_gradcam(classifier, frames, target_class_id,
+                                   mesh=mesh, mesh_axis=mesh_axis)  # (S,224,224)
             gradcam_results: Dict[str, np.ndarray] = {}
             for i in range(n_frames):
                 step_key = f"t_{timesteps[i]:.0f}"
