@@ -86,6 +86,15 @@ def noise_hash(noise: np.ndarray) -> str:
     return hashlib.sha256(np.ascontiguousarray(noise, dtype=np.float32).tobytes()).hexdigest()[:16]
 
 
+def _hash_batch(noise) -> List[str]:
+    """Per-image noise hashes from a (B,H,W,C) device/host array. Callers
+    enqueue `copy_to_host_async()` before the sampling dispatch, so the
+    materialization here finds the transfer already done (or in flight)
+    rather than paying a synchronous round-trip."""
+    noise_np = np.asarray(noise)
+    return [noise_hash(noise_np[i]) for i in range(noise_np.shape[0])]
+
+
 class DiffusionSampler:
     """Compiles and caches the sampling scan per (batch, capture) signature.
 
@@ -223,8 +232,12 @@ class DiffusionSampler:
                 traj = jnp.concatenate(frames, axis=0)
                 return carry_x(carry).astype(jnp.float32), traj
 
-        donate = (1,) if cfg.dtype == jnp.float32 else ()
-        return jax.jit(sample_fn, donate_argnums=donate)
+        # no donation of the noise arg: the caller hashes the SAME buffer
+        # asynchronously while the scan runs (the sidecar noise-hash
+        # contract, `image_generator.py:383-389`) — donating would
+        # invalidate it before the hash fetch. The buffer is 192 KB/image;
+        # the scan's own carry dominates memory either way.
+        return jax.jit(sample_fn)
 
     def _get(self, batch: int, capture: bool) -> Callable:
         key = (batch, capture)
@@ -276,7 +289,7 @@ class DiffusionSampler:
         return self._stream_compiled[batch]
 
     def _sample_streamed(self, model_params, noise, keys, seeds_arr,
-                         hashes, every: int) -> Dict[str, Any]:
+                         noise_for_hash, every: int) -> Dict[str, Any]:
         cfg = self.config
         saves = save_indices(cfg.num_inference_steps, every, self.timesteps,
                              self.schedule.num_train_timesteps)
@@ -292,6 +305,9 @@ class DiffusionSampler:
             frame.copy_to_host_async()
             frames.append(frame)
         final = carry[0] if self._multistep else carry
+        # the noise transfer was enqueued before any segment — by now it's
+        # long complete; hashing overlaps the remaining segment fetches
+        hashes = _hash_batch(noise_for_hash)
         traj = np.stack([np.asarray(f) for f in frames])
         return {
             "images": final.astype(jnp.float32),
@@ -328,26 +344,33 @@ class DiffusionSampler:
         keys = self.keys_for_seeds(seeds_arr)
         noise = self.initial_noise(seeds_arr) if initial_noise is None else initial_noise
         if getattr(noise, "is_fully_addressable", True):
-            noise_np = np.asarray(noise)
+            noise_for_hash = noise
         else:
             # a global array on a multi-process mesh can't be materialized
             # on one host; such noise is always seed-derived
             # (ShardedSampler), so recompute it host-side for the hashes
-            noise_np = np.asarray(self.initial_noise(seeds_arr))
-        hashes = [noise_hash(noise_np[i]) for i in range(batch)]
+            noise_for_hash = self.initial_noise(seeds_arr)
+        # enqueue the device->host transfer for hashing BEFORE dispatching
+        # the scan: the copy rides the queue ahead of the compute, so the
+        # hash fetch after dispatch costs ~0 instead of a blocking
+        # round-trip per call (~0.1-0.2 s through a tunneled link — was
+        # ~26% of a b8 call, NOTES_ROUND2). Hash values are unchanged:
+        # same per-seed noise, same SHA-256 sidecar contract.
+        if hasattr(noise_for_hash, "copy_to_host_async"):
+            noise_for_hash.copy_to_host_async()
 
         if stream_to_host and capture_trajectory:
             every = (1 if capture_trajectory is True else int(capture_trajectory))
             return self._sample_streamed(model_params, noise, keys, seeds_arr,
-                                         hashes, every)
+                                         noise_for_hash, every)
 
         capture_key = (capture_trajectory if isinstance(capture_trajectory, bool)
                        else int(capture_trajectory))
         fn = self._get(batch, capture_key)
-        final, traj = fn(model_params, noise, keys)
+        final, traj = fn(model_params, noise, keys)   # async dispatch
         out: Dict[str, Any] = {
             "images": final,
-            "noise_hashes": hashes,
+            "noise_hashes": _hash_batch(noise_for_hash),
             "timesteps": self.timesteps.copy(),
             "seeds": seeds_arr.copy(),
         }

