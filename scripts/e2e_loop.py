@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""Close the FULL loop on actual data, asset-free (VERDICT r2 #2):
+
+    procedural dataset -> train DDPM on device -> torch-format checkpoint
+    -> ImageGenerator sampling (DDIM-50 AND DPM-Solver++-20, full artifact
+    path: PNG + sidecar + CSV) -> integrated XAI pipeline on a captured
+    trajectory -> FID-proxy of both samplers vs held-out data.
+
+This is the one integration seam no unit test crosses (reference shape:
+`diffusion/train_diffusion.py:201-266` -> `generate_test.py` -> `XAI.py`),
+and it gives DPM-Solver++ its first production-shape sample-quality
+evidence: FID(DPM-20) is directly comparable to FID(DDIM-50) against the
+same held-out set with the same extractor.
+
+Reference FID anchors emitted alongside: FID(train vs held-out) — the
+same-distribution floor — and FID(noise vs held-out) — a garbage ceiling.
+A converged sampler must land FAR below the ceiling; how close it gets to
+the floor measures sample quality.
+
+Usage (real chip, ~15-30 min):
+    python scripts/e2e_loop.py --size 128 --epochs 120 --out artifacts/e2e_loop
+Tiny CPU smoke (used by tests/test_e2e_loop.py):
+    python scripts/e2e_loop.py --size 32 --epochs 2 --train-images 16 \
+        --heldout 16 --sample-count 4 --ddim-steps 4 --dpm-steps 2 --cpu
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def small_unet_config(size: int):
+    """Quarter-width version of the flagship topology (same block types,
+    attention at the same stages) — converges in minutes on one chip."""
+    from synt_isic_tpu.models.unet2d import UNet2DConfig
+
+    if size >= 64:
+        return UNet2DConfig(
+            sample_size=size, layers_per_block=2,
+            block_out_channels=(32, 64, 96, 96), attention_head_dim=8,
+            norm_num_groups=16,
+            down_block_types=("DownBlock2D", "DownBlock2D",
+                              "AttnDownBlock2D", "DownBlock2D"),
+            up_block_types=("UpBlock2D", "AttnUpBlock2D",
+                            "UpBlock2D", "UpBlock2D"))
+    return UNet2DConfig(
+        sample_size=size, layers_per_block=1,
+        block_out_channels=(16, 32, 32), attention_head_dim=8,
+        norm_num_groups=8,
+        down_block_types=("DownBlock2D", "AttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "AttnUpBlock2D", "UpBlock2D"))
+
+
+def load_generated_images(class_dir: Path, limit: int) -> "np.ndarray":
+    import numpy as np
+    from PIL import Image
+
+    files = sorted(class_dir.glob("ISIC_*.png"))[:limit]
+    arrs = [np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0
+            for f in files]
+    return np.stack(arrs) * 2.0 - 1.0
+
+
+def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
+             train_images: int = 256, heldout: int = 128, epochs: int = 120,
+             batch_size: int = 32, sample_count: int = 64,
+             ddim_steps: int = 50, dpm_steps: int = 20,
+             xai_ig: int = 16, xai_shap: int = 64, with_gradcam: bool = True,
+             seed: int = 0, log=print) -> dict:
+    import numpy as np
+    import jax.numpy as jnp
+
+    from synt_isic_tpu.generator import ImageGenerator
+    from synt_isic_tpu.metrics.fid import FeatureExtractor, compute_fid
+    from synt_isic_tpu.train.procedural import ProceduralDataset, procedural_images
+    from synt_isic_tpu.train.train_ddpm import TrainConfig, train_class
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    ckpt_dir = out / "checkpoints"
+    report: dict = {"class": class_name, "size": size,
+                    "train_images": train_images, "epochs": epochs}
+
+    # --- 1. data -----------------------------------------------------------
+    t0 = time.time()
+    dataset = ProceduralDataset(class_name, train_images, size, seed=seed)
+    held = procedural_images(class_name, heldout, size, seed=seed,
+                             start_index=10_000_000)  # disjoint index range
+    log(f"[e2e] dataset: {train_images} train + {heldout} held-out "
+        f"{size}x{size} ({time.time() - t0:.1f}s)")
+
+    # --- 2. train ----------------------------------------------------------
+    cfg = small_unet_config(size)
+    from synt_isic_tpu.models.unet2d import UNet2D
+
+    model = UNet2D(config=cfg, dtype=jnp.bfloat16)
+    tcfg = TrainConfig(image_size=size, batch_size=min(batch_size, train_images),
+                       epochs=epochs, ema_decay=0.999, seed=seed)
+    t0 = time.time()
+    train_result = train_class(class_name, dataset, str(ckpt_dir), tcfg,
+                               model=model, log=log)
+    train_s = time.time() - t0
+    report["train"] = {"best_loss": train_result["best_loss"],
+                       "steps": train_result["steps"],
+                       "first_epoch_loss": train_result["history"][0],
+                       "last_epoch_loss": train_result["history"][-1],
+                       "seconds": round(train_s, 1)}
+    log(f"[e2e] trained {train_result['steps']} steps in {train_s:.0f}s: "
+        f"loss {train_result['history'][0]:.4f} -> "
+        f"{train_result['history'][-1]:.4f}")
+
+    # --- 3. sample through the production engine (both samplers) -----------
+    samples: dict = {}
+    for name, scheduler, steps in (("ddim", "ddim", ddim_steps),
+                                   ("dpm", "dpm_solver", dpm_steps)):
+        gen = ImageGenerator(checkpoints_dir=str(ckpt_dir), model_config=cfg,
+                             compute_dtype=jnp.bfloat16)
+        gen.scheduler_kind = scheduler
+        gen.set_inference_steps(steps)
+        gen.set_generation_seed(seed + 1)
+        gen.batch_size = min(sample_count, 64)
+        gen.save_trajectory = False
+        run_dir = out / f"samples_{name}{steps}"
+        t0 = time.time()
+        result = gen.generate_images([(class_name, sample_count)],
+                                     str(run_dir), postprocess=False)
+        if "error" in result:
+            raise RuntimeError(f"{name} sampling failed: {result['error']}")
+        imgs = load_generated_images(run_dir / class_name, sample_count)
+        samples[name] = imgs
+        report[f"sample_{name}"] = {
+            "steps": steps, "count": int(len(imgs)),
+            "img_per_s": result["images_per_second"],
+            "seconds": round(time.time() - t0, 1)}
+        log(f"[e2e] {name}-{steps}: {len(imgs)} images at "
+            f"{result['images_per_second']} img/s")
+
+    # --- 4. XAI on a captured trajectory from the TRAINED model ------------
+    from synt_isic_tpu.xai.integration import IntegratedXAIAnalyzer
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt_dir), model_config=cfg,
+                         compute_dtype=jnp.bfloat16)
+    gen.set_inference_steps(ddim_steps)
+    gen.scheduler_kind = "ddim"
+    gen.set_generation_seed(seed + 2)
+    analyzer = IntegratedXAIAnalyzer(
+        verbose=False, ig_n_steps=xai_ig, shap_n_samples=xai_shap,
+        n_bootstrap=200, n_permutations=500, save_figures=True,
+        with_gradcam=with_gradcam, with_sanity=False)
+    gen.set_xai_analyzer(analyzer)
+    gen.set_xai_frequency(1)
+    xai_dir = out / "xai_run"
+    t0 = time.time()
+    result = gen.generate_images([(class_name, 1)], str(xai_dir),
+                                 postprocess=False)
+    if "error" in result:
+        raise RuntimeError(f"XAI generation failed: {result['error']}")
+    xai_out = list((xai_dir / "xai_results" / class_name).glob("*"))
+    artifact_runs = [p for p in xai_out if p.is_dir()]
+    n_artifacts = sum(len(list(p.glob("*"))) for p in artifact_runs)
+    report["xai"] = {"runs": len(artifact_runs), "artifacts": n_artifacts,
+                     "seconds": round(time.time() - t0, 1)}
+    if n_artifacts == 0:
+        raise RuntimeError("XAI pipeline produced no artifacts")
+    log(f"[e2e] XAI: {n_artifacts} artifacts in {report['xai']['seconds']}s")
+
+    # --- 5. FID-proxy: both samplers vs held-out ---------------------------
+    # Classifier-feature extractor (no Inception weights needed) — the SAME
+    # extractor on every side makes the comparison valid; labeled as proxy.
+    extractor = FeatureExtractor()
+    rng = np.random.default_rng(seed)
+    noise_imgs = rng.uniform(-1, 1, held.shape).astype(np.float32)
+    train_subset = dataset.images[:heldout]
+    fids = {
+        "train_vs_heldout_floor": compute_fid(train_subset, held, extractor),
+        "noise_vs_heldout_ceiling": compute_fid(noise_imgs, held, extractor),
+        "ddim_vs_heldout": compute_fid(samples["ddim"], held, extractor),
+        "dpm_vs_heldout": compute_fid(samples["dpm"], held, extractor),
+        "ddim_vs_dpm": compute_fid(samples["ddim"], samples["dpm"], extractor),
+    }
+    report["fid_proxy"] = {k: round(float(v), 3) for k, v in fids.items()}
+    report["fid_extractor"] = "classifier_features_512d (proxy; same " \
+        "extractor on all sides — cross-sampler comparison is valid, " \
+        "absolute values are not Inception-FID)"
+    ceiling = fids["noise_vs_heldout_ceiling"]
+    report["converged"] = bool(fids["ddim_vs_heldout"] < 0.5 * ceiling
+                               and fids["dpm_vs_heldout"] < 0.5 * ceiling)
+    log(f"[e2e] FID-proxy: floor={fids['train_vs_heldout_floor']:.2f} "
+        f"ddim={fids['ddim_vs_heldout']:.2f} dpm={fids['dpm_vs_heldout']:.2f} "
+        f"ceiling={fids['noise_vs_heldout_ceiling']:.2f}")
+
+    (out / "report.json").write_text(json.dumps(report, indent=2))
+    log(f"[e2e] report -> {out / 'report.json'}")
+    return report
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--out", default="artifacts/e2e_loop")
+    p.add_argument("--class", dest="class_name", default="MEL")
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--train-images", type=int, default=256)
+    p.add_argument("--heldout", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=120)
+    p.add_argument("--batch", type=int, default=32)
+    p.add_argument("--sample-count", type=int, default=64)
+    p.add_argument("--ddim-steps", type=int, default=50)
+    p.add_argument("--dpm-steps", type=int, default=20)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (tiny smoke mode)")
+    args = p.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    else:
+        from synt_isic_tpu.utils.compute import enable_compilation_cache
+        enable_compilation_cache()
+
+    report = run_loop(args.out, class_name=args.class_name, size=args.size,
+                      train_images=args.train_images, heldout=args.heldout,
+                      epochs=args.epochs, batch_size=args.batch,
+                      sample_count=args.sample_count,
+                      ddim_steps=args.ddim_steps, dpm_steps=args.dpm_steps,
+                      seed=args.seed)
+    print(json.dumps({"e2e_loop": "ok", "converged": report["converged"],
+                      "fid_proxy": report["fid_proxy"]}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

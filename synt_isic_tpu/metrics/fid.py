@@ -92,12 +92,26 @@ class InceptionFeatureExtractor:
         return np.concatenate(chunks) if chunks else np.zeros((0, 2048), np.float32)
 
 
-def default_extractor(checkpoints_dir: str = "checkpoints"):
+def default_extractor(checkpoints_dir: str = "checkpoints",
+                      require_standard: bool = False):
     """Standard Inception-FID when the weights exist, classifier-feature
-    fallback (clearly second) otherwise."""
+    fallback (clearly second) otherwise.
+
+    `require_standard=True` turns the silent fallback into a hard error —
+    for callers whose contract IS standard FID ("FID parity", BASELINE.md),
+    a proxy number must never masquerade as it (VERDICT r2 #7). The error
+    names the one-command bootstrap."""
     path = os.path.join(checkpoints_dir, "inception_v3.pth")
     if os.path.exists(path):
         return InceptionFeatureExtractor(path)
+    if require_standard:
+        raise FileNotFoundError(
+            f"standard FID requested but {path} is missing — run "
+            f"`python -m synt_isic_tpu.app.download_models` (fetches + "
+            f"checksums + manifest-validates the torchvision InceptionV3 "
+            f"weights) or scripts/convert_inception.py on a machine with "
+            f"torchvision, then copy the file here. Refusing to fall back "
+            f"to the classifier-feature proxy.")
     return FeatureExtractor()
 
 
@@ -117,14 +131,15 @@ def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
 
 
 def compute_fid(images_a: np.ndarray, images_b: np.ndarray,
-                extractor: Optional[Callable[[np.ndarray], np.ndarray]] = None
-                ) -> float:
+                extractor: Optional[Callable[[np.ndarray], np.ndarray]] = None,
+                require_standard: bool = False) -> float:
     """Fréchet distance between two image sets ((N,H,W,3) in [-1,1]).
 
     Default extractor: standard Inception pool3 when
     `checkpoints/inception_v3.pth` exists, classifier-feature fallback
-    otherwise (see `default_extractor`)."""
-    extractor = extractor or default_extractor()
+    otherwise (see `default_extractor`). `require_standard=True` raises
+    instead of silently falling back."""
+    extractor = extractor or default_extractor(require_standard=require_standard)
     fa = np.asarray(extractor(images_a), np.float64)
     fb = np.asarray(extractor(images_b), np.float64)
     mu_a, mu_b = fa.mean(axis=0), fb.mean(axis=0)

@@ -1,0 +1,60 @@
+"""The full train→checkpoint→sample→XAI→FID loop closes on actual data.
+
+Tiny-shape CPU variant of `scripts/e2e_loop.py` (the real-chip run writes
+its report to artifacts/e2e_loop/) — this is the one integration seam no
+other test crosses (VERDICT r2 #2): a model TRAINED here is sampled
+through the production ImageGenerator (torch-format checkpoint round-trip)
+with both DDIM and DPM-Solver++, its trajectory goes through the
+integrated XAI pipeline, and both sample sets get a FID-proxy against
+held-out procedural data.
+"""
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+
+from e2e_loop import run_loop  # noqa: E402
+from synt_isic_tpu.train.procedural import procedural_image, procedural_images  # noqa: E402
+
+
+def test_procedural_images_deterministic_and_classy():
+    a = procedural_image("MEL", 3, size=32, seed=1)
+    b = procedural_image("MEL", 3, size=32, seed=1)
+    np.testing.assert_array_equal(a, b)           # index-seeded stream
+    c = procedural_image("MEL", 4, size=32, seed=1)
+    assert np.abs(a - c).max() > 0.01             # distinct per index
+    assert a.shape == (32, 32, 3) and a.min() >= -1 and a.max() <= 1
+    # classes are structurally different: mean color separates MEL vs VASC
+    mel = procedural_images("MEL", 8, 32, seed=0)
+    vasc = procedural_images("VASC", 8, 32, seed=0)
+    # MEL's dark blob pulls the green channel down vs VASC's red ring
+    assert mel.mean() < vasc.mean()
+
+
+@pytest.mark.slow
+def test_full_loop_closes(tmp_path):
+    report = run_loop(str(tmp_path / "loop"), class_name="MEL", size=32,
+                      train_images=16, heldout=16, epochs=2, batch_size=8,
+                      sample_count=4, ddim_steps=4, dpm_steps=2,
+                      xai_ig=4, xai_shap=8, with_gradcam=False,
+                      seed=0, log=lambda *_: None)
+    # every stage ran and produced real artifacts
+    assert report["train"]["steps"] == 4            # 2 epochs x 2 batches
+    assert np.isfinite(report["train"]["best_loss"])
+    assert report["sample_ddim"]["count"] == 4
+    assert report["sample_dpm"]["count"] == 4
+    assert report["xai"]["artifacts"] > 0
+    for k, v in report["fid_proxy"].items():
+        assert np.isfinite(v), k
+    # 2 epochs on 16 images cannot converge; the assertion is the SEAM, not
+    # quality — the chip run (scripts/e2e_loop.py defaults) asserts quality
+    assert (tmp_path / "loop" / "report.json").exists()
+    # sidecars from the trained checkpoint pin sampler kind AND dtype
+    import json
+    sc = json.loads(next((tmp_path / "loop" / "samples_dpm2" / "MEL")
+                         .glob("*.json")).read_text())
+    assert sc["scheduler"]["kind"] == "dpm_solver"
+    assert sc["scheduler"]["dtype"] == "bfloat16"
