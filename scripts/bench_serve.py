@@ -7,6 +7,13 @@ round-2 host-path fixes (write pipeline, block fetches, numpy uint8),
 13.3 after = 86% of the raw 16.1 img/s sampler rate on one chip.
 
     python scripts/bench_serve.py [--clients 4] [--count 64] [--steps 50]
+
+`--mixed` runs the MIXED-LOAD scenario instead (VERDICT r2 #4): one long
+research job (count x steps above interactive_cost) is in flight while a
+stream of interactive requests (b1, few steps) arrives — measures the
+interactive p50/p95 a preview client sees behind bulk traffic, exercising
+the priority fast lane. Without the lane an interactive request waits for
+the WHOLE research job; with it, at most one device batch.
 """
 from __future__ import annotations
 
@@ -23,6 +30,57 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def run_mixed(host, port, cls, args) -> int:
+    """Mixed-load: one long research job + a stream of interactive b1
+    requests; report interactive p50/p95 while the bulk job is in flight."""
+    import json
+
+    from synt_isic_tpu.serve import request
+
+    bulk_result = {}
+
+    def bulk():
+        bulk_result.update(request(
+            host, port, {"op": "generate", "class": cls,
+                         "count": args.count, "steps": args.steps,
+                         "postprocess": False}, timeout=7200))
+
+    bulk_thread = threading.Thread(target=bulk)
+    t_bulk0 = time.time()
+    bulk_thread.start()
+    time.sleep(1.0)  # let the bulk job reach the device
+
+    inter_lat = []
+    inter_ok = []
+    while bulk_thread.is_alive() and len(inter_lat) < args.interactive_n:
+        t0 = time.time()
+        r = request(host, port,
+                    {"op": "generate", "class": cls, "count": 1,
+                     "steps": args.interactive_steps, "postprocess": False},
+                    timeout=3600)
+        inter_lat.append(time.time() - t0)
+        inter_ok.append(bool(r.get("ok")))
+        time.sleep(args.interactive_gap)
+    bulk_thread.join()
+    bulk_s = time.time() - t_bulk0
+
+    lat = sorted(inter_lat)
+    pct = lambda q: lat[min(len(lat) - 1, int(round(q * (len(lat) - 1))))] if lat else 0  # noqa: E731
+    n_bulk = len(bulk_result.get("files", []))
+    print(f"bulk: {n_bulk} imgs T={args.steps} in {bulk_s:.1f}s; "
+          f"{len(lat)} interactive b1 T={args.interactive_steps} during it: "
+          f"p50={pct(.5):.2f}s p95={pct(.95):.2f}s "
+          f"(ok={all(inter_ok) and bulk_result.get('ok', False)})")
+    print(json.dumps({
+        "metric": f"mixed_interactive_p95_s_bulk{args.count}xT{args.steps}"
+                  f"_b1T{args.interactive_steps}",
+        "value": round(pct(.95), 3), "unit": "seconds",
+        "p50_s": round(pct(.5), 3), "n_interactive": len(lat),
+        "bulk_elapsed_s": round(bulk_s, 1),
+        "ok": all(inter_ok) and bool(bulk_result.get("ok"))}))
+    return 0 if (all(inter_ok) and bulk_result.get("ok")) else 1
+
+
 def main() -> int:
     p = argparse.ArgumentParser(description="served-throughput benchmark")
     p.add_argument("--clients", type=int, default=4)
@@ -32,6 +90,12 @@ def main() -> int:
     p.add_argument("--scheduler", default="ddim")
     p.add_argument("--checkpoints", default=None,
                    help="real checkpoints dir (default: fabricate random)")
+    p.add_argument("--mixed", action="store_true",
+                   help="mixed-load scenario: interactive latency behind a "
+                        "long research job (see module docstring)")
+    p.add_argument("--interactive-n", type=int, default=12)
+    p.add_argument("--interactive-steps", type=int, default=20)
+    p.add_argument("--interactive-gap", type=float, default=0.5)
     args = p.parse_args()
 
     import jax
@@ -74,6 +138,15 @@ def main() -> int:
     # one warm pass to populate executables/paths outside the timed window
     request(host, port, {"op": "generate", "class": cls, "count": args.batch,
                          "postprocess": False}, timeout=1800)
+
+    if args.mixed:
+        # warm the b1 interactive executable too
+        request(host, port, {"op": "generate", "class": cls, "count": 1,
+                             "steps": args.interactive_steps,
+                             "postprocess": False}, timeout=1800)
+        rc = run_mixed(host, port, cls, args)
+        srv.stop()
+        return rc
 
     results = []
 

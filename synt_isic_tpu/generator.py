@@ -103,6 +103,10 @@ class ImageGenerator:
         self.mesh = None  # set_mesh() enables multi-chip data-parallel sampling
         self.is_generating = False
         self.stop_requested = False
+        # called between device blocks of a long generate_images run (same
+        # thread) — the serving layer uses it to slip interactive requests
+        # in ahead of the remaining bulk work (priority without preemption)
+        self.between_blocks_hook: Optional[Callable[[], None]] = None
 
     # -- wiring (reference image_generator.py:85-140) -----------------------------
     def set_progress_callback(self, cb: Callable[[int, int, str], None]) -> None:
@@ -303,6 +307,12 @@ class ImageGenerator:
                 pending = None  # (out, seeds, block)
                 while ((index < count or pending is not None)
                        and not self.stop_requested):
+                    if self.between_blocks_hook is not None:
+                        try:
+                            self.between_blocks_hook()
+                        except Exception as exc:
+                            self._log(f"between-blocks hook failed: {exc}",
+                                      "warning")
                     nxt = None
                     if index < count:
                         out, seeds, block = dispatch_block(index)

@@ -203,6 +203,12 @@ class GenerationServer:
                                         name="serve-worker", daemon=True)
         self._accept = threading.Thread(target=self._server.serve_forever,
                                         name="serve-accept", daemon=True)
+        # priority WITHIN a long bulk run: the generator calls back between
+        # device blocks (same worker thread), letting interactive requests
+        # execute mid-run instead of waiting for the whole research job —
+        # interactive p95 under bulk load drops from remaining-job-time to
+        # one device block
+        generator.between_blocks_hook = self._service_fast_lane
 
     # -- lifecycle ---------------------------------------------------------
     def start(self) -> "GenerationServer":
@@ -350,6 +356,113 @@ class GenerationServer:
                     r.response = {"ok": False, "error": "server shutting down"}
                     r.event.set()
 
+    # -- mid-run interactive service ---------------------------------------
+    def _service_fast_lane(self) -> None:
+        """Between-blocks callback (worker thread, inside a bulk
+        `generate_images` run): pump arrivals and serve every pending
+        interactive request NOW through the nested single-image path."""
+        self._pump(block=False)
+        while self._fast and not self._stop.is_set():
+            req = self._fast.popleft()
+            if req.cancelled:
+                continue
+            try:
+                self._run_interactive(req)
+            except Exception as exc:
+                self._finish(req, {"ok": False, "error": str(exc)})
+
+    def _run_interactive(self, req: _Request) -> None:
+        """Serve one interactive request via `generate_single_image`,
+        saving/restoring every generator knob so the surrounding bulk run
+        continues unchanged. Same thread — single device owner preserved."""
+        from .generator import class_seed_offset
+        from .io.csv_io import append_synthetic_row, initialize_synthetic_csv
+
+        g = self.generator
+        p = req.payload
+        if p.get("op") == "warmup":
+            t0 = time.time()
+            ok = g.model_manager.load_model(p["class"]) is not None
+            self._finish(req, {"ok": ok,
+                               "elapsed_s": round(time.time() - t0, 3)})
+            return
+        saved = (g.inference_steps, g.base_seed, g.save_trajectory,
+                 g.xai_analyzer, g.xai_frequency)
+        try:
+            cls = p["class"]
+            count = int(p.get("count", 1))
+            g.set_inference_steps(
+                int(p["steps"]) if p.get("steps") else self._default_steps)
+            want_xai = bool(p.get("xai"))
+            analyzer = self._get_xai_analyzer() if want_xai else None
+            g.save_trajectory = want_xai
+            out_dir = Path(p.get("output_dir") or
+                           (self.output_root / f"req_{uuid.uuid4().hex[:12]}"))
+            class_dir = out_dir / cls
+            if class_dir.exists() and any(class_dir.glob("ISIC_*.png")):
+                self._finish(req, {"ok": False, "error":
+                                   f"output_dir {out_dir} already holds "
+                                   f"generated {cls} images; use a fresh "
+                                   f"directory"})
+                return
+            class_dir.mkdir(parents=True, exist_ok=True)
+            csv_path = out_dir / "synthetic_dataset.csv"
+            initialize_synthetic_csv(csv_path)
+            t0 = time.time()
+            files: List[str] = []
+            for i in range(count):
+                fname = f"ISIC_{i + 1:07d}.png"
+                path = class_dir / fname
+                seed = (None if p.get("seed") is None else
+                        (int(p["seed"]) + class_seed_offset(cls) + i)
+                        & 0x7FFFFFFF)
+                ok, traj = g.generate_single_image(
+                    cls, str(path), postprocess=bool(p.get("postprocess", True)),
+                    seed=seed)
+                if not ok:
+                    break
+                files.append(str(path))
+                append_synthetic_row(csv_path, {
+                    "filename": fname, "class": cls, "isic_number": i + 1,
+                    "source": "synthetic",
+                    "generated_at": str(path.stat().st_mtime)})
+                if want_xai and analyzer is not None and traj is not None:
+                    try:
+                        import json as _json
+                        recorded = _json.loads(
+                            path.with_suffix(".json").read_text())["seed"]
+                        analyzer.analyze_trajectory(
+                            trajectory=traj, class_name=cls, seed=recorded,
+                            inference_steps=g.inference_steps,
+                            filename=fname, file_path=str(path))
+                    except Exception:
+                        pass
+            self._served += len(files)
+            response: Dict[str, Any] = {
+                "ok": len(files) == count, "class": cls, "files": files,
+                "output_dir": str(out_dir), "coalesced": 1,
+                "interactive": True,
+                "elapsed_s": round(time.time() - t0, 3)}
+            if want_xai:
+                xd = out_dir / "xai_results" / cls
+                response["xai_dir"] = str(xd) if xd.exists() else None
+            if len(files) != count:
+                response["error"] = f"partial generation: {len(files)}/{count}"
+            self._finish(req, response)
+        finally:
+            (g.inference_steps, g.base_seed, g.save_trajectory,
+             g.xai_analyzer, g.xai_frequency) = saved
+
+    def _get_xai_analyzer(self):
+        if self._xai_analyzer is None:
+            if self._xai_factory is not None:
+                self._xai_analyzer = self._xai_factory()
+            else:
+                from .xai.integration import create_integrated_xai_analyzer
+
+                self._xai_analyzer = create_integrated_xai_analyzer()
+        return self._xai_analyzer
+
     def _finish(self, r: _Request, response: Dict[str, Any]) -> None:
         """Set the reply and record the end-to-end latency."""
         r.response = response
@@ -382,14 +495,7 @@ class GenerationServer:
         self.generator.set_generation_seed(
             int(head["seed"]) if head.get("seed") is not None else None)
         if head.get("xai"):
-            if self._xai_analyzer is None:
-                if self._xai_factory is not None:
-                    self._xai_analyzer = self._xai_factory()
-                else:
-                    from .xai.integration import create_integrated_xai_analyzer
-
-                    self._xai_analyzer = create_integrated_xai_analyzer()
-            self.generator.set_xai_analyzer(self._xai_analyzer)
+            self.generator.set_xai_analyzer(self._get_xai_analyzer())
             self.generator.set_xai_frequency(1)
         else:
             self.generator.set_xai_analyzer(None)

@@ -3,6 +3,7 @@ import json
 import queue
 import threading
 from collections import deque
+from pathlib import Path
 
 import numpy as np
 import pytest
@@ -278,6 +279,43 @@ def test_status_reports_latency_metrics(tmp_path_factory):
     assert status["latency"]["p95_ms"] >= status["latency"]["p50_ms"] >= 0
     assert status["fast_lane_depth"] == 0
     assert "throughput_img_s" in status and "interactive_cost" in status
+
+
+def test_interactive_served_mid_bulk_run(tmp_path_factory):
+    """An interactive request that arrives while a long bulk job is running
+    is served BETWEEN device blocks (the generator's between-blocks hook),
+    finishing before the bulk job instead of behind it."""
+    srv = _lite_server(tmp_path_factory, name="ckpt_midrun",
+                       interactive_cost=10)
+    srv.generator.batch_size = 1          # bulk count=3 -> 3 device blocks
+    order = []
+    orig_finish = srv._finish
+
+    def tracking_finish(r, resp):
+        order.append(r)
+        orig_finish(r, resp)
+
+    srv._finish = tracking_finish
+    bulk = _req(count=3, steps=6, postprocess=False)       # cost 18 > 10
+    inter = _req(count=1, steps=4, postprocess=False)      # cost 4 <= 10
+    srv._queue.put(inter)   # "arrives" while the bulk batch runs
+    srv._run_batch([bulk])  # worker-thread path, run synchronously
+    assert inter.event.is_set() and bulk.event.is_set()
+    assert inter.response["ok"], inter.response
+    assert inter.response.get("interactive") is True
+    assert bulk.response["ok"], bulk.response
+    assert order[0] is inter               # finished BEFORE the bulk job
+    # the interactive run must not disturb the bulk run's generator state
+    assert len(bulk.response["files"]) == 3
+    assert len(inter.response["files"]) == 1
+    # interactive sidecar pins its own steps, bulk keeps its own
+    import json as _json
+    inter_sc = _json.loads(Path(inter.response["files"][0])
+                           .with_suffix(".json").read_text())
+    bulk_sc = _json.loads(Path(bulk.response["files"][0])
+                          .with_suffix(".json").read_text())
+    assert inter_sc["inference_steps"] == 4
+    assert bulk_sc["inference_steps"] == 6
 
 
 def test_shutdown_drains_pending_requests(tmp_path_factory):
