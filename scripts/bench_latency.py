@@ -1,0 +1,106 @@
+"""Interactive latency: warmed end-to-end per-call time at small batches.
+
+The GUI preview UX (reference `main.py:890-966`) lives and dies on b1
+latency, not throughput. This measures the full production call —
+ImageGenerator sampling + uint8 conversion + PNG + sidecar + CSV — per
+(batch, sampler) cell with executables warmed, and prints the b1/b4/b8 x
+DDIM-50/DPM-20 table for BENCHMARKS.md plus one JSON line.
+
+    python scripts/bench_latency.py [--checkpoints DIR] [--reps 3]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    p = argparse.ArgumentParser(description="warmed small-batch latency")
+    p.add_argument("--checkpoints", default=None)
+    p.add_argument("--reps", type=int, default=3)
+    p.add_argument("--batches", default="1,4,8")
+    p.add_argument("--configs", default="ddim:50,dpm_solver:20")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from synt_isic_tpu.generator import ImageGenerator
+    from synt_isic_tpu.utils.compute import enable_compilation_cache
+
+    enable_compilation_cache()
+    work = Path(tempfile.mkdtemp(prefix="bench_lat_"))
+    if args.checkpoints:
+        ckpt_dir = Path(args.checkpoints)
+    else:
+        from synt_isic_tpu.models.unet2d import (UNet2D, UNet2DConfig,
+                                                 init_unet_params)
+        from synt_isic_tpu.train.train_ddpm import save_checkpoint_torch_format
+
+        ckpt_dir = work / "ckpt"
+        ckpt_dir.mkdir(parents=True)
+        params = init_unet_params(UNet2D(config=UNet2DConfig()),
+                                  jax.random.PRNGKey(0))
+        save_checkpoint_torch_format(params, str(ckpt_dir / "unet_NV_best.pth"))
+
+    batches = [int(b) for b in args.batches.split(",")]
+    configs = [(s.split(":")[0], int(s.split(":")[1]))
+               for s in args.configs.split(",")]
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt_dir),
+                         compute_dtype=jnp.bfloat16)
+    gen.save_trajectory = False
+    cls = gen.get_available_classes()[0]
+
+    rows = {}
+    run_id = 0
+    for scheduler, steps in configs:
+        gen.scheduler_kind = scheduler
+        gen.set_inference_steps(steps)
+        for b in batches:
+            gen.batch_size = b
+            # warm (compile + paths), then timed reps with fresh seeds/dirs
+            gen.set_generation_seed(run_id * 1000)
+            gen.generate_images([(cls, b)], str(work / f"warm{run_id}"),
+                                postprocess=False)
+            times = []
+            for rep in range(args.reps):
+                run_id += 1
+                gen.set_generation_seed(run_id * 1000)
+                t0 = time.time()
+                r = gen.generate_images([(cls, b)], str(work / f"r{run_id}"),
+                                        postprocess=False)
+                times.append(time.time() - t0)
+                assert r.get("generated") == b, r
+            med = float(np.median(times))
+            rows[f"{scheduler}{steps}_b{b}"] = {
+                "call_s": round(med, 3),
+                "s_per_image": round(med / b, 3)}
+            print(f"{scheduler}-{steps} b{b}: {med:.3f}s/call "
+                  f"= {med / b:.3f}s/image (reps={times})", flush=True)
+
+    print("\n| batch | " + " | ".join(f"{s}-{n}" for s, n in configs) + " |")
+    print("|---" * (len(configs) + 1) + "|")
+    for b in batches:
+        cells = [str(rows[f"{s}{n}_b{b}"]["call_s"]) + " s/call"
+                 for s, n in configs]
+        print(f"| {b} | " + " | ".join(cells) + " |")
+
+    b1key = f"{configs[-1][0]}{configs[-1][1]}_b1"
+    print(json.dumps({"metric": f"latency_b1_{configs[-1][0]}"
+                                f"{configs[-1][1]}_s",
+                      "value": rows[b1key]["call_s"], "unit": "seconds",
+                      "cells": rows}))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -41,7 +41,8 @@ class ConsoleGenerator:
                  batch_size: int = 8,
                  scheduler: str = "ddpm",
                  seed: Optional[int] = None,
-                 model_config=None):
+                 model_config=None,
+                 mesh=None):
         self.base_dir = Path(base_dir) if base_dir else Path.cwd()
         ckpt = Path(checkpoints_dir) if checkpoints_dir else self.base_dir / "checkpoints"
         self.model_manager = ModelManager(checkpoints_dir=str(ckpt),
@@ -54,6 +55,9 @@ class ConsoleGenerator:
         self.synthetic_csv = self.base_dir / "ISIC2018_Task3_GroundTruth_synt.csv"
         self.color_stats = load_color_statistics(ckpt / "color_statistics.json")
         self.last_isic_number = self._scan_last_number()
+        # --dp-mesh: shard sampling batches over the mesh 'data' axis
+        # (per-seed RNG streams keep outputs layout-independent)
+        self.mesh = mesh
 
     def _scan_last_number(self) -> int:
         """Continue numbering from existing synthetic files (dataset-level
@@ -88,6 +92,10 @@ class ConsoleGenerator:
                 continue
             sampler = self.model_manager.create_sampler(
                 self.inference_steps, scheduler=self.scheduler)
+            if self.mesh is not None:
+                from .parallel.sharded_sampler import ShardedSampler
+
+                sampler = ShardedSampler(sampler, self.mesh)
             params = self.model_manager.loaded_params[class_name]
             n = 0
             while n < count:
@@ -167,6 +175,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scheduler", choices=["ddpm", "ddim", "dpm_solver"],
                    default="ddpm")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--dp-mesh", type=int, default=0, metavar="N",
+                   help="shard sampling over an N-device data-parallel "
+                        "mesh (-1 = all local devices; 0 = single device). "
+                        "Per-seed RNG streams keep images identical to the "
+                        "single-device run")
     p.add_argument("--reproduce", type=str, metavar="SIDECAR_JSON",
                    help="regenerate the exact image recorded by a per-image "
                         "sidecar JSON (seed + steps + scheduler config; "
@@ -268,9 +281,15 @@ def main(argv: Optional[List[str]] = None) -> int:
         return reproduce_from_sidecar(args.reproduce, args.checkpoints,
                                       output=args.output,
                                       postprocess=not args.no_postprocess)
+    mesh = None
+    if args.dp_mesh:
+        from .parallel.mesh import create_mesh
+
+        mesh = create_mesh({"data": args.dp_mesh})
     gen = ConsoleGenerator(base_dir=args.base_dir, checkpoints_dir=args.checkpoints,
                            inference_steps=args.steps, batch_size=args.batch,
-                           scheduler=args.scheduler, seed=args.seed)
+                           scheduler=args.scheduler, seed=args.seed,
+                           mesh=mesh)
     if args.list_classes:
         classes = gen.list_classes()
         if not classes:

@@ -77,3 +77,34 @@ def test_standalone_xai(base_dir, tmp_path):
     out = tmp_path / "xai_out"
     assert (out / "analysis_results.json").exists()
     assert (out / "time_shap_analysis.png").exists()
+
+
+def test_console_generator_dp_mesh_layout_independent(tmp_path):
+    """--dp-mesh sampling produces byte-identical artifacts to the
+    single-device run: per-seed RNG streams make the batch independent of
+    the device layout (same guarantee as ShardedSampler's tests, here
+    through the CLI surface)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    from synt_isic_tpu.parallel.mesh import create_mesh
+
+    ckpt = tmp_path / "checkpoints"
+    ckpt.mkdir()
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_MEL_best.pth")
+
+    outs = {}
+    for tag, mesh in (("single", None), ("mesh", create_mesh({"data": 8}))):
+        base = tmp_path / tag
+        base.mkdir()
+        gen = ConsoleGenerator(base_dir=str(base), checkpoints_dir=str(ckpt),
+                               inference_steps=3, batch_size=8, seed=7,
+                               model_config=TINY_JAX, mesh=mesh)
+        gen.generate({"MEL": 8}, output_dir=str(base / "out"),
+                     postprocess=False)
+        outs[tag] = sorted((base / "out").glob("ISIC_*.jpg"))
+        assert len(outs[tag]) == 8
+    for a, b in zip(outs["single"], outs["mesh"]):
+        assert a.read_bytes() == b.read_bytes(), a.name
