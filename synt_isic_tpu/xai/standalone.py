@@ -4,7 +4,9 @@ This is the rebuild of the reference's XAI-as-a-script mode — `xai/XAI.py`
 executed as a subprocess by the GUI's XAIWorker (`main.py:62-127`), driven
 entirely by environment variables (`XAI_TARGET_CLASS`, `XAI_GENERATION_SEED`,
 `XAI_INFERENCE_STEPS`, `XAI_SAVE_EVERY_N`, `XAI_DDPM_MODEL_PATH`;
-`XAI.py:243-262,588,639`): load the classifier and the target class's DDPM,
+`XAI.py:243-262,588,639`; extension: `XAI_MESH_DEVICES` shards the heavy
+attribution kernels over a device mesh): load the classifier and the
+target class's DDPM,
 re-denoise from the SAME seed saving every N-th frame (plus always the last
 and the absolute-t mode when save_every >= steps, `XAI.py:750-779`), then
 run the comprehensive pipeline.
@@ -42,6 +44,7 @@ def run_standalone_xai(target_class: str = "MEL",
                        n_permutations: int = 10000,
                        with_gradcam: bool = True,
                        with_sanity: bool = True,
+                       mesh=None,
                        log=print) -> Optional[dict]:
     """Full standalone analysis; returns the pipeline results dict."""
     ckpt_dir = Path(checkpoints_dir) if checkpoints_dir else Path("checkpoints")
@@ -93,7 +96,8 @@ def run_standalone_xai(target_class: str = "MEL",
         target_id = 0
 
     analyzer = XAIAnalyzer(classifier, ig_n_steps=ig_n_steps,
-                           shap_n_samples=shap_n_samples, seed=seed)
+                           shap_n_samples=shap_n_samples, seed=seed,
+                           mesh=mesh)
     return run_comprehensive_xai_pipeline(
         trajectory=frames, timesteps=frame_ts, xai_analyzer=analyzer,
         classifier=classifier, target_class_id=target_id,
@@ -115,9 +119,18 @@ def main() -> int:
     steps = int(os.environ.get("XAI_INFERENCE_STEPS", "50"))
     save_every = int(os.environ.get("XAI_SAVE_EVERY_N", "5"))
     ddpm_path = os.environ.get("XAI_DDPM_MODEL_PATH") or None
+    # XAI_MESH_DEVICES=N fans the heavy attribution kernels out over an
+    # N-device data mesh (-1 = all local devices); output is bit-identical
+    # to the single-device run (see xai/attribution.py)
+    mesh = None
+    n_mesh = int(os.environ.get("XAI_MESH_DEVICES", "0") or 0)
+    if n_mesh:
+        from ..parallel.mesh import create_mesh
+
+        mesh = create_mesh({"data": n_mesh})
     results = run_standalone_xai(target_class=target, seed=seed,
                                  inference_steps=steps, save_every=save_every,
-                                 ddpm_model_path=ddpm_path)
+                                 ddpm_model_path=ddpm_path, mesh=mesh)
     return 0 if results is not None else 1
 
 
