@@ -145,6 +145,11 @@ class SyntheticDataGeneratorWindow(QMainWindow):
         self._devices = list(jax.devices())
         for d in self._devices:
             self.device_combo.addItem(str(d))
+        # beyond-reference: with >1 device, an "all devices (dp)" entry
+        # shards sampling batches over a data-parallel mesh (per-seed RNG
+        # streams keep images identical to the single-device run)
+        if len(self._devices) > 1:
+            self.device_combo.addItem(f"all {len(self._devices)} devices (dp)")
         self.device_combo.currentIndexChanged.connect(self._on_device_changed)
         self.mem_label = QLabel("mem: n/a")
         self.steps_spin = QSpinBox()
@@ -434,7 +439,11 @@ class SyntheticDataGeneratorWindow(QMainWindow):
         from ..utils.profiling import device_memory_stats
 
         idx = self.device_combo.currentIndex()
-        stats = device_memory_stats(self._devices[idx]) if idx >= 0 else {}
+        # the "all devices (dp)" entry sits past the device list: show the
+        # first device's stats (params replicate, usage is symmetric)
+        dev = (self._devices[idx] if 0 <= idx < len(self._devices)
+               else self._devices[0] if self._devices else None)
+        stats = device_memory_stats(dev) if dev is not None else {}
         if stats.get("mb_in_use") is not None:
             text = (f"mem: {stats['mb_in_use']:.0f} MB "
                     f"(peak {stats.get('mb_peak', 0):.0f} MB)")
@@ -444,8 +453,18 @@ class SyntheticDataGeneratorWindow(QMainWindow):
         self.memory_info_label.setText(text.replace("mem:", "Memory:"))
 
     def _on_device_changed(self, idx: int):
-        if 0 <= idx < len(self._devices) and not (
-                self.worker and self.worker.isRunning()):
+        if self.worker and self.worker.isRunning():
+            return
+        if idx == len(self._devices) and len(self._devices) > 1:
+            # the "all devices (dp)" entry: mesh over every local device
+            from ..parallel.mesh import create_mesh
+
+            self.generator.set_mesh(create_mesh({"data": -1}))
+            self._append_log(f"device -> dp mesh over "
+                             f"{len(self._devices)} devices")
+            self._update_config_info()
+        elif 0 <= idx < len(self._devices):
+            self.generator.set_mesh(None)
             ok = self.generator.model_manager.change_device(self._devices[idx])
             self._append_log(f"device -> {self._devices[idx]} "
                              f"({'ok' if ok else 'failed'})")

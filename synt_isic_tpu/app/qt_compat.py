@@ -299,6 +299,9 @@ except ImportError:  # ---------------- headless stub ----------------------
             if text in self._items:
                 self.setCurrentIndex(self._items.index(text))
 
+        def count(self):
+            return len(self._items)
+
     class QListWidgetItem:
         def __init__(self, text=""):
             self._text = str(text)

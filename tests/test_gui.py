@@ -175,3 +175,22 @@ def test_stop_button_requests_cooperative_stop(window):
     win, _ = window
     win.stop_generation()  # no worker running: must not raise
     assert win.generator.stop_requested in (True, False)
+
+
+def test_device_combo_dp_mesh_entry(window):
+    """With >1 device the combo grows an 'all N devices (dp)' entry that
+    sets a data-parallel mesh on the generator; selecting a single device
+    clears it (beyond-reference multi-chip surface)."""
+    import jax
+
+    win, _ = window
+    n = len(jax.devices())
+    assert n >= 8  # conftest's virtual CPU mesh
+    assert win.device_combo.count() == n + 1
+    win.device_combo.setCurrentIndex(n)      # the dp entry
+    win._on_device_changed(n)
+    assert win.generator.mesh is not None
+    assert win.generator.mesh.shape["data"] == n
+    win._update_memory_info()                 # must not raise on dp entry
+    win._on_device_changed(0)
+    assert win.generator.mesh is None
