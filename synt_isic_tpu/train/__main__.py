@@ -64,6 +64,11 @@ def main(argv=None) -> int:
                         "multiple of the device count")
     p.add_argument("--train-classifier", action="store_true",
                    help="train the ResNet18 lesion classifier instead of DDPMs")
+    p.add_argument("--procedural", type=int, default=0, metavar="N",
+                   help="train on N procedural class-conditional images "
+                        "instead of the ISIC archive (asset-free; see "
+                        "train/procedural.py) — for pipeline validation "
+                        "and environments without the dataset")
     args = p.parse_args(argv)
 
     from ..utils.compute import enable_compilation_cache
@@ -114,9 +119,16 @@ def main(argv=None) -> int:
                       ema_decay=args.ema)
     for cls in classes:
         class_id = CLASS_NAMES.index(cls)
-        dataset = SingleClassDataset(args.data_dir, args.csv, class_id,
-                                     image_size=args.image_size,
-                                     max_samples=args.max_samples)
+        if args.procedural:
+            from .procedural import ProceduralDataset
+
+            dataset = ProceduralDataset(cls, args.procedural,
+                                        image_size=args.image_size,
+                                        seed=args.seed)
+        else:
+            dataset = SingleClassDataset(args.data_dir, args.csv, class_id,
+                                         image_size=args.image_size,
+                                         max_samples=args.max_samples)
         if len(dataset) == 0:
             print(f"!! no data for {cls}, skipping")
             continue
