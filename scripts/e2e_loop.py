@@ -88,7 +88,12 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
 
     # --- 1. data -----------------------------------------------------------
     t0 = time.time()
-    dataset = ProceduralDataset(class_name, train_images, size, seed=seed)
+    import jax
+
+    on_accel = jax.devices()[0].platform != "cpu"
+    # device-resident dataset on an accelerator: no per-step host transfer
+    dataset = ProceduralDataset(class_name, train_images, size, seed=seed,
+                                device=on_accel)
     held = procedural_images(class_name, heldout, size, seed=seed,
                              start_index=10_000_000)  # disjoint index range
     log(f"[e2e] dataset: {train_images} train + {heldout} held-out "
@@ -188,11 +193,26 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
         "extractor on all sides — cross-sampler comparison is valid, " \
         "absolute values are not Inception-FID)"
     ceiling = fids["noise_vs_heldout_ceiling"]
-    report["converged"] = bool(fids["ddim_vs_heldout"] < 0.5 * ceiling
-                               and fids["dpm_vs_heldout"] < 0.5 * ceiling)
+    # quality bar: an order of magnitude under the garbage ceiling for BOTH
+    # samplers (0.5x would pass visibly-noisy output; 800-step runs do)
+    report["converged"] = bool(fids["ddim_vs_heldout"] < 0.1 * ceiling
+                               and fids["dpm_vs_heldout"] < 0.1 * ceiling)
     log(f"[e2e] FID-proxy: floor={fids['train_vs_heldout_floor']:.2f} "
         f"ddim={fids['ddim_vs_heldout']:.2f} dpm={fids['dpm_vs_heldout']:.2f} "
         f"ceiling={fids['noise_vs_heldout_ceiling']:.2f}")
+
+    # visual evidence strip: held-out reference | 4 DDIM | 4 DPM samples
+    try:
+        from PIL import Image
+        to8 = lambda a: ((np.asarray(a) + 1) * 127.5).clip(0, 255).astype(np.uint8)  # noqa: E731
+        strip = np.concatenate([to8(held[0])]
+                               + [to8(samples["ddim"][i]) for i in range(4)]
+                               + [to8(samples["dpm"][i]) for i in range(4)],
+                               axis=1)
+        Image.fromarray(strip).save(out / "samples_preview.png")
+        report["preview"] = str(out / "samples_preview.png")
+    except Exception:
+        pass
 
     (out / "report.json").write_text(json.dumps(report, indent=2))
     log(f"[e2e] report -> {out / 'report.json'}")

@@ -111,20 +111,33 @@ def procedural_images(class_name: str, n: int, size: int = 128,
 
 class ProceduralDataset:
     """Training-dataset protocol (`batches(batch_size, rng)` + `__len__`)
-    over the procedural distribution — drop-in for `train_class`."""
+    over the procedural distribution — drop-in for `train_class`.
+
+    `device=True` uploads the whole set to the default device ONCE and
+    yields device-resident batches (gathers run on device): on a
+    tunneled/remote accelerator this removes the per-step host→device
+    batch transfer, which otherwise dominates small-model step time. The
+    host rng still draws the same permutations, so the batch SEQUENCE is
+    identical either way."""
 
     def __init__(self, class_name: str, n_images: int = 256,
-                 image_size: int = 128, seed: int = 0):
+                 image_size: int = 128, seed: int = 0, device: bool = False):
         self.class_name = class_name
         self.image_size = image_size
         # materialize once: n_images at 128² f32 is ~50 MB at n=256
         self.images = procedural_images(class_name, n_images, image_size, seed)
+        self._device_images = None
+        if device:
+            import jax.numpy as jnp
+
+            self._device_images = jnp.asarray(self.images)
 
     def __len__(self) -> int:
         return len(self.images)
 
-    def batches(self, batch_size: int, rng: np.random.Generator
-                ) -> Iterator[np.ndarray]:
+    def batches(self, batch_size: int, rng: np.random.Generator):
+        pool = (self._device_images if self._device_images is not None
+                else self.images)
         order = rng.permutation(len(self.images))
         for start in range(0, len(order) - batch_size + 1, batch_size):
-            yield self.images[order[start:start + batch_size]]
+            yield pool[order[start:start + batch_size]]

@@ -240,8 +240,12 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
             else:
                 batch = jnp.asarray(batch)
             state, loss = step_fn(state, batch, sub)
-            losses.append(float(loss))
-        epoch_loss = float(np.mean(losses)) if losses else float("nan")
+            # keep the DEVICE value — a float() here would sync every step
+            # (one tunnel round-trip per step dominates small-model epochs);
+            # the whole epoch's dispatches pipeline and we materialize once
+            losses.append(loss)
+        epoch_loss = (float(np.mean([float(l) for l in losses]))
+                      if losses else float("nan"))
         history.append(epoch_loss)
         log(f"[train:{class_name}] epoch {epoch}/{config.epochs} "
             f"loss={epoch_loss:.5f} ({time.time() - t0:.1f}s)")
