@@ -141,3 +141,15 @@ class ProceduralDataset:
         order = rng.permutation(len(self.images))
         for start in range(0, len(order) - batch_size + 1, batch_size):
             yield pool[order[start:start + batch_size]]
+
+    def epoch_batches(self, batch_size: int, rng: np.random.Generator):
+        """The whole epoch's batches stacked (S,B,H,W,C) — one device
+        gather; consumed by `train_class`'s epoch-scan fast path (one
+        compiled dispatch per epoch). Draws the SAME rng permutation as
+        `batches`, so the data order is path-independent."""
+        pool = (self._device_images if self._device_images is not None
+                else self.images)
+        order = rng.permutation(len(self.images))
+        s = len(order) // batch_size
+        idx = order[: s * batch_size].reshape(s, batch_size)
+        return pool[idx]

@@ -83,10 +83,11 @@ def create_train_state(model: UNet2D, config: TrainConfig,
                       step=jnp.zeros((), jnp.int32), ema_params=ema), tx
 
 
-def make_train_step(model: UNet2D, schedule: DiffusionSchedule,
+def _make_step_core(model: UNet2D, schedule: DiffusionSchedule,
                     tx: optax.GradientTransformation,
                     config: TrainConfig) -> Callable:
-    """Builds the jitted train step: (state, batch_nhwc, key) -> (state, loss)."""
+    """The un-jitted step body shared by the per-step and epoch-scan paths:
+    (state, batch_nhwc, key) -> (state, loss)."""
     ab = jnp.asarray(schedule.alphas_cumprod, jnp.float32)
     T = schedule.num_train_timesteps
 
@@ -100,8 +101,8 @@ def make_train_step(model: UNet2D, schedule: DiffusionSchedule,
         pred = model.apply({"params": params}, noisy, t)
         return jnp.mean((pred.astype(jnp.float32) - eps) ** 2)
 
-    def train_step(state: TrainState, batch: jnp.ndarray,
-                   key: jax.Array) -> Tuple[TrainState, jnp.ndarray]:
+    def step_core(state: TrainState, batch: jnp.ndarray,
+                  key: jax.Array) -> Tuple[TrainState, jnp.ndarray]:
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -110,7 +111,44 @@ def make_train_step(model: UNet2D, schedule: DiffusionSchedule,
                if state.ema_params is not None else None)
         return TrainState(new_params, new_opt, state.step + 1, ema), loss
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    return step_core
+
+
+def make_train_step(model: UNet2D, schedule: DiffusionSchedule,
+                    tx: optax.GradientTransformation,
+                    config: TrainConfig) -> Callable:
+    """Builds the jitted train step: (state, batch_nhwc, key) -> (state, loss)."""
+    return jax.jit(_make_step_core(model, schedule, tx, config),
+                   donate_argnums=(0,))
+
+
+def make_epoch_step(model: UNet2D, schedule: DiffusionSchedule,
+                    tx: optax.GradientTransformation,
+                    config: TrainConfig) -> Callable:
+    """Whole-epoch training as ONE compiled program:
+    (state, batches (S,B,H,W,C), key) -> (state, losses (S,)).
+
+    The S steps run as a `lax.scan` over the stacked epoch batches with
+    per-step keys folded in on device — one dispatch per EPOCH instead of
+    per step. On a remote/tunneled accelerator the per-dispatch host cost
+    (~0.1–1 s) otherwise dominates small-model training entirely (measured
+    ~1.4 s/step for a 6M-param UNet whose compute is ~0.1 s). Used by
+    `train_class` when the dataset is device-resident (exposes
+    `epoch_batches`) and no multi-host mesh is involved."""
+    step_core = _make_step_core(model, schedule, tx, config)
+
+    def epoch_fn(state, batches, key):
+        keys = jax.random.split(key, batches.shape[0])
+
+        def body(carry, inp):
+            batch, k = inp
+            new_state, loss = step_core(carry, batch, k)
+            return new_state, loss
+
+        state, losses = jax.lax.scan(body, state, (batches, keys))
+        return state, losses
+
+    return jax.jit(epoch_fn, donate_argnums=(0,))
 
 
 # convenience alias used by __graft_entry__
@@ -197,6 +235,7 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
     key = jax.random.PRNGKey(config.seed)
     data_rng = np.random.default_rng(config.seed)
     best_loss = float("inf")
+    best_snapshot = None   # device-side best params (epoch-scan path)
     history = []
     # on a multi-host mesh only process 0 writes artifacts (barriered)
     if mesh is not None:
@@ -223,8 +262,40 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
         except (TypeError, ValueError):
             dataset_slices = False
 
+    # epoch-scan fast path: device-resident dataset + single process —
+    # one compiled dispatch per EPOCH (see make_epoch_step)
+    use_epoch_scan = (mesh is None and jax.process_count() == 1
+                      and hasattr(dataset, "epoch_batches"))
+    epoch_fn = (make_epoch_step(model, schedule, tx, config)
+                if use_epoch_scan else None)
+
     for epoch in range(1, config.epochs + 1):
         t0 = time.time()
+        if use_epoch_scan:
+            key, sub = jax.random.split(key)
+            batches = dataset.epoch_batches(config.batch_size, data_rng)
+            state, losses_arr = epoch_fn(state, batches, sub)
+            epoch_loss = float(jnp.mean(losses_arr))
+            history.append(epoch_loss)
+            if epoch % max(1, config.snapshot_every) == 0 or epoch == 1:
+                log(f"[train:{class_name}] epoch {epoch}/{config.epochs} "
+                    f"loss={epoch_loss:.5f} ({time.time() - t0:.1f}s)")
+            export_params = (state.ema_params if state.ema_params is not None
+                             else state.params)
+            if epoch_loss < best_loss:
+                best_loss = epoch_loss
+                # device-side snapshot only: at seconds-scale epochs a disk
+                # best-write (device->host pull) per improvement would
+                # dominate; materialized at snapshot boundaries + at end
+                best_snapshot = jax.tree_util.tree_map(jnp.array, export_params)
+            if epoch % config.snapshot_every == 0:
+                write(save_checkpoint_torch_format,
+                      best_snapshot if best_snapshot is not None
+                      else export_params, str(best_path))
+                snap = ckpt_dir / f"unet_{class_name}_epoch{epoch}.pth"
+                write(save_checkpoint_torch_format, export_params, str(snap))
+                write(save_train_state, state, str(resume_path))
+            continue
         losses = []
         batch_iter = (dataset.batches(config.batch_size, data_rng,
                                       local_range=local_bounds)
@@ -261,6 +332,8 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
             snap = ckpt_dir / f"unet_{class_name}_epoch{epoch}.pth"
             write(save_checkpoint_torch_format, export_params, str(snap))
             write(save_train_state, state, str(resume_path))
+    if best_snapshot is not None:
+        write(save_checkpoint_torch_format, best_snapshot, str(best_path))
     write(save_train_state, state, str(resume_path))
     return {"class": class_name, "best_loss": best_loss, "history": history,
             "checkpoint": str(best_path), "steps": int(state.step)}

@@ -58,3 +58,32 @@ def test_full_loop_closes(tmp_path):
                          .glob("*.json")).read_text())
     assert sc["scheduler"]["kind"] == "dpm_solver"
     assert sc["scheduler"]["dtype"] == "bfloat16"
+
+
+def test_epoch_scan_training_path(tmp_path):
+    """train_class's epoch-scan fast path (one compiled dispatch per epoch
+    via lax.scan over stacked device batches) trains to finite decreasing
+    loss and writes the same artifact set as the per-step path."""
+    import jax.numpy as jnp
+
+    from synt_isic_tpu.models.unet2d import UNet2D
+    from synt_isic_tpu.train.procedural import ProceduralDataset
+    from synt_isic_tpu.train.train_ddpm import TrainConfig, train_class
+    from e2e_loop import small_unet_config
+
+    cfg = small_unet_config(32)
+    ds = ProceduralDataset("NV", 16, 32, seed=0, device=True)
+    assert hasattr(ds, "epoch_batches")
+    eb = ds.epoch_batches(8, np.random.default_rng(0))
+    assert eb.shape == (2, 8, 32, 32, 3)
+
+    tcfg = TrainConfig(image_size=32, batch_size=8, epochs=4,
+                       snapshot_every=2, ema_decay=0.999, bf16_compute=False)
+    result = train_class("NV", ds, str(tmp_path), tcfg,
+                         model=UNet2D(config=cfg), log=lambda *_: None)
+    assert result["steps"] == 8            # 4 epochs x 2 scanned steps
+    assert np.isfinite(result["best_loss"])
+    assert result["history"][-1] < result["history"][0]  # it learned
+    assert (tmp_path / "unet_NV_best.pth").exists()
+    assert (tmp_path / "unet_NV_epoch4.pth").exists()
+    assert (tmp_path / "train_state_NV.npz").exists()
