@@ -22,7 +22,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> int:
+    import os
+
     import jax
+
+    # some plugin backends (axon) override the JAX_PLATFORMS env var; the
+    # config API wins when applied before the first device query
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from synt_isic_tpu.models.classifier import LesionClassifier
     from synt_isic_tpu.parallel.mesh import create_mesh
@@ -37,7 +44,7 @@ def main() -> int:
     # ImageGenerator(save_trajectory=True) in production); sizes scale
     # down on CPU so the demo finishes in ~a minute on one core
     on_accel = jax.devices()[0].platform != "cpu"
-    n_frames, ig_n, shap_n = (16, 16, 64) if on_accel else (8, 4, 16)
+    n_frames, ig_n, shap_n = (16, 16, 64) if on_accel else (4, 2, 8)
     rng = np.random.default_rng(0)
     frames = np.clip(rng.normal(0, 0.4, (n_frames, 128, 128, 3)),
                      -1, 1).astype(np.float32)

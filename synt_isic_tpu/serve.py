@@ -26,6 +26,13 @@ output_dir) and use server-drawn seeds (seed=None) into a single device
 batch — per-image recorded seeds keep every image reproducible regardless
 of how requests were merged (same guarantee as the reference's random
 mode, `image_generator.py:632-637`).
+
+Priority: requests whose device cost (count x steps) is at most
+`interactive_cost` ride a fast lane serviced ahead of queued bulk work,
+and a RUNNING bulk job yields to them between its device blocks (the
+generator's between-blocks hook) — replies served that way carry
+`"interactive": true`. `status` reports `latency`/`interactive_latency`
+({p50_ms, p95_ms, n}), `fast_lane_depth`, and `throughput_img_s`.
 """
 from __future__ import annotations
 
