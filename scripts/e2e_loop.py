@@ -71,12 +71,13 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
              batch_size: int = 32, sample_count: int = 64,
              ddim_steps: int = 50, dpm_steps: int = 20,
              xai_ig: int = 16, xai_shap: int = 64, with_gradcam: bool = True,
-             seed: int = 0, log=print) -> dict:
+             seed: int = 0, skip_train: bool = False, log=print) -> dict:
     import numpy as np
     import jax.numpy as jnp
 
     from synt_isic_tpu.generator import ImageGenerator
-    from synt_isic_tpu.metrics.fid import FeatureExtractor, compute_fid
+    from synt_isic_tpu.metrics.fid import (FeatureExtractor,
+                                           PixelFeatureExtractor, compute_fid)
     from synt_isic_tpu.train.procedural import ProceduralDataset, procedural_images
     from synt_isic_tpu.train.train_ddpm import TrainConfig, train_class
 
@@ -104,20 +105,43 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
     from synt_isic_tpu.models.unet2d import UNet2D
 
     model = UNet2D(config=cfg, dtype=jnp.bfloat16)
+    # snapshot sparingly: each snapshot round pulls ~100 MB of params +
+    # optimizer state device->host, which on a throttled link costs more
+    # than many epochs of compute
+    # offset_noise: without it the trained model's global hue drifts per
+    # sample (non-zero terminal SNR of the image-mean channel under the
+    # linear beta schedule — see TrainConfig.offset_noise); color
+    # postprocessing only papers over that, offset noise fixes it at the root
     tcfg = TrainConfig(image_size=size, batch_size=min(batch_size, train_images),
-                       epochs=epochs, ema_decay=0.999, seed=seed)
-    t0 = time.time()
-    train_result = train_class(class_name, dataset, str(ckpt_dir), tcfg,
-                               model=model, log=log)
-    train_s = time.time() - t0
-    report["train"] = {"best_loss": train_result["best_loss"],
-                       "steps": train_result["steps"],
-                       "first_epoch_loss": train_result["history"][0],
-                       "last_epoch_loss": train_result["history"][-1],
-                       "seconds": round(train_s, 1)}
-    log(f"[e2e] trained {train_result['steps']} steps in {train_s:.0f}s: "
-        f"loss {train_result['history'][0]:.4f} -> "
-        f"{train_result['history'][-1]:.4f}")
+                       epochs=epochs, ema_decay=0.999, seed=seed,
+                       offset_noise=0.1,
+                       snapshot_every=max(5, epochs // 6))
+    best_ckpt = ckpt_dir / f"unet_{class_name}_best.pth"
+    if skip_train and best_ckpt.exists():
+        # reuse the checkpoint from a previous run — re-scoring samplers or
+        # metrics does not require an hour of retraining
+        from synt_isic_tpu.io.color_stats import update_color_statistics_file
+        from synt_isic_tpu.train.train_ddpm import dataset_color_statistics
+
+        stats = dataset_color_statistics(dataset)
+        if stats is not None:
+            update_color_statistics_file(
+                ckpt_dir / "color_statistics.json", class_name, stats)
+        report["train"] = {"reused_checkpoint": str(best_ckpt)}
+        log(f"[e2e] skip-train: reusing {best_ckpt}")
+    else:
+        t0 = time.time()
+        train_result = train_class(class_name, dataset, str(ckpt_dir), tcfg,
+                                   model=model, log=log)
+        train_s = time.time() - t0
+        report["train"] = {"best_loss": train_result["best_loss"],
+                           "steps": train_result["steps"],
+                           "first_epoch_loss": train_result["history"][0],
+                           "last_epoch_loss": train_result["history"][-1],
+                           "seconds": round(train_s, 1)}
+        log(f"[e2e] trained {train_result['steps']} steps in {train_s:.0f}s: "
+            f"loss {train_result['history'][0]:.4f} -> "
+            f"{train_result['history'][-1]:.4f}")
 
     # --- 3. sample through the production engine (both samplers) -----------
     samples: dict = {}
@@ -132,8 +156,11 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
         gen.save_trajectory = False
         run_dir = out / f"samples_{name}{steps}"
         t0 = time.time()
+        # postprocess=True: the PRODUCTION output path — training wrote
+        # color_statistics.json, so the generator's color moment-matching
+        # stage runs exactly as it would on real checkpoints
         result = gen.generate_images([(class_name, sample_count)],
-                                     str(run_dir), postprocess=False)
+                                     str(run_dir), postprocess=True)
         if "error" in result:
             raise RuntimeError(f"{name} sampling failed: {result['error']}")
         imgs = load_generated_images(run_dir / class_name, sample_count)
@@ -177,29 +204,46 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
     # --- 5. FID-proxy: both samplers vs held-out ---------------------------
     # Classifier-feature extractor (no Inception weights needed) — the SAME
     # extractor on every side makes the comparison valid; labeled as proxy.
-    extractor = FeatureExtractor()
     rng = np.random.default_rng(seed)
     noise_imgs = rng.uniform(-1, 1, held.shape).astype(np.float32)
-    train_subset = dataset.images[:heldout]
-    fids = {
-        "train_vs_heldout_floor": compute_fid(train_subset, held, extractor),
-        "noise_vs_heldout_ceiling": compute_fid(noise_imgs, held, extractor),
-        "ddim_vs_heldout": compute_fid(samples["ddim"], held, extractor),
-        "dpm_vs_heldout": compute_fid(samples["dpm"], held, extractor),
-        "ddim_vs_dpm": compute_fid(samples["ddim"], samples["dpm"], extractor),
-    }
-    report["fid_proxy"] = {k: round(float(v), 3) for k, v in fids.items()}
-    report["fid_extractor"] = "classifier_features_512d (proxy; same " \
-        "extractor on all sides — cross-sampler comparison is valid, " \
-        "absolute values are not Inception-FID)"
-    ceiling = fids["noise_vs_heldout_ceiling"]
+    train_subset = np.asarray(dataset.images[:heldout])
+
+    def battery(extractor):
+        return {
+            "train_vs_heldout_floor": compute_fid(train_subset, held, extractor),
+            "noise_vs_heldout_ceiling": compute_fid(noise_imgs, held, extractor),
+            "ddim_vs_heldout": compute_fid(samples["ddim"], held, extractor),
+            "dpm_vs_heldout": compute_fid(samples["dpm"], held, extractor),
+            "ddim_vs_dpm": compute_fid(samples["ddim"], samples["dpm"],
+                                       extractor),
+        }
+
+    # Two embeddings, same battery:
+    #   * pixel: deterministic pooled-pixel Fréchet — weight-free and
+    #     trustworthy (a random-init CNN can rank noise above structured
+    #     samples), so the convergence VERDICT uses this one;
+    #   * proxy: classifier-feature Fréchet, kept for continuity with the
+    #     deployed default_extractor fallback path.
+    pix = battery(PixelFeatureExtractor())
+    prox = battery(FeatureExtractor())
+    report["fid_pixel"] = {k: round(float(v), 4) for k, v in pix.items()}
+    report["fid_proxy"] = {k: round(float(v), 3) for k, v in prox.items()}
+    report["fid_extractor"] = (
+        "pixel_pooled_192d (deterministic, verdict metric) + "
+        "classifier_features_512d (proxy). Same extractor on all sides of "
+        "each battery — cross-sampler comparison is valid; absolute values "
+        "are not Inception-FID.")
+    ceiling = pix["noise_vs_heldout_ceiling"]
     # quality bar: an order of magnitude under the garbage ceiling for BOTH
-    # samplers (0.5x would pass visibly-noisy output; 800-step runs do)
-    report["converged"] = bool(fids["ddim_vs_heldout"] < 0.1 * ceiling
-                               and fids["dpm_vs_heldout"] < 0.1 * ceiling)
-    log(f"[e2e] FID-proxy: floor={fids['train_vs_heldout_floor']:.2f} "
-        f"ddim={fids['ddim_vs_heldout']:.2f} dpm={fids['dpm_vs_heldout']:.2f} "
-        f"ceiling={fids['noise_vs_heldout_ceiling']:.2f}")
+    # samplers in the deterministic pixel embedding
+    report["converged"] = bool(pix["ddim_vs_heldout"] < 0.1 * ceiling
+                               and pix["dpm_vs_heldout"] < 0.1 * ceiling)
+    log(f"[e2e] pixel-Frechet: floor={pix['train_vs_heldout_floor']:.3f} "
+        f"ddim={pix['ddim_vs_heldout']:.3f} dpm={pix['dpm_vs_heldout']:.3f} "
+        f"ceiling={pix['noise_vs_heldout_ceiling']:.3f}")
+    log(f"[e2e] FID-proxy: floor={prox['train_vs_heldout_floor']:.2f} "
+        f"ddim={prox['ddim_vs_heldout']:.2f} dpm={prox['dpm_vs_heldout']:.2f} "
+        f"ceiling={prox['noise_vs_heldout_ceiling']:.2f}")
 
     # visual evidence strip: held-out reference | 4 DDIM | 4 DPM samples
     try:
@@ -232,6 +276,9 @@ def main() -> int:
     p.add_argument("--ddim-steps", type=int, default=50)
     p.add_argument("--dpm-steps", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--skip-train", action="store_true",
+                   help="reuse an existing unet_<CLASS>_best.pth in the "
+                        "output checkpoints dir instead of retraining")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (tiny smoke mode)")
     args = p.parse_args()
@@ -248,8 +295,9 @@ def main() -> int:
                       epochs=args.epochs, batch_size=args.batch,
                       sample_count=args.sample_count,
                       ddim_steps=args.ddim_steps, dpm_steps=args.dpm_steps,
-                      seed=args.seed)
+                      seed=args.seed, skip_train=args.skip_train)
     print(json.dumps({"e2e_loop": "ok", "converged": report["converged"],
+                      "fid_pixel": report["fid_pixel"],
                       "fid_proxy": report["fid_proxy"]}))
     return 0
 

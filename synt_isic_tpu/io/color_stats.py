@@ -18,6 +18,41 @@ from typing import Any, Dict, Optional
 import numpy as np
 
 
+def compute_color_statistics(images: np.ndarray,
+                             value_range=(-1.0, 1.0)) -> Dict[str, Any]:
+    """Per-class RGB mean/std in uint8 units from an image stack.
+
+    `images`: (N,H,W,3), uint8 or float in `value_range`. Returns the
+    per-class entry schema of `checkpoints/color_statistics.json`
+    (`{"rgb": {"mean": [r,g,b], "std": [r,g,b]}}`, reference
+    `core/generator/image_generator.py:142-170`) — training emits this so
+    the generator's color postprocessing stage has real targets."""
+    arr = np.asarray(images)
+    if arr.dtype == np.uint8:
+        scaled = arr.astype(np.float32)
+    else:
+        lo, hi = value_range
+        scaled = (arr.astype(np.float32) - lo) * (255.0 / (hi - lo))
+    mean = scaled.mean(axis=tuple(range(scaled.ndim - 1)))
+    std = scaled.std(axis=tuple(range(scaled.ndim - 1)))
+    return {"rgb": {"mean": [round(float(v), 3) for v in mean],
+                    "std": [round(float(v), 3) for v in std]},
+            "n_images": int(arr.shape[0])}
+
+
+def update_color_statistics_file(path, class_name: str,
+                                 stats: Dict[str, Any]) -> None:
+    """Merge one class's statistics into `color_statistics.json`
+    (atomic replace; other classes' entries are preserved)."""
+    p = Path(path)
+    existing = load_color_statistics(p)
+    existing[class_name] = stats
+    p.parent.mkdir(parents=True, exist_ok=True)
+    tmp = p.with_name(p.name + ".tmp")
+    tmp.write_text(json.dumps(existing, indent=2), encoding="utf-8")
+    tmp.replace(p)
+
+
 def load_color_statistics(path) -> Dict[str, Any]:
     p = Path(path)
     if not p.exists():

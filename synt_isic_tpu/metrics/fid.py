@@ -92,6 +92,39 @@ class InceptionFeatureExtractor:
         return np.concatenate(chunks) if chunks else np.zeros((0, 2048), np.float32)
 
 
+class PixelFeatureExtractor:
+    """Deterministic, weight-free embedding for Fréchet comparisons:
+    average-pool each image to a (grid × grid) RGB thumbnail and flatten
+    (grid²·3 dims).
+
+    Captures the color distribution and coarse spatial structure with NO
+    learned weights. This exists because a random-init CNN embedding is an
+    unreliable judge — it can rank pure noise closer to data than visibly
+    structured samples — so when neither Inception weights nor a trained
+    classifier are available this is the trustworthy convergence check.
+    Values are NOT comparable to Inception-FID."""
+
+    def __init__(self, grid: int = 8):
+        self.grid = int(grid)
+
+    def __call__(self, images: np.ndarray) -> np.ndarray:
+        """images: (N,H,W,3) float in [-1,1] -> (N, grid²·3) float32."""
+        arr = np.asarray(images, np.float32)
+        n, h, w, c = arr.shape
+        g = self.grid
+        # crop to a multiple of the grid, then reshape-average-pool
+        ch, cw = (h // g) * g, (w // g) * g
+        arr = arr[:, :ch, :cw]
+        pooled = arr.reshape(n, g, ch // g, g, cw // g, c).mean(axis=(2, 4))
+        return pooled.reshape(n, g * g * c)
+
+
+def pixel_frechet(images_a: np.ndarray, images_b: np.ndarray,
+                  grid: int = 8) -> float:
+    """Fréchet distance in pooled-pixel space (see PixelFeatureExtractor)."""
+    return compute_fid(images_a, images_b, PixelFeatureExtractor(grid))
+
+
 def default_extractor(checkpoints_dir: str = "checkpoints",
                       require_standard: bool = False):
     """Standard Inception-FID when the weights exist, classifier-feature

@@ -50,6 +50,18 @@ class TrainConfig:
     # When on, best/snapshot checkpoints are written from the EMA weights
     # with the usual warmup schedule d_t = min(decay, (1+t)/(10+t)).
     ema_decay: float = 0.0
+    # Offset noise (beyond-reference quality option; 0.0 = off = exact
+    # reference behavior): adds `offset_noise * N(0,1)` PER CHANNEL to the
+    # training noise. Rationale: with the reference's linear beta schedule,
+    # alpha_bar(T) > 0, and while per-pixel terminal SNR is tiny (~0.006),
+    # the IMAGE-MEAN channel averages the noise over H*W pixels, so its
+    # terminal SNR is ~0.006*sqrt(H*W) ~ 1 at 128^2 — the model never
+    # learns to set the global mean/hue from pure noise, which shows up as
+    # low-frequency color shifts in samples (the failure mode the
+    # reference's color postprocessing stage papers over). Offset noise
+    # gives the mean channel real noise power during training so the model
+    # learns to control it. Sampling/checkpoint format are unchanged.
+    offset_noise: float = 0.0
 
 
 class TrainState(NamedTuple):
@@ -92,10 +104,15 @@ def _make_step_core(model: UNet2D, schedule: DiffusionSchedule,
     T = schedule.num_train_timesteps
 
     def loss_fn(params, batch, key):
-        k_t, k_eps = jax.random.split(key)
+        k_t, k_eps, k_off = jax.random.split(key, 3)
         b = batch.shape[0]
         t = jax.random.randint(k_t, (b,), 0, T)
         eps = jax.random.normal(k_eps, batch.shape, jnp.float32)
+        if config.offset_noise > 0.0:
+            # per-(image, channel) constant component; the model predicts
+            # the TOTAL noise, so it learns to resolve the mean channel
+            eps = eps + config.offset_noise * jax.random.normal(
+                k_off, (b, 1, 1, batch.shape[-1]), jnp.float32)
         ab_t = ab[t].reshape(b, 1, 1, 1)
         noisy = jnp.sqrt(ab_t) * batch + jnp.sqrt(1.0 - ab_t) * eps
         pred = model.apply({"params": params}, noisy, t)
@@ -178,6 +195,26 @@ def restore_train_state(template: TrainState, path: str) -> TrainState:
     return jax.tree_util.tree_unflatten(treedef, new_leaves)
 
 
+def dataset_color_statistics(dataset, max_images: int = 256):
+    """Per-class RGB mean/std for the generator's color postprocessing.
+
+    Datasets with a materialized `.images` stack (ProceduralDataset,
+    [-1,1]) use it directly; lazy datasets exposing `load_raw` ([0,1],
+    SingleClassDataset) load up to `max_images`. Returns None when the
+    dataset supports neither."""
+    from ..io.color_stats import compute_color_statistics
+
+    imgs = getattr(dataset, "images", None)
+    if imgs is not None:
+        return compute_color_statistics(np.asarray(imgs[:max_images]),
+                                        value_range=(-1.0, 1.0))
+    if hasattr(dataset, "load_raw") and len(dataset) > 0:
+        n = min(max_images, len(dataset))
+        arr = np.stack([dataset.load_raw(i) for i in range(n)])
+        return compute_color_statistics(arr, value_range=(0.0, 1.0))
+    return None
+
+
 def save_checkpoint_torch_format(params: Any, path: str) -> None:
     """Write params as a torch-style state_dict `.pth` the reference app
     can `torch.load` + `load_state_dict` directly."""
@@ -242,6 +279,16 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
         write = lambda fn, *a: _mh.host0_only(fn, *a)  # noqa: E731
     else:
         write = lambda fn, *a: fn(*a)  # noqa: E731
+
+    # emit per-class color statistics alongside the checkpoints so the
+    # generator's postprocessing stage (io/color_stats.py) has real targets —
+    # written up front (data-derived, not model-derived) and keyed by class
+    color_stats = dataset_color_statistics(dataset)
+    if color_stats is not None:
+        from ..io.color_stats import update_color_statistics_file
+
+        write(update_color_statistics_file,
+              ckpt_dir / "color_statistics.json", class_name, color_stats)
 
     from .data import prefetch
 

@@ -49,6 +49,12 @@ def test_full_loop_closes(tmp_path):
     assert report["xai"]["artifacts"] > 0
     for k, v in report["fid_proxy"].items():
         assert np.isfinite(v), k
+    for k, v in report["fid_pixel"].items():
+        assert np.isfinite(v), k
+    # training emitted color stats, so sampling ran the production
+    # postprocessing path
+    assert (tmp_path / "loop" / "checkpoints"
+            / "color_statistics.json").exists()
     # 2 epochs on 16 images cannot converge; the assertion is the SEAM, not
     # quality — the chip run (scripts/e2e_loop.py defaults) asserts quality
     assert (tmp_path / "loop" / "report.json").exists()

@@ -98,6 +98,33 @@ def test_inception_fid_monotone_under_noise():
     assert fid_same < fids[0] < fids[1]
 
 
+def test_pixel_frechet_ranks_structure_over_noise():
+    """The deterministic pooled-pixel embedding must rank a structured
+    sample set (same distribution, different draws) FAR closer to data than
+    pure noise — the property the random-init CNN proxy cannot guarantee,
+    and the reason the e2e loop's convergence verdict uses this metric."""
+    from synt_isic_tpu.metrics.fid import PixelFeatureExtractor, pixel_frechet
+    from synt_isic_tpu.train.procedural import procedural_images
+
+    held = procedural_images("MEL", 128, 32, seed=0, start_index=1000)
+    same = procedural_images("MEL", 128, 32, seed=0)
+    rng = np.random.default_rng(3)
+    noise = rng.uniform(-1, 1, held.shape).astype(np.float32)
+    floor = pixel_frechet(same, held)
+    ceiling = pixel_frechet(noise, held)
+    assert floor < 0.1 * ceiling
+    # embedding is deterministic and shaped (N, grid²·3); 33 crops to 32
+    ex = PixelFeatureExtractor(grid=8)
+    f1, f2 = ex(held), ex(held)
+    np.testing.assert_array_equal(f1, f2)
+    assert f1.shape == (128, 192)
+    assert ex(np.zeros((2, 33, 33, 3), np.float32)).shape == (2, 192)
+    # a global color shift moves the metric well above the same-distribution
+    # sampling-noise floor (the failure mode the proxy often misses)
+    shifted = np.clip(held + np.array([0.3, -0.2, 0.1], np.float32), -1, 1)
+    assert pixel_frechet(shifted, held) > 3 * floor
+
+
 def test_fallback_extractor_still_works():
     extractor = FeatureExtractor()
     rng = np.random.default_rng(2)

@@ -179,6 +179,59 @@ def test_color_postprocessing(tmp_path):
     assert load_color_statistics(tmp_path / "nope.json") == {}
 
 
+def test_compute_and_merge_color_statistics(tmp_path):
+    from synt_isic_tpu.io.color_stats import (compute_color_statistics,
+                                              update_color_statistics_file)
+
+    # uniform gray at -0.5 in [-1,1] => 63.75 in uint8 units, zero std
+    imgs = np.full((4, 8, 8, 3), -0.5, np.float32)
+    stats = compute_color_statistics(imgs, value_range=(-1.0, 1.0))
+    np.testing.assert_allclose(stats["rgb"]["mean"], [63.75] * 3, atol=0.01)
+    np.testing.assert_allclose(stats["rgb"]["std"], [0.0] * 3, atol=0.01)
+    assert stats["n_images"] == 4
+    # uint8 input passes through unscaled
+    u8 = np.full((2, 4, 4, 3), 200, np.uint8)
+    assert compute_color_statistics(u8)["rgb"]["mean"] == [200.0] * 3
+    # merge keyed by class, preserving other entries (atomic replace)
+    path = tmp_path / "color_statistics.json"
+    update_color_statistics_file(path, "MEL", stats)
+    update_color_statistics_file(path, "NV", compute_color_statistics(u8))
+    merged = load_color_statistics(path)
+    assert set(merged) == {"MEL", "NV"}
+    assert merged["MEL"]["rgb"]["mean"][0] == 63.75
+    # postprocessing accepts the computed schema directly
+    img = np.full((8, 8, 3), 100, np.uint8)
+    out = apply_mean_shift_postprocessing(img, merged["NV"])
+    assert abs(out.mean() - 200) < 1
+
+
+def test_train_class_emits_color_statistics(tmp_path):
+    """Training writes color_statistics.json so the generator's color
+    postprocessing stage has real, data-derived targets."""
+    from synt_isic_tpu.train.procedural import ProceduralDataset
+    from synt_isic_tpu.train.train_ddpm import (TrainConfig,
+                                                dataset_color_statistics,
+                                                train_class)
+    from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig
+
+    ds = ProceduralDataset("MEL", 8, 16, seed=0)
+    cfg = UNet2DConfig(sample_size=16, layers_per_block=1,
+                       block_out_channels=(8, 8), attention_head_dim=4,
+                       norm_num_groups=4,
+                       down_block_types=("DownBlock2D", "DownBlock2D"),
+                       up_block_types=("UpBlock2D", "UpBlock2D"))
+    tcfg = TrainConfig(image_size=16, batch_size=8, epochs=1,
+                       snapshot_every=1, bf16_compute=False)
+    train_class("MEL", ds, str(tmp_path), tcfg, model=UNet2D(config=cfg),
+                log=lambda *_: None)
+    stats = load_color_statistics(tmp_path / "color_statistics.json")
+    assert "MEL" in stats and len(stats["MEL"]["rgb"]["mean"]) == 3
+    # matches a direct computation from the dataset
+    direct = dataset_color_statistics(ds)
+    np.testing.assert_allclose(stats["MEL"]["rgb"]["mean"],
+                               direct["rgb"]["mean"])
+
+
 def test_save_indices_modes():
     # normal mode: every 5th + last
     idx = save_indices(50, 5)

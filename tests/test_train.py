@@ -36,6 +36,30 @@ def test_train_step_decreases_loss():
     assert int(state.step) == 30
 
 
+def test_offset_noise_is_wired_and_trains():
+    """offset_noise > 0 changes the training noise (per-image-per-channel
+    constant component) and still trains to finite decreasing loss."""
+    model = UNet2D(config=TINY)
+    batch = jnp.asarray(np.random.default_rng(1)
+                        .uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    losses = {}
+    for off in (0.0, 0.3):
+        cfg = TrainConfig(image_size=16, batch_size=4, learning_rate=2e-3,
+                          bf16_compute=False, offset_noise=off)
+        state, tx = create_train_state(model, cfg)
+        step = make_train_step(model, DiffusionSchedule.create(), tx, cfg)
+        seq = []
+        for i in range(10):
+            state, loss = step(state, batch, jax.random.fold_in(key, i % 3))
+            seq.append(float(loss))
+        losses[off] = seq
+        assert np.all(np.isfinite(seq))
+        assert seq[-1] < seq[0]
+    # same keys, different noise target => different loss sequence
+    assert losses[0.0][0] != losses[0.3][0]
+
+
 def test_checkpoint_roundtrip_torch(tmp_path):
     torch = pytest.importorskip("torch")
     from tests.torch_oracle.unet2d_torch import UNet2DTorch, tiny_config
