@@ -71,7 +71,8 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
              batch_size: int = 32, sample_count: int = 64,
              ddim_steps: int = 50, dpm_steps: int = 20,
              xai_ig: int = 16, xai_shap: int = 64, with_gradcam: bool = True,
-             seed: int = 0, skip_train: bool = False, log=print) -> dict:
+             seed: int = 0, skip_train: bool = False,
+             offset_noise: float = 0.05, log=print) -> dict:
     import numpy as np
     import jax.numpy as jnp
 
@@ -114,7 +115,7 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
     # postprocessing only papers over that, offset noise fixes it at the root
     tcfg = TrainConfig(image_size=size, batch_size=min(batch_size, train_images),
                        epochs=epochs, ema_decay=0.999, seed=seed,
-                       offset_noise=0.1,
+                       offset_noise=offset_noise,
                        snapshot_every=max(5, epochs // 6))
     best_ckpt = ckpt_dir / f"unet_{class_name}_best.pth"
     if skip_train and best_ckpt.exists():
@@ -276,6 +277,9 @@ def main() -> int:
     p.add_argument("--ddim-steps", type=int, default=50)
     p.add_argument("--dpm-steps", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--offset-noise", type=float, default=0.05,
+                   help="offset-noise strength for training (controls the "
+                        "global-hue channel; see TrainConfig.offset_noise)")
     p.add_argument("--skip-train", action="store_true",
                    help="reuse an existing unet_<CLASS>_best.pth in the "
                         "output checkpoints dir instead of retraining")
@@ -295,7 +299,8 @@ def main() -> int:
                       epochs=args.epochs, batch_size=args.batch,
                       sample_count=args.sample_count,
                       ddim_steps=args.ddim_steps, dpm_steps=args.dpm_steps,
-                      seed=args.seed, skip_train=args.skip_train)
+                      seed=args.seed, skip_train=args.skip_train,
+                      offset_noise=args.offset_noise)
     print(json.dumps({"e2e_loop": "ok", "converged": report["converged"],
                       "fid_pixel": report["fid_pixel"],
                       "fid_proxy": report["fid_proxy"]}))

@@ -56,6 +56,11 @@ def main(argv=None) -> int:
     p.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
                    help="EMA decay for exported weights (e.g. 0.9999; "
                         "0 = off = reference behavior)")
+    p.add_argument("--offset-noise", type=float, default=0.0, metavar="S",
+                   help="offset-noise strength (e.g. 0.1): trains the model "
+                        "to control the global mean/hue channel, removing "
+                        "the low-frequency color drift of linear-schedule "
+                        "DDPMs (0 = off = reference behavior)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp-mesh", action="store_true",
                    help="data-parallel training over all devices (and all "
@@ -116,7 +121,7 @@ def main(argv=None) -> int:
     cfg = TrainConfig(image_size=args.image_size, batch_size=args.batch,
                       learning_rate=args.lr, epochs=args.epochs,
                       bf16_compute=not args.no_bf16, seed=args.seed,
-                      ema_decay=args.ema)
+                      ema_decay=args.ema, offset_noise=args.offset_noise)
     for cls in classes:
         class_id = CLASS_NAMES.index(cls)
         if args.procedural:

