@@ -118,7 +118,12 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
                        offset_noise=offset_noise,
                        snapshot_every=max(5, epochs // 6))
     best_ckpt = ckpt_dir / f"unet_{class_name}_best.pth"
-    if skip_train and best_ckpt.exists():
+    if skip_train and not best_ckpt.exists():
+        raise FileNotFoundError(
+            f"--skip-train: no checkpoint at {best_ckpt} — point --out at a "
+            f"directory holding a previous run's checkpoints/ (refusing to "
+            f"silently fall through to an hours-long retrain)")
+    if skip_train:
         # reuse the checkpoint from a previous run — re-scoring samplers or
         # metrics does not require an hour of retraining
         from synt_isic_tpu.io.color_stats import update_color_statistics_file
@@ -145,33 +150,39 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
             f"{train_result['history'][-1]:.4f}")
 
     # --- 3. sample through the production engine (both samplers) -----------
+    # Two passes per sampler with the SAME seed: the raw model output (the
+    # convergence verdict must judge the model, not the color-postprocessing
+    # stage, which moment-matches toward the very statistics the metric
+    # measures) and the postprocessed PRODUCTION output path (training wrote
+    # color_statistics.json, so the moment-matching stage runs exactly as it
+    # would on real checkpoints).
     samples: dict = {}
     for name, scheduler, steps in (("ddim", "ddim", ddim_steps),
                                    ("dpm", "dpm_solver", dpm_steps)):
-        gen = ImageGenerator(checkpoints_dir=str(ckpt_dir), model_config=cfg,
-                             compute_dtype=jnp.bfloat16)
-        gen.scheduler_kind = scheduler
-        gen.set_inference_steps(steps)
-        gen.set_generation_seed(seed + 1)
-        gen.batch_size = min(sample_count, 64)
-        gen.save_trajectory = False
-        run_dir = out / f"samples_{name}{steps}"
-        t0 = time.time()
-        # postprocess=True: the PRODUCTION output path — training wrote
-        # color_statistics.json, so the generator's color moment-matching
-        # stage runs exactly as it would on real checkpoints
-        result = gen.generate_images([(class_name, sample_count)],
-                                     str(run_dir), postprocess=True)
-        if "error" in result:
-            raise RuntimeError(f"{name} sampling failed: {result['error']}")
-        imgs = load_generated_images(run_dir / class_name, sample_count)
-        samples[name] = imgs
-        report[f"sample_{name}"] = {
-            "steps": steps, "count": int(len(imgs)),
-            "img_per_s": result["images_per_second"],
-            "seconds": round(time.time() - t0, 1)}
-        log(f"[e2e] {name}-{steps}: {len(imgs)} images at "
-            f"{result['images_per_second']} img/s")
+        for variant, postproc in (("raw", False), ("post", True)):
+            gen = ImageGenerator(checkpoints_dir=str(ckpt_dir), model_config=cfg,
+                                 compute_dtype=jnp.bfloat16)
+            gen.scheduler_kind = scheduler
+            gen.set_inference_steps(steps)
+            gen.set_generation_seed(seed + 1)
+            gen.batch_size = min(sample_count, 64)
+            gen.save_trajectory = False
+            run_dir = out / (f"samples_{name}{steps}" if postproc
+                             else f"samples_{name}{steps}_raw")
+            t0 = time.time()
+            result = gen.generate_images([(class_name, sample_count)],
+                                         str(run_dir), postprocess=postproc)
+            if "error" in result:
+                raise RuntimeError(f"{name} sampling failed: {result['error']}")
+            imgs = load_generated_images(run_dir / class_name, sample_count)
+            samples[f"{name}_{variant}"] = imgs
+            if postproc:
+                report[f"sample_{name}"] = {
+                    "steps": steps, "count": int(len(imgs)),
+                    "img_per_s": result["images_per_second"],
+                    "seconds": round(time.time() - t0, 1)}
+                log(f"[e2e] {name}-{steps}: {len(imgs)} images at "
+                    f"{result['images_per_second']} img/s")
 
     # --- 4. XAI on a captured trajectory from the TRAINED model ------------
     from synt_isic_tpu.xai.integration import IntegratedXAIAnalyzer
@@ -205,19 +216,28 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
     # --- 5. FID-proxy: both samplers vs held-out ---------------------------
     # Classifier-feature extractor (no Inception weights needed) — the SAME
     # extractor on every side makes the comparison valid; labeled as proxy.
+    from synt_isic_tpu.metrics.fid import frechet_distance
+
     rng = np.random.default_rng(seed)
     noise_imgs = rng.uniform(-1, 1, held.shape).astype(np.float32)
-    train_subset = np.asarray(dataset.images[:heldout])
+    image_sets = {"train": np.asarray(dataset.images[:heldout]),
+                  "held": held, "noise": noise_imgs, **samples}
+    pairs = [("train_vs_heldout_floor", "train", "held"),
+             ("noise_vs_heldout_ceiling", "noise", "held"),
+             ("ddim_vs_heldout", "ddim_raw", "held"),
+             ("dpm_vs_heldout", "dpm_raw", "held"),
+             ("ddim_vs_dpm", "ddim_raw", "dpm_raw"),
+             ("ddim_post_vs_heldout", "ddim_post", "held"),
+             ("dpm_post_vs_heldout", "dpm_post", "held")]
 
     def battery(extractor):
-        return {
-            "train_vs_heldout_floor": compute_fid(train_subset, held, extractor),
-            "noise_vs_heldout_ceiling": compute_fid(noise_imgs, held, extractor),
-            "ddim_vs_heldout": compute_fid(samples["ddim"], held, extractor),
-            "dpm_vs_heldout": compute_fid(samples["dpm"], held, extractor),
-            "ddim_vs_dpm": compute_fid(samples["ddim"], samples["dpm"],
-                                       extractor),
-        }
+        # embed each image set ONCE; Fréchet math then runs on statistics
+        stats = {}
+        for key, imgs in image_sets.items():
+            f = np.asarray(extractor(imgs), np.float64)
+            stats[key] = (f.mean(axis=0), np.cov(f, rowvar=False))
+        return {name: frechet_distance(*stats[a], *stats[b])
+                for name, a, b in pairs}
 
     # Two embeddings, same battery:
     #   * pixel: deterministic pooled-pixel Fréchet — weight-free and
@@ -233,14 +253,20 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
         "pixel_pooled_192d (deterministic, verdict metric) + "
         "classifier_features_512d (proxy). Same extractor on all sides of "
         "each battery — cross-sampler comparison is valid; absolute values "
-        "are not Inception-FID.")
+        "are not Inception-FID. *_vs_heldout rows judge RAW model output; "
+        "*_post_vs_heldout rows are the production path incl. color "
+        "postprocessing.")
     ceiling = pix["noise_vs_heldout_ceiling"]
     # quality bar: an order of magnitude under the garbage ceiling for BOTH
-    # samplers in the deterministic pixel embedding
+    # samplers in the deterministic pixel embedding, judged on RAW samples
+    # (postprocessing moment-matches toward the dataset statistics and must
+    # not be allowed to manufacture convergence)
     report["converged"] = bool(pix["ddim_vs_heldout"] < 0.1 * ceiling
                                and pix["dpm_vs_heldout"] < 0.1 * ceiling)
     log(f"[e2e] pixel-Frechet: floor={pix['train_vs_heldout_floor']:.3f} "
         f"ddim={pix['ddim_vs_heldout']:.3f} dpm={pix['dpm_vs_heldout']:.3f} "
+        f"post=({pix['ddim_post_vs_heldout']:.3f},"
+        f"{pix['dpm_post_vs_heldout']:.3f}) "
         f"ceiling={pix['noise_vs_heldout_ceiling']:.3f}")
     log(f"[e2e] FID-proxy: floor={prox['train_vs_heldout_floor']:.2f} "
         f"ddim={prox['ddim_vs_heldout']:.2f} dpm={prox['dpm_vs_heldout']:.2f} "
@@ -251,8 +277,8 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
         from PIL import Image
         to8 = lambda a: ((np.asarray(a) + 1) * 127.5).clip(0, 255).astype(np.uint8)  # noqa: E731
         strip = np.concatenate([to8(held[0])]
-                               + [to8(samples["ddim"][i]) for i in range(4)]
-                               + [to8(samples["dpm"][i]) for i in range(4)],
+                               + [to8(samples["ddim_post"][i]) for i in range(4)]
+                               + [to8(samples["dpm_post"][i]) for i in range(4)],
                                axis=1)
         Image.fromarray(strip).save(out / "samples_preview.png")
         report["preview"] = str(out / "samples_preview.png")

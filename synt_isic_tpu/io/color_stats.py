@@ -12,6 +12,7 @@ Statistics come from `checkpoints/color_statistics.json` keyed by class with
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Any, Dict, Optional
 
@@ -42,15 +43,29 @@ def compute_color_statistics(images: np.ndarray,
 
 def update_color_statistics_file(path, class_name: str,
                                  stats: Dict[str, Any]) -> None:
-    """Merge one class's statistics into `color_statistics.json`
-    (atomic replace; other classes' entries are preserved)."""
+    """Merge one class's statistics into `color_statistics.json`.
+
+    Safe against concurrent per-class trainings sharing one checkpoints
+    dir: the read-merge-replace runs under an advisory file lock (so a
+    parallel writer cannot drop this class's entry) and the temp file is
+    per-process (no interleaved partial writes)."""
     p = Path(path)
-    existing = load_color_statistics(p)
-    existing[class_name] = stats
     p.parent.mkdir(parents=True, exist_ok=True)
-    tmp = p.with_name(p.name + ".tmp")
-    tmp.write_text(json.dumps(existing, indent=2), encoding="utf-8")
-    tmp.replace(p)
+    lock_path = p.with_name(p.name + ".lock")
+    lock = open(lock_path, "w")
+    try:
+        try:
+            import fcntl
+            fcntl.flock(lock, fcntl.LOCK_EX)
+        except ImportError:          # non-POSIX: best-effort, unlocked
+            pass
+        existing = load_color_statistics(p)
+        existing[class_name] = stats
+        tmp = p.with_name(f"{p.name}.{os.getpid()}.tmp")
+        tmp.write_text(json.dumps(existing, indent=2), encoding="utf-8")
+        tmp.replace(p)
+    finally:
+        lock.close()
 
 
 def load_color_statistics(path) -> Dict[str, Any]:

@@ -108,14 +108,25 @@ class PixelFeatureExtractor:
         self.grid = int(grid)
 
     def __call__(self, images: np.ndarray) -> np.ndarray:
-        """images: (N,H,W,3) float in [-1,1] -> (N, grid²·3) float32."""
+        """images: (N,H,W,3) float in [-1,1] -> (N, grid²·3) float32.
+
+        Cells are near-equal index buckets (no cropping), so the feature
+        dimension is grid²·3 for ANY input size — image sets of different
+        resolutions embed into the same space, like the CNN extractors."""
         arr = np.asarray(images, np.float32)
-        n, h, w, c = arr.shape
         g = self.grid
-        # crop to a multiple of the grid, then reshape-average-pool
-        ch, cw = (h // g) * g, (w // g) * g
-        arr = arr[:, :ch, :cw]
-        pooled = arr.reshape(n, g, ch // g, g, cw // g, c).mean(axis=(2, 4))
+        # images smaller than the grid: nearest-neighbor upsample first
+        if arr.shape[1] < g:
+            arr = np.repeat(arr, -(-g // arr.shape[1]), axis=1)
+        if arr.shape[2] < g:
+            arr = np.repeat(arr, -(-g // arr.shape[2]), axis=2)
+        n, h, w, c = arr.shape
+        edges_r = np.linspace(0, h, g + 1).astype(np.int64)
+        edges_c = np.linspace(0, w, g + 1).astype(np.int64)
+        pooled = (np.add.reduceat(arr, edges_r[:-1], axis=1)
+                  / np.diff(edges_r)[None, :, None, None])
+        pooled = (np.add.reduceat(pooled, edges_c[:-1], axis=2)
+                  / np.diff(edges_c)[None, None, :, None])
         return pooled.reshape(n, g * g * c)
 
 

@@ -51,19 +51,28 @@ def _attr_to_heat(attr) -> np.ndarray:
 # colorbar creation, and tight_layout dominated the whole XAI pipeline's
 # wall time (~66 s of a 168 s run). The figure is therefore built ONCE per
 # image shape and reused: subsequent calls only set_data on the existing
-# artists and re-encode the PNG. Not thread-safe (neither is pyplot);
-# every production caller runs the pipeline serially.
+# artists and re-encode the PNG. Built via matplotlib.figure.Figure (NOT
+# pyplot), so cached canvases are never registered with pyplot's figure
+# manager; the cache is bounded (long-lived serve/GUI processes seeing
+# many image sizes must not accumulate canvases). Not thread-safe
+# (neither is pyplot); every production caller runs the pipeline serially.
 _STEP_FIG_CACHE: Dict[Any, Dict[str, Any]] = {}
+_STEP_FIG_CACHE_MAX = 4
 
 
 def _get_step_figure(shape) -> Dict[str, Any]:
     c = _STEP_FIG_CACHE.get(shape)
     if c is not None:
         return c
+    if len(_STEP_FIG_CACHE) >= _STEP_FIG_CACHE_MAX:
+        _STEP_FIG_CACHE.pop(next(iter(_STEP_FIG_CACHE)))  # evict oldest
     h, w = shape
     zero_img = np.zeros((h, w, 3), np.float32)
     zero_heat = np.zeros((h, w), np.float32)
-    fig, axes = plt.subplots(1, 5, figsize=(20, 4.2))
+    from matplotlib.figure import Figure
+
+    fig = Figure(figsize=(20, 4.2))
+    axes = fig.subplots(1, 5)
     im0 = axes[0].imshow(zero_img)
     im1 = axes[1].imshow(zero_heat, cmap="inferno")
     axes[1].set_title("Attribution |IG+SHAP|")
