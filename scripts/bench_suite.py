@@ -141,6 +141,25 @@ def main():
     dt = (time.time() - t0) / n
     record("time_shap_50frames", 50 / dt, "frames/s")
 
+    # FULL comprehensive pipeline (kernels + figures + stats + artifacts) —
+    # the product-surface number: what one generated image with integrated
+    # XAI costs end-to-end. Host figure rendering is the dominant term (see
+    # stage_seconds in the emitted analysis_results.json).
+    import tempfile
+    from synt_isic_tpu.xai.pipeline import run_comprehensive_xai_pipeline
+    ana2 = XAIAnalyzer(clf, ig_n_steps=16, shap_n_samples=64, batch_size=128)
+    with tempfile.TemporaryDirectory() as td:
+        t0 = time.time()
+        res = run_comprehensive_xai_pipeline(
+            list(frames), [float(t) for t in range(50)], ana2, clf, 0, "MEL",
+            results_dir=td, n_bootstrap=200, n_permutations=500,
+            with_sanity=False, log=lambda *a: None)
+        dt = time.time() - t0
+    stages = res["metadata"].get("stage_seconds", {})
+    record("xai_full_pipeline_50frames", dt, "s/run",
+           f"IG16+SHAP64+interv+TimeSHAP+GradCAM+stats+214 artifacts; "
+           f"figures {stages.get('stage1_figures_only', 0):.0f}s")
+
     out_path = REPO / "BENCHMARKS.md"
     lines = ["# Benchmarks (single TPU chip)", "",
              f"Device: `{jax.devices()[0]}`", "",

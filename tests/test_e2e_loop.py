@@ -36,10 +36,14 @@ def test_procedural_images_deterministic_and_classy():
 
 @pytest.mark.slow
 def test_full_loop_closes(tmp_path):
+    # with_classifier=False: ResNet18-at-224² training is far too heavy for
+    # the 1-core CPU smoke (the classifier seam has its own unit test,
+    # tests/test_train_classifier.py); the chip run trains it for real
     report = run_loop(str(tmp_path / "loop"), class_name="MEL", size=32,
                       train_images=16, heldout=16, epochs=2, batch_size=8,
                       sample_count=4, ddim_steps=4, dpm_steps=2,
                       xai_ig=4, xai_shap=8, with_gradcam=False,
+                      with_classifier=False,
                       seed=0, log=lambda *_: None)
     # every stage ran and produced real artifacts
     assert report["train"]["steps"] == 4            # 2 epochs x 2 batches

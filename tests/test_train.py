@@ -193,3 +193,61 @@ def test_train_class_mesh_rejects_nondividing_batch(tmp_path):
         train_class("NV", _FixedDataset(3, 16), str(tmp_path), cfg,
                     model=UNet2D(config=TINY), mesh=mesh,
                     log=lambda *a: None)
+
+
+def test_lr_schedule_cosine_and_min_snr_train():
+    """cosine schedule: warmup from 0, decay to end_factor*peak; min-SNR
+    weighting downweights low-noise timesteps (weight<=1) and still trains."""
+    from synt_isic_tpu.train.train_ddpm import make_lr_schedule
+
+    cfg = TrainConfig(image_size=16, learning_rate=1e-3, lr_schedule="cosine",
+                      warmup_steps=10, lr_end_factor=0.1)
+    sched = make_lr_schedule(cfg, total_steps=100)
+    assert float(sched(0)) == 0.0                       # warmup start
+    assert abs(float(sched(10)) - 1e-3) < 1e-9          # peak after warmup
+    assert abs(float(sched(100)) - 1e-4) < 1e-9         # end value
+    with pytest.raises(ValueError, match="total_steps"):
+        make_lr_schedule(cfg, total_steps=None)
+
+    model = UNet2D(config=TINY)
+    batch = jnp.asarray(np.random.default_rng(2)
+                        .uniform(-1, 1, (4, 16, 16, 3)).astype(np.float32))
+    key = jax.random.PRNGKey(0)
+    first = {}
+    for gamma in (0.0, 5.0):
+        cfg = TrainConfig(image_size=16, batch_size=4, learning_rate=2e-3,
+                          bf16_compute=False, min_snr_gamma=gamma)
+        state, tx = create_train_state(model, cfg)
+        step = make_train_step(model, DiffusionSchedule.create(), tx, cfg)
+        seq = []
+        for i in range(8):
+            state, loss = step(state, batch, jax.random.fold_in(key, i))
+            seq.append(float(loss))
+        assert np.all(np.isfinite(seq)) and seq[-1] < seq[0]
+        first[gamma] = seq[0]
+    # same init/keys: min-SNR weights are <=1 with equality only where
+    # SNR<=gamma, so the weighted first-step loss must be strictly smaller
+    assert first[5.0] < first[0.0]
+
+
+def test_eval_based_best_selection(tmp_path):
+    """eval_every>0: best selection uses the deterministic probe loss; the
+    eval value is reproducible call-to-call (zero sampling variance)."""
+    from synt_isic_tpu.diffusion.schedules import DiffusionSchedule as DS
+    from synt_isic_tpu.train.train_ddpm import make_eval_fn, train_class
+
+    model = UNet2D(config=TINY)
+    cfg = TrainConfig(image_size=16, batch_size=4, learning_rate=2e-3,
+                      epochs=3, bf16_compute=False, snapshot_every=100,
+                      eval_every=1, eval_probe_images=4, eval_t_points=4)
+    ds = _FixedDataset(8, 16)
+    result = train_class("NV", ds, str(tmp_path), cfg, model=model,
+                         log=lambda *a: None)
+    assert np.isfinite(result["best_val"])
+    assert (tmp_path / "unet_NV_best.pth").exists()
+
+    # determinism of the probe itself
+    state, _ = create_train_state(model, cfg)
+    ev = make_eval_fn(model, DS.create(), cfg,
+                      jnp.asarray(ds.data[:4]))
+    assert float(ev(state.params)) == float(ev(state.params))
