@@ -61,6 +61,21 @@ def main(argv=None) -> int:
                         "to control the global mean/hue channel, removing "
                         "the low-frequency color drift of linear-schedule "
                         "DDPMs (0 = off = reference behavior)")
+    p.add_argument("--lr-schedule", choices=("constant", "cosine"),
+                   default="constant",
+                   help="'cosine': linear warmup (--warmup-steps) then "
+                        "cosine decay over the run (0 = off = reference "
+                        "constant-LR behavior)")
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--min-snr", type=float, default=0.0, metavar="GAMMA",
+                   help="min-SNR loss weighting gamma (e.g. 5.0): stops "
+                        "low-noise timesteps from dominating the gradient "
+                        "(0 = off = reference behavior)")
+    p.add_argument("--eval-every", type=int, default=0, metavar="N",
+                   help="select the best checkpoint by a DETERMINISTIC "
+                        "probe loss every N epochs instead of the noisy "
+                        "per-epoch train loss (0 = off = reference "
+                        "behavior; recommended when epochs are short)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--dp-mesh", action="store_true",
                    help="data-parallel training over all devices (and all "
@@ -121,7 +136,11 @@ def main(argv=None) -> int:
     cfg = TrainConfig(image_size=args.image_size, batch_size=args.batch,
                       learning_rate=args.lr, epochs=args.epochs,
                       bf16_compute=not args.no_bf16, seed=args.seed,
-                      ema_decay=args.ema, offset_noise=args.offset_noise)
+                      ema_decay=args.ema, offset_noise=args.offset_noise,
+                      lr_schedule=args.lr_schedule,
+                      warmup_steps=args.warmup_steps,
+                      min_snr_gamma=args.min_snr,
+                      eval_every=args.eval_every)
     for cls in classes:
         class_id = CLASS_NAMES.index(cls)
         if args.procedural:
