@@ -10,7 +10,11 @@ delimited JSON protocol over TCP:
 
   {"op": "classes"}                          -> {"ok": true, "classes": [..]}
   {"op": "status"}                           -> {"ok": true, ...queue/stats}
-  {"op": "warmup", "class": "NV"}            -> load + compile before traffic
+  {"op": "warmup", "class": "NV",
+   "compile": true?, "steps": 50?}           -> load weights; compile:true
+                                                also builds+runs the b1 and
+                                                device-batch executables so
+                                                no client pays first-jit
   {"op": "generate", "class": "NV", "count": 4,
    "seed": 42?, "steps": 50?, "output_dir": "..."?,
    "postprocess": true?, "xai": false?}      -> {"ok": true, "files": [..],
@@ -388,10 +392,7 @@ class GenerationServer:
         g = self.generator
         p = req.payload
         if p.get("op") == "warmup":
-            t0 = time.time()
-            ok = g.model_manager.load_model(p["class"]) is not None
-            self._finish(req, {"ok": ok,
-                               "elapsed_s": round(time.time() - t0, 3)})
+            self._finish(req, self._do_warmup(p))
             return
         saved = (g.inference_steps, g.base_seed, g.save_trajectory,
                  g.xai_analyzer, g.xai_frequency)
@@ -460,6 +461,35 @@ class GenerationServer:
             (g.inference_steps, g.base_seed, g.save_trajectory,
              g.xai_analyzer, g.xai_frequency) = saved
 
+    def _do_warmup(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        """`warmup` op body: load the class's weights; with `"compile": true`
+        additionally build AND execute the exact serving executables (the
+        interactive b1 path and the coalescing device batch) so the first
+        real request pays zero compile — `load_model` alone leaves the
+        20-40s first-jit cost on the first unlucky client. Uses the
+        request's `steps` (default: server default), the server's scheduler
+        and dtype — HLO-faithful by construction (same factory the generate
+        path calls)."""
+        import numpy as np
+
+        g = self.generator
+        t0 = time.time()
+        ok = g.model_manager.load_model(payload["class"]) is not None
+        params = g.model_manager.loaded_params.get(payload["class"])
+        resp: Dict[str, Any] = {"ok": ok and params is not None}
+        if resp["ok"] and payload.get("compile"):
+            steps = int(payload.get("steps") or self._default_steps)
+            sampler = g.model_manager.create_sampler(
+                steps, scheduler=g.scheduler_kind, ddim_eta=g.ddim_eta)
+            sizes = sorted({1, int(g.batch_size)})
+            for b in sizes:
+                out = sampler.sample(params, np.arange(b, dtype=np.uint32))
+                out["images"].block_until_ready()
+            resp["compiled_batches"] = sizes
+            resp["steps"] = steps
+        resp["elapsed_s"] = round(time.time() - t0, 3)
+        return resp
+
     def _get_xai_analyzer(self):
         if self._xai_analyzer is None:
             if self._xai_factory is not None:
@@ -490,10 +520,7 @@ class GenerationServer:
         head = batch[0].payload
         cls = head["class"]
         if head.get("op") == "warmup":
-            t0 = time.time()
-            ok = self.generator.model_manager.load_model(cls) is not None
-            self._finish(batch[0], {"ok": ok,
-                                    "elapsed_s": round(time.time() - t0, 3)})
+            self._finish(batch[0], self._do_warmup(head))
             return
 
         # per-request steps must not leak into later requests that omit it
@@ -621,14 +648,15 @@ def main(argv=None) -> int:
         gen.set_inference_steps(args.steps)
     if args.batch:
         gen.batch_size = args.batch
-    for cls in args.warmup:
-        print(f"warming up {cls}...", flush=True)
-        gen.model_manager.load_model(cls)
-
     server = GenerationServer(gen, host=args.host, port=args.port,
                               output_root=args.output_root,
                               max_batch=args.max_batch or args.batch,
-                              interactive_cost=args.interactive_cost).start()
+                              interactive_cost=args.interactive_cost)
+    for cls in args.warmup:
+        print(f"warming up {cls} (weights + executables)...", flush=True)
+        r = server._do_warmup({"class": cls, "compile": True})
+        print(f"  {cls}: {r}", flush=True)
+    server.start()
     print(f"serving on {server.address[0]}:{server.address[1]} "
           f"({len(gen.get_available_classes())} classes)", flush=True)
     server.serve_forever()

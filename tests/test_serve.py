@@ -61,7 +61,12 @@ def test_unknown_op_and_missing_class(server):
 
 def test_warmup_then_generate(server):
     w = _rpc(server, {"op": "warmup", "class": "NV"})
-    assert w["ok"]
+    assert w["ok"] and "compiled_batches" not in w   # plain warmup: load only
+    # compile:true builds + executes the b1 and device-batch executables
+    w = _rpc(server, {"op": "warmup", "class": "NV", "compile": True,
+                      "steps": 4})
+    assert w["ok"] and w["steps"] == 4
+    assert w["compiled_batches"] == sorted({1, server.generator.batch_size})
     r = _rpc(server, {"op": "generate", "class": "NV", "count": 2,
                       "seed": 42, "postprocess": False})
     assert r["ok"] and len(r["files"]) == 2 and r["coalesced"] == 1
