@@ -97,3 +97,11 @@ def test_epoch_scan_training_path(tmp_path):
     assert (tmp_path / "unet_NV_best.pth").exists()
     assert (tmp_path / "unet_NV_epoch4.pth").exists()
     assert (tmp_path / "train_state_NV.npz").exists()
+
+
+def test_skip_train_refuses_without_checkpoint(tmp_path):
+    """--skip-train must fail loudly, never silently retrain for hours."""
+    with pytest.raises(FileNotFoundError, match="skip-train"):
+        run_loop(str(tmp_path / "loop"), class_name="MEL", size=32,
+                 train_images=4, heldout=4, epochs=1, skip_train=True,
+                 with_classifier=False, log=lambda *_: None)
