@@ -93,6 +93,18 @@ def run_ladder(checkpoints: str, out_path: str, class_name: str = "MEL",
         gen.batch_size = min(count, 64)
         gen.save_trajectory = False
         run_dir = out_dir / f"{scheduler}_{steps}"
+        # warm pass: each rung's (steps, batch) is its own executable — a
+        # cold first block would bill minutes of XLA compile to this rung's
+        # img/s while cached rungs ride free; one small warmed run levels it.
+        # DIFFERENT seed than the timed run: the tunnel coalesces
+        # byte-identical execution requests (verify skill notes), so a
+        # replayed-seed warm pass would let the timed run be served from
+        # the coalescer and fake its rate.
+        gen.set_generation_seed(seed + 100_000)
+        gen.generate_images([(class_name, min(count, gen.batch_size))],
+                            str(run_dir.with_name(run_dir.name + "_warm")),
+                            postprocess=False)
+        gen.set_generation_seed(seed)
         t0 = time.time()
         result = gen.generate_images([(class_name, count)], str(run_dir),
                                      postprocess=False)
