@@ -289,8 +289,14 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
     rng = np.random.default_rng(seed)
     noise_imgs = rng.uniform(-1, 1, held.shape).astype(np.float32)
     image_sets = {"train": np.asarray(dataset.images[:heldout]),
+                  # same-distribution floor at the SAMPLER'S sample count:
+                  # with n=64 even a perfect sampler scores above the
+                  # 128-vs-128 floor (covariance estimator noise) — this
+                  # anchor says how much of the gap is just n
+                  "train_n": np.asarray(dataset.images[:sample_count]),
                   "held": held, "noise": noise_imgs, **samples}
     pairs = [("train_vs_heldout_floor", "train", "held"),
+             ("train_smalln_vs_heldout_floor", "train_n", "held"),
              ("noise_vs_heldout_ceiling", "noise", "held"),
              ("ddim_vs_heldout", "ddim_raw", "held"),
              ("dpm_vs_heldout", "dpm_raw", "held"),

@@ -78,6 +78,9 @@ def run_ladder(checkpoints: str, out_path: str, class_name: str = "MEL",
         "checkpoints": str(checkpoints),
         "floor_train_vs_heldout": float(frechet_distance(*stats(train_like),
                                                          *s_held)),
+        # floor at the rungs' own sample count (n=count covariance noise)
+        "floor_train_n_vs_heldout": float(frechet_distance(
+            *stats(train_like[:count]), *s_held)),
         "ceiling_noise_vs_heldout": float(frechet_distance(*stats(noise),
                                                            *s_held)),
         "rungs": [],
