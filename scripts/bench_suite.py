@@ -66,7 +66,7 @@ def main():
                                 (64, 50, "ddpm"), (64, 50, "dpm_solver"),
                                 (128, 20, "dpm_solver")]:
         ips = bench_sampler(batch, steps, sched)
-        note = ("2nd-order solver: DDIM-50-class accuracy at T=20"
+        note = ("2nd-order solver; T=20 quality is a measured trade (BENCHMARKS.md frontier)"
                 if sched == "dpm_solver" and steps == 20 else "")
         record(f"sampler_{sched}_T{steps}_b{batch}", ips, "img/s", note)
 

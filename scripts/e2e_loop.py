@@ -157,6 +157,7 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
                            "steps": train_result["steps"],
                            "first_epoch_loss": train_result["history"][0],
                            "last_epoch_loss": train_result["history"][-1],
+                           "best_val": train_result.get("best_val"),
                            "seconds": round(train_s, 1)}
         log(f"[e2e] trained {train_result['steps']} steps in {train_s:.0f}s: "
             f"loss {train_result['history'][0]:.4f} -> "
@@ -333,10 +334,21 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
         "*_vs_heldout rows judge RAW model output; *_post_vs_heldout rows "
         "are the production path incl. color postprocessing.")
     ceiling = pix["noise_vs_heldout_ceiling"]
-    # quality bar: an order of magnitude under the garbage ceiling for BOTH
-    # samplers in the deterministic pixel embedding, judged on RAW samples
-    # (postprocessing moment-matches toward the dataset statistics and must
-    # not be allowed to manufacture convergence)
+    # Quality bar: an order of magnitude under the garbage ceiling in the
+    # deterministic pixel embedding, judged on RAW samples (postprocessing
+    # moment-matches toward the dataset statistics and must not be allowed
+    # to manufacture convergence). Two separate claims, both reported:
+    #   * model_converged — the MODEL, judged through the quality-anchor
+    #     sampler (DDIM at the reference's default steps);
+    #   * sampler_within_bar — per-sampler step adequacy at the configured
+    #     step counts (a fast solver can trade quality for steps on a
+    #     given checkpoint; scripts/sampler_ladder.py maps that frontier).
+    # `converged` stays the STRICT conjunction (unchanged semantics).
+    report["quality_bar"] = round(0.1 * ceiling, 4)
+    report["model_converged"] = bool(pix["ddim_vs_heldout"] < 0.1 * ceiling)
+    report["sampler_within_bar"] = {
+        f"ddim{ddim_steps}": bool(pix["ddim_vs_heldout"] < 0.1 * ceiling),
+        f"dpm{dpm_steps}": bool(pix["dpm_vs_heldout"] < 0.1 * ceiling)}
     report["converged"] = bool(pix["ddim_vs_heldout"] < 0.1 * ceiling
                                and pix["dpm_vs_heldout"] < 0.1 * ceiling)
     log(f"[e2e] pixel-Frechet: floor={pix['train_vs_heldout_floor']:.3f} "
@@ -404,6 +416,8 @@ def main() -> int:
                       seed=args.seed, skip_train=args.skip_train,
                       offset_noise=args.offset_noise)
     print(json.dumps({"e2e_loop": "ok", "converged": report["converged"],
+                      "model_converged": report["model_converged"],
+                      "sampler_within_bar": report["sampler_within_bar"],
                       "fid_pixel": report["fid_pixel"],
                       "fid_proxy": report["fid_proxy"]}))
     return 0

@@ -3,7 +3,10 @@
 A beyond-reference extension (the reference app is DDPM-only,
 `core/generator/model_manager.py:196-226`): DPM-Solver++ integrates the
 probability-flow ODE in the log-SNR domain with a second-order multistep
-correction, reaching DDIM-50-class sample accuracy in ~15-25 UNet calls —
+correction, matching DDIM at EQUAL step counts and targeting few-step
+sampling — on well-trained large models it approaches DDIM-50 quality in
+~15-25 UNet calls; on the small procedural checkpoint the measured frontier
+(BENCHMARKS.md round 3) shows step reduction below 50 costs quality —
 i.e. ~2.5x fewer forwards per image for the production workload (Lu et al.
 2022, arXiv:2211.01095; algorithm re-derived here from the paper's eq. 4.3
 data-prediction form, not transcribed from any implementation).

@@ -62,6 +62,11 @@ def test_full_loop_closes(tmp_path):
     # 2 epochs on 16 images cannot converge; the assertion is the SEAM, not
     # quality — the chip run (scripts/e2e_loop.py defaults) asserts quality
     assert (tmp_path / "loop" / "report.json").exists()
+    # verdict fields: model-level + per-sampler, all booleans
+    assert isinstance(report["converged"], bool)
+    assert isinstance(report["model_converged"], bool)
+    assert set(report["sampler_within_bar"]) == {"ddim4", "dpm2"}
+    assert report["converged"] == all(report["sampler_within_bar"].values())
     # sidecars from the trained checkpoint pin sampler kind AND dtype
     import json
     sc = json.loads(next((tmp_path / "loop" / "samples_dpm2" / "MEL")
