@@ -73,7 +73,8 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
              xai_ig: int = 16, xai_shap: int = 64, with_gradcam: bool = True,
              seed: int = 0, skip_train: bool = False,
              offset_noise: float = 0.05, with_classifier: bool = True,
-             clf_per_class: int = 64, clf_epochs: int = 8, log=print) -> dict:
+             clf_per_class: int = 64, clf_epochs: int = 8,
+             timestep_spacing: str = "trailing", log=print) -> dict:
     import numpy as np
     import jax.numpy as jnp
 
@@ -224,6 +225,11 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
     # measures) and the postprocessed PRODUCTION output path (training wrote
     # color_statistics.json, so the moment-matching stage runs exactly as it
     # would on real checkpoints).
+    # timestep_spacing defaults to 'trailing' (beyond-reference few-step
+    # fix): measured -15% (DDIM-50) to -42% (DPM-20) pixel-Fréchet vs the
+    # reference's leading spacing on this loop's own checkpoint — recorded
+    # in the report and in every sidecar, so reproduction stays exact
+    report["timestep_spacing"] = timestep_spacing
     samples: dict = {}
     for name, scheduler, steps in (("ddim", "ddim", ddim_steps),
                                    ("dpm", "dpm_solver", dpm_steps)):
@@ -231,6 +237,7 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
             gen = ImageGenerator(checkpoints_dir=str(ckpt_dir), model_config=cfg,
                                  compute_dtype=jnp.bfloat16)
             gen.scheduler_kind = scheduler
+            gen.timestep_spacing = timestep_spacing
             gen.set_inference_steps(steps)
             gen.set_generation_seed(seed + 1)
             gen.batch_size = min(sample_count, 64)
@@ -259,6 +266,7 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
                          compute_dtype=jnp.bfloat16)
     gen.set_inference_steps(ddim_steps)
     gen.scheduler_kind = "ddim"
+    gen.timestep_spacing = timestep_spacing
     gen.set_generation_seed(seed + 2)
     analyzer = IntegratedXAIAnalyzer(
         classifier=trained_clf,        # trained on the procedural classes
@@ -391,6 +399,10 @@ def main() -> int:
     p.add_argument("--ddim-steps", type=int, default=50)
     p.add_argument("--dpm-steps", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--timestep-spacing", choices=("leading", "trailing"),
+                   default="trailing",
+                   help="'trailing' (default) = few-step quality fix; "
+                        "'leading' = exact reference scheduler parity")
     p.add_argument("--offset-noise", type=float, default=0.05,
                    help="offset-noise strength for training (controls the "
                         "global-hue channel; see TrainConfig.offset_noise)")
@@ -414,7 +426,8 @@ def main() -> int:
                       sample_count=args.sample_count,
                       ddim_steps=args.ddim_steps, dpm_steps=args.dpm_steps,
                       seed=args.seed, skip_train=args.skip_train,
-                      offset_noise=args.offset_noise)
+                      offset_noise=args.offset_noise,
+                      timestep_spacing=args.timestep_spacing)
     print(json.dumps({"e2e_loop": "ok", "converged": report["converged"],
                       "model_converged": report["model_converged"],
                       "sampler_within_bar": report["sampler_within_bar"],

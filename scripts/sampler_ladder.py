@@ -30,12 +30,21 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 DEFAULT_GRID = (
+    # (scheduler, steps[, timestep_spacing]) — spacing defaults to
+    # 'leading' (reference parity); 'trailing' is the few-step fix
+    # (schedules.trailing_timesteps), measured -15% to -50% Fréchet on the
+    # e2e checkpoint (BENCHMARKS.md round-3 frontier)
     ("ddim", 50),          # reference GUI default — the quality anchor
+    ("ddim", 50, "trailing"),
     ("ddim", 20),
+    ("ddim", 20, "trailing"),
     ("dpm_solver", 50),
     ("dpm_solver", 30),
+    ("dpm_solver", 30, "trailing"),
     ("dpm_solver", 20),
+    ("dpm_solver", 20, "trailing"),
     ("dpm_solver", 10),
+    ("dpm_solver", 10, "trailing"),
     ("ddpm", 250),         # ancestral rung (T=1000 is the CLI default but
                            # adds nothing to the frontier at 12x the cost)
 )
@@ -72,6 +81,7 @@ def run_ladder(checkpoints: str, out_path: str, class_name: str = "MEL",
         f = np.asarray(extractor(imgs), np.float64)
         return f.mean(axis=0), np.cov(f, rowvar=False)
 
+    grid = [(r + ("leading",))[:3] for r in grid]   # optional 3rd: spacing
     s_held = stats(held)
     report = {
         "class": class_name, "size": size, "count": count,
@@ -86,16 +96,19 @@ def run_ladder(checkpoints: str, out_path: str, class_name: str = "MEL",
         "rungs": [],
     }
     out_dir = Path(out_path).parent / "sampler_ladder_runs"
-    for scheduler, steps in grid:
+    for scheduler, steps, spacing in grid:
         gen = ImageGenerator(checkpoints_dir=str(checkpoints),
                              model_config=model_config,
                              compute_dtype=jnp.bfloat16)
         gen.scheduler_kind = scheduler
+        gen.timestep_spacing = spacing
         gen.set_inference_steps(steps)
         gen.set_generation_seed(seed)
         gen.batch_size = min(count, 64)
         gen.save_trajectory = False
-        run_dir = out_dir / f"{scheduler}_{steps}"
+        tag = f"{scheduler}_{steps}" + ("" if spacing == "leading"
+                                        else f"_{spacing}")
+        run_dir = out_dir / tag
         # warm pass: each rung's (steps, batch) is its own executable — a
         # cold first block would bill minutes of XLA compile to this rung's
         # img/s while cached rungs ride free; one small warmed run levels it.
@@ -117,11 +130,12 @@ def run_ladder(checkpoints: str, out_path: str, class_name: str = "MEL",
         imgs = load_generated_images(run_dir / class_name, count)
         fd = float(frechet_distance(*stats(imgs), *s_held))
         rung = {"scheduler": scheduler, "steps": steps,
+                "timestep_spacing": spacing,
                 "frechet_vs_heldout": round(fd, 3),
                 "img_per_s": result["images_per_second"],
                 "wall_s": round(wall, 1)}
         report["rungs"].append(rung)
-        log(f"[ladder] {scheduler}-{steps}: frechet={fd:.3f} "
+        log(f"[ladder] {tag}: frechet={fd:.3f} "
             f"{result['images_per_second']} img/s")
 
     # the fastest rung whose Fréchet is within 15% of the best rung — the

@@ -40,6 +40,7 @@ class ConsoleGenerator:
                  inference_steps: int = 1000,
                  batch_size: int = 8,
                  scheduler: str = "ddpm",
+                 timestep_spacing: str = "leading",
                  seed: Optional[int] = None,
                  model_config=None,
                  mesh=None):
@@ -50,6 +51,7 @@ class ConsoleGenerator:
         self.inference_steps = max(1, min(1000, inference_steps))
         self.batch_size = max(1, batch_size)
         self.scheduler = scheduler
+        self.timestep_spacing = timestep_spacing
         self.seed = seed
         self.synthetic_dir = self.base_dir / "ISIC2018_Task3_synt"
         self.synthetic_csv = self.base_dir / "ISIC2018_Task3_GroundTruth_synt.csv"
@@ -91,7 +93,8 @@ class ConsoleGenerator:
                 produced[class_name] = 0
                 continue
             sampler = self.model_manager.create_sampler(
-                self.inference_steps, scheduler=self.scheduler)
+                self.inference_steps, scheduler=self.scheduler,
+                timestep_spacing=self.timestep_spacing)
             if self.mesh is not None:
                 from .parallel.sharded_sampler import ShardedSampler
 
@@ -174,6 +177,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch", type=int, default=8, help="device batch size")
     p.add_argument("--scheduler", choices=["ddpm", "ddim", "dpm_solver"],
                    default="ddpm")
+    p.add_argument("--timestep-spacing", choices=["leading", "trailing"],
+                   default="leading",
+                   help="'leading' = reference parity; 'trailing' always "
+                        "visits t=T-1 — the standard few-step quality fix "
+                        "(recorded in sidecars for --reproduce)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--dp-mesh", type=int, default=0, metavar="N",
                    help="shard sampling over an N-device data-parallel "
@@ -225,6 +233,8 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
     kind_recorded = "kind" in sched
     gen.scheduler_kind = sched.get("kind", "ddpm")
     gen.ddim_eta = float(sched.get("ddim_eta", 0.0))
+    # sidecars that predate spacing-recording were always 'leading'
+    gen.timestep_spacing = sched.get("timestep_spacing", "leading")
     if not kind_recorded:
         print("warning: sidecar predates sampler-kind recording — assuming "
               "the DDPM ancestral sampler", file=sys.stderr)
@@ -289,6 +299,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     gen = ConsoleGenerator(base_dir=args.base_dir, checkpoints_dir=args.checkpoints,
                            inference_steps=args.steps, batch_size=args.batch,
                            scheduler=args.scheduler, seed=args.seed,
+                           timestep_spacing=args.timestep_spacing,
                            mesh=mesh)
     if args.list_classes:
         classes = gen.list_classes()

@@ -3,6 +3,8 @@ from .schedules import (
     betas_squaredcos_cap_v2,
     betas_linear,
     leading_timesteps,
+    spaced_timesteps,
+    trailing_timesteps,
 )
 from .ddpm import DDPMParams, ddpm_step, add_noise
 from .ddim import ddim_step
@@ -14,6 +16,8 @@ __all__ = [
     "betas_squaredcos_cap_v2",
     "betas_linear",
     "leading_timesteps",
+    "spaced_timesteps",
+    "trailing_timesteps",
     "DDPMParams",
     "ddpm_step",
     "add_noise",

@@ -13,7 +13,7 @@ from typing import Optional
 import jax.numpy as jnp
 import numpy as np
 
-from .schedules import DiffusionSchedule, leading_timesteps
+from .schedules import DiffusionSchedule, spaced_timesteps
 
 
 @dataclasses.dataclass(frozen=True)
@@ -30,10 +30,14 @@ class DDIMParams:
 
     @classmethod
     def create(cls, schedule: DiffusionSchedule, num_inference_steps: int,
-               eta: float = 0.0, dtype=jnp.float32, clip_sample: bool = True) -> "DDIMParams":
-        ts = leading_timesteps(schedule.num_train_timesteps, num_inference_steps)
+               eta: float = 0.0, dtype=jnp.float32, clip_sample: bool = True,
+               timestep_spacing: str = "leading") -> "DDIMParams":
+        ts = spaced_timesteps(schedule.num_train_timesteps, num_inference_steps,
+                              timestep_spacing)
         ab_t = schedule.alphas_cumprod[ts]
-        ab_prev = schedule.alphas_cumprod_prev(ts, num_inference_steps)
+        ab_prev = (schedule.alphas_cumprod_prev(ts, num_inference_steps)
+                   if timestep_spacing == "leading"
+                   else schedule.alphas_cumprod_prev_from(ts))
         variance = (1.0 - ab_prev) / (1.0 - ab_t) * (1.0 - ab_t / ab_prev)
         sigma = eta * np.sqrt(np.clip(variance, 0.0, None))
         sigma = np.where(ts > 0, sigma, 0.0)

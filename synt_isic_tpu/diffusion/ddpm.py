@@ -42,7 +42,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .schedules import DiffusionSchedule, leading_timesteps
+from .schedules import DiffusionSchedule, spaced_timesteps
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,10 +60,14 @@ class DDPMParams:
 
     @classmethod
     def create(cls, schedule: DiffusionSchedule, num_inference_steps: int,
-               dtype=jnp.float32, clip_sample: bool = True) -> "DDPMParams":
-        ts = leading_timesteps(schedule.num_train_timesteps, num_inference_steps)
+               dtype=jnp.float32, clip_sample: bool = True,
+               timestep_spacing: str = "leading") -> "DDPMParams":
+        ts = spaced_timesteps(schedule.num_train_timesteps, num_inference_steps,
+                              timestep_spacing)
         ab_t = schedule.alphas_cumprod[ts]
-        ab_prev = schedule.alphas_cumprod_prev(ts, num_inference_steps)
+        ab_prev = (schedule.alphas_cumprod_prev(ts, num_inference_steps)
+                   if timestep_spacing == "leading"
+                   else schedule.alphas_cumprod_prev_from(ts))
         alpha_cur = ab_t / ab_prev
         beta_cur = 1.0 - alpha_cur
         beta_prod_t = 1.0 - ab_t

@@ -39,7 +39,7 @@ from typing import Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .schedules import DiffusionSchedule, leading_timesteps
+from .schedules import DiffusionSchedule, spaced_timesteps
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,11 +57,14 @@ class DPMSolverParams:
 
     @classmethod
     def create(cls, schedule: DiffusionSchedule, num_inference_steps: int,
-               dtype=jnp.float32, clip_sample: bool = True) -> "DPMSolverParams":
+               dtype=jnp.float32, clip_sample: bool = True,
+               timestep_spacing: str = "leading") -> "DPMSolverParams":
         S = num_inference_steps
-        ts = leading_timesteps(schedule.num_train_timesteps, S)
+        ts = spaced_timesteps(schedule.num_train_timesteps, S, timestep_spacing)
         ab_t = schedule.alphas_cumprod[ts]
-        ab_next = schedule.alphas_cumprod_prev(ts, S)  # 1.0 past the end
+        ab_next = (schedule.alphas_cumprod_prev(ts, S)   # 1.0 past the end
+                   if timestep_spacing == "leading"
+                   else schedule.alphas_cumprod_prev_from(ts))
 
         alpha = np.sqrt(ab_t)
         sigma = np.sqrt(1.0 - ab_t)

@@ -47,10 +47,15 @@ class SamplerConfig:
     clip_sample: bool = True
     deterministic_posterior: bool = False  # skip the DDPM posterior noise
                                            # (golden tests / mean-path mode)
+    # 'leading' = reference scheduler parity; 'trailing' = beyond-reference
+    # few-step fix (always visits t = T-1; see schedules.trailing_timesteps)
+    timestep_spacing: str = "leading"
 
     def __post_init__(self):
         if self.scheduler not in ("ddpm", "ddim", "dpm_solver"):
             raise ValueError(f"unknown scheduler: {self.scheduler}")
+        if self.timestep_spacing not in ("leading", "trailing"):
+            raise ValueError(f"unknown timestep_spacing: {self.timestep_spacing!r}")
 
 
 def save_indices(num_steps: int, save_every: int,
@@ -109,16 +114,19 @@ class DiffusionSampler:
         self.config = config
         if config.scheduler == "ddpm":
             self.params = DDPMParams.create(schedule, config.num_inference_steps,
-                                            clip_sample=config.clip_sample)
+                                            clip_sample=config.clip_sample,
+                                            timestep_spacing=config.timestep_spacing)
             self._step = ddpm_step
         elif config.scheduler == "dpm_solver":
             self.params = DPMSolverParams.create(schedule, config.num_inference_steps,
-                                                 clip_sample=config.clip_sample)
+                                                 clip_sample=config.clip_sample,
+                                                 timestep_spacing=config.timestep_spacing)
             self._step = None  # multistep: stepped via dpm_solver_step in _build
         else:
             self.params = DDIMParams.create(schedule, config.num_inference_steps,
                                             eta=config.ddim_eta,
-                                            clip_sample=config.clip_sample)
+                                            clip_sample=config.clip_sample,
+                                            timestep_spacing=config.timestep_spacing)
             self._step = ddim_step
         self.timesteps = np.asarray(self.params.timesteps)
         self._multistep = config.scheduler == "dpm_solver"

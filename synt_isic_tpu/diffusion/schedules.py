@@ -61,6 +61,35 @@ def leading_timesteps(num_train_timesteps: int, num_inference_steps: int) -> np.
     return timesteps.astype(np.int64)
 
 
+def trailing_timesteps(num_train_timesteps: int, num_inference_steps: int) -> np.ndarray:
+    """'trailing' timestep spacing: round(arange(T, 0, -T/S)) - 1, descending.
+
+    Beyond-reference quality option ("Common Diffusion Noise Schedules and
+    Sample Steps are Flawed", Lin et al. 2023): leading spacing never
+    visits t = T-1, so at S=20 pure N(0,1) noise enters the model labeled
+    t=950 — a train/sample mismatch that grows as S shrinks. Trailing
+    spacing always starts at t = T-1 (for T=1000, S=20: 999, 949, ..., 49)
+    and is the standard fix for few-step sampling. The reverse walk's
+    "previous" alpha-bars must then come from the VISITED sequence
+    (`DiffusionSchedule.alphas_cumprod_prev_from`), not a fixed stride.
+    """
+    if not 1 <= num_inference_steps <= num_train_timesteps:
+        raise ValueError(
+            f"num_inference_steps must be in [1, {num_train_timesteps}], got {num_inference_steps}")
+    step = num_train_timesteps / num_inference_steps
+    ts = np.round(np.arange(num_train_timesteps, 0, -step)) - 1
+    return ts[:num_inference_steps].astype(np.int64)
+
+
+def spaced_timesteps(num_train_timesteps: int, num_inference_steps: int,
+                     spacing: str = "leading") -> np.ndarray:
+    if spacing == "leading":
+        return leading_timesteps(num_train_timesteps, num_inference_steps)
+    if spacing == "trailing":
+        return trailing_timesteps(num_train_timesteps, num_inference_steps)
+    raise ValueError(f"unknown timestep_spacing: {spacing!r}")
+
+
 @dataclasses.dataclass(frozen=True)
 class DiffusionSchedule:
     """Immutable schedule tables (host float64 → device float32).
@@ -93,10 +122,22 @@ class DiffusionSchedule:
                    prediction_type=prediction_type)
 
     def alphas_cumprod_prev(self, timesteps: np.ndarray, num_inference_steps: int) -> np.ndarray:
-        """alpha_bar at the previous visited timestep (1.0 past the end)."""
+        """alpha_bar at the previous visited timestep (1.0 past the end).
+
+        Fixed-stride form — exact for 'leading' spacing (reference
+        scheduler semantics; leading grids are always uniform because the
+        stride is T//S floored). For non-uniform grids ('trailing' at
+        S ∤ T) use `alphas_cumprod_prev_from`."""
         prev_t = timesteps - self.num_train_timesteps // num_inference_steps
         prev = np.where(prev_t >= 0, self.alphas_cumprod[np.clip(prev_t, 0, None)], 1.0)
         return prev
+
+    def alphas_cumprod_prev_from(self, timesteps: np.ndarray) -> np.ndarray:
+        """alpha_bar at the NEXT visited (lower) timestep of a descending
+        grid; 1.0 after the last visited step (the x0 endpoint). Equals
+        `alphas_cumprod_prev` on uniform grids and is correct on any grid."""
+        return np.concatenate([self.alphas_cumprod[timesteps[1:]],
+                               np.ones(1, dtype=self.alphas_cumprod.dtype)])
 
     def device_tables(self, dtype=jnp.float32):
         """The full tables as device arrays (gathered by t inside scan)."""

@@ -85,6 +85,10 @@ class ImageGenerator:
         self.scheduler_kind = (config.get("compute.scheduler", "ddpm")
                                if config else "ddpm")
         self.ddim_eta = float(config.get("compute.ddim_eta", 0.0)) if config else 0.0
+        # 'leading' = reference parity; 'trailing' = few-step quality fix
+        # (schedules.trailing_timesteps) — recorded in sidecars
+        self.timestep_spacing = (config.get("compute.timestep_spacing", "leading")
+                                 if config else "leading")
 
         stats_path = Path(ckpt_dir) / "color_statistics.json"
         self.color_statistics = load_color_statistics(stats_path)
@@ -187,7 +191,7 @@ class ImageGenerator:
                 return None
         sampler = self.model_manager.create_sampler(
             self.inference_steps, scheduler=self.scheduler_kind,
-            ddim_eta=self.ddim_eta)
+            ddim_eta=self.ddim_eta, timestep_spacing=self.timestep_spacing)
         params = self.model_manager.loaded_params[class_name]
         if self.mesh is not None:
             from .parallel.sharded_sampler import ShardedSampler
@@ -244,6 +248,7 @@ class ImageGenerator:
                 # a sidecar cannot pin the reverse process (--reproduce)
                 "kind": self.scheduler_kind,
                 "ddim_eta": self.ddim_eta,
+                "timestep_spacing": self.timestep_spacing,
                 # compute dtype: bf16 (the serving default) and f32 produce
                 # different bytes, so reproduce must rebuild with the same
                 "dtype": jnp.dtype(self.model_manager.dtype).name,

@@ -164,15 +164,17 @@ class ModelManager:
     # -- samplers -------------------------------------------------------------------------
     def create_sampler(self, inference_steps: int = 50,
                        scheduler: str = "ddpm", ddim_eta: float = 0.0,
-                       dtype: Any = jnp.float32) -> DiffusionSampler:
+                       dtype: Any = jnp.float32,
+                       timestep_spacing: str = "leading") -> DiffusionSampler:
         """Sampler with the training schedule (T=1000, squaredcos_cap_v2,
         epsilon) and clamped inference steps (reference
         `model_manager.py:196-209`). Cached per step count."""
         steps = max(1, min(1000, int(inference_steps)))
-        key = (steps, scheduler, ddim_eta, str(dtype))
+        key = (steps, scheduler, ddim_eta, str(dtype), timestep_spacing)
         if key not in self._samplers:
             cfg = SamplerConfig(num_inference_steps=steps, scheduler=scheduler,
                                 ddim_eta=ddim_eta,
+                                timestep_spacing=timestep_spacing,
                                 image_size=self.model.config.sample_size,
                                 channels=self.model.config.in_channels,
                                 dtype=dtype)
