@@ -45,6 +45,11 @@ DEFAULT_GRID = (
     ("dpm_solver", 20, "trailing"),
     ("dpm_solver", 10),
     ("dpm_solver", 10, "trailing"),
+    # stochastic multistep: targets the ancestral rung's texture quality
+    # (DDPM-250 wins the deterministic ladder outright) at few-step cost
+    ("dpm_solver_sde", 50, "trailing"),
+    ("dpm_solver_sde", 30, "trailing"),
+    ("dpm_solver_sde", 20, "trailing"),
     ("ddpm", 250),         # ancestral rung (T=1000 is the CLI default but
                            # adds nothing to the frontier at 12x the cost)
 )

@@ -175,7 +175,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--steps", type=int, default=1000,
                    help="inference steps (1-1000)")
     p.add_argument("--batch", type=int, default=8, help="device batch size")
-    p.add_argument("--scheduler", choices=["ddpm", "ddim", "dpm_solver"],
+    p.add_argument("--scheduler",
+                   choices=["ddpm", "ddim", "dpm_solver", "dpm_solver_sde"],
                    default="ddpm")
     p.add_argument("--timestep-spacing", choices=["leading", "trailing"],
                    default="leading",

@@ -39,7 +39,7 @@ from .schedules import DiffusionSchedule
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
     num_inference_steps: int = 50
-    scheduler: str = "ddpm"           # ddpm | ddim | dpm_solver
+    scheduler: str = "ddpm"   # ddpm | ddim | dpm_solver | dpm_solver_sde
     ddim_eta: float = 0.0
     image_size: int = 128
     channels: int = 3
@@ -52,7 +52,7 @@ class SamplerConfig:
     timestep_spacing: str = "leading"
 
     def __post_init__(self):
-        if self.scheduler not in ("ddpm", "ddim", "dpm_solver"):
+        if self.scheduler not in ("ddpm", "ddim", "dpm_solver", "dpm_solver_sde"):
             raise ValueError(f"unknown scheduler: {self.scheduler}")
         if self.timestep_spacing not in ("leading", "trailing"):
             raise ValueError(f"unknown timestep_spacing: {self.timestep_spacing!r}")
@@ -117,10 +117,11 @@ class DiffusionSampler:
                                             clip_sample=config.clip_sample,
                                             timestep_spacing=config.timestep_spacing)
             self._step = ddpm_step
-        elif config.scheduler == "dpm_solver":
+        elif config.scheduler in ("dpm_solver", "dpm_solver_sde"):
             self.params = DPMSolverParams.create(schedule, config.num_inference_steps,
                                                  clip_sample=config.clip_sample,
-                                                 timestep_spacing=config.timestep_spacing)
+                                                 timestep_spacing=config.timestep_spacing,
+                                                 sde=config.scheduler == "dpm_solver_sde")
             self._step = None  # multistep: stepped via dpm_solver_step in _build
         else:
             self.params = DDIMParams.create(schedule, config.num_inference_steps,
@@ -129,7 +130,7 @@ class DiffusionSampler:
                                             timestep_spacing=config.timestep_spacing)
             self._step = ddim_step
         self.timesteps = np.asarray(self.params.timesteps)
-        self._multistep = config.scheduler == "dpm_solver"
+        self._multistep = config.scheduler.startswith("dpm_solver")
         self._compiled: Dict[Tuple[int, bool], Callable] = {}
         self._stream_compiled: Dict[int, Callable] = {}
 
@@ -159,8 +160,11 @@ class DiffusionSampler:
         shape = (cfg.image_size, cfg.image_size, cfg.channels)
 
         # dpm_solver threads the previous x0 prediction through the scan
-        # carry (second-order multistep); ddpm/ddim carry only x.
-        multistep = cfg.scheduler == "dpm_solver"
+        # carry (second-order multistep); ddpm/ddim carry only x. The SDE
+        # variant additionally draws per-step noise from the same
+        # fold_in(seed, k+1) streams as ancestral DDPM, so batching and
+        # sharding never change results.
+        multistep = cfg.scheduler.startswith("dpm_solver")
 
         def init_carry(x):
             return (x, jnp.zeros_like(x)) if multistep else x
@@ -181,7 +185,8 @@ class DiffusionSampler:
             eps = apply_fn(model_params, x,
                            jnp.broadcast_to(t, (batch,))).astype(cfg.dtype)
             if multistep:
-                return dpm_solver_step(carry[0], carry[1], eps, k, sched)
+                z = posterior_noise(keys, k) if sched.sde else None
+                return dpm_solver_step(carry[0], carry[1], eps, k, sched, z)
             return step_fn(x, eps, k, sched, posterior_noise(keys, k))
 
         def run_segment(model_params, carry, keys, start, length: int):
@@ -273,14 +278,15 @@ class DiffusionSampler:
                 t = sched.timesteps[k]
                 eps = apply_fn(model_params, x,
                                jnp.broadcast_to(t, (batch,))).astype(cfg.dtype)
-                if multistep:
-                    return dpm_solver_step(carry[0], carry[1], eps, k, sched)
                 if cfg.deterministic_posterior:
                     noise = None
                 else:
                     noise = jax.vmap(
                         lambda key: jax.random.normal(jax.random.fold_in(key, k + 1),
                                                       shape, cfg.dtype))(keys)
+                if multistep:
+                    z = noise if sched.sde else None
+                    return dpm_solver_step(carry[0], carry[1], eps, k, sched, z)
                 return step_fn(x, eps, k, sched, noise)
 
             def seg(model_params, carry, keys, start, length: int):
