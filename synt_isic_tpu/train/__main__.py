@@ -89,6 +89,23 @@ def main(argv=None) -> int:
                         "instead of the ISIC archive (asset-free; see "
                         "train/procedural.py) — for pipeline validation "
                         "and environments without the dataset")
+    p.add_argument("--distill-from", metavar="CKPT",
+                   help="progressive distillation: halve sampling steps "
+                        "starting from this teacher checkpoint "
+                        "(unet_<CLASS>_best.pth, flagship architecture at "
+                        "--image-size). Writes unet_<CLASS>_distill<N>.pth "
+                        "per phase; sample them with "
+                        "num_inference_steps=N and --distill-spacing")
+    p.add_argument("--distill-start", type=int, default=64, metavar="N",
+                   help="teacher step count the first phase halves "
+                        "(default 64 -> students at 32, 16, ...)")
+    p.add_argument("--distill-end", type=int, default=4, metavar="N",
+                   help="smallest student step count (default 4)")
+    p.add_argument("--distill-steps-per-phase", type=int, default=2000)
+    p.add_argument("--distill-spacing", choices=("leading", "trailing"),
+                   default="trailing",
+                   help="timestep spacing of the student grids (trailing "
+                        "is the measured few-step winner)")
     args = p.parse_args(argv)
 
     from ..utils.compute import enable_compilation_cache
@@ -132,6 +149,54 @@ def main(argv=None) -> int:
     if not classes:
         print("no classes selected")
         return 1
+
+    if args.distill_from:
+        import jax.numpy as jnp
+
+        from ..io.convert import torch_to_flax
+        from ..io.pth import load_pth
+        from ..models.unet2d import UNet2D, UNet2DConfig
+        from .distill import DistillConfig, progressive_distill
+
+        if len(classes) > 1 and "{CLASS}" not in args.distill_from:
+            print("--distill-from with multiple classes needs a {CLASS} "
+                  "placeholder in the path (each class has its own teacher)")
+            return 1
+        model = UNet2D(config=UNet2DConfig(sample_size=args.image_size),
+                       dtype=jnp.bfloat16 if not args.no_bf16 else jnp.float32)
+        dcfg = DistillConfig(batch_size=args.batch,
+                             steps_per_phase=args.distill_steps_per_phase,
+                             learning_rate=args.lr, seed=args.seed,
+                             timestep_spacing=args.distill_spacing,
+                             bf16_compute=not args.no_bf16)
+        for cls in classes:
+            class_id = CLASS_NAMES.index(cls)
+            if args.procedural:
+                from .procedural import ProceduralDataset
+
+                dataset = ProceduralDataset(cls, args.procedural,
+                                            image_size=args.image_size,
+                                            seed=args.seed)
+            else:
+                dataset = SingleClassDataset(args.data_dir, args.csv,
+                                             class_id,
+                                             image_size=args.image_size,
+                                             max_samples=args.max_samples)
+            if len(dataset) == 0:
+                print(f"!! no data for {cls}, skipping")
+                continue
+            teacher = torch_to_flax(load_pth(
+                args.distill_from.replace("{CLASS}", cls)))
+            print(f"== distilling {cls}: {args.distill_start} -> "
+                  f"{args.distill_end} steps ==")
+            out = progressive_distill(
+                teacher, dataset, cls, args.checkpoints,
+                start_steps=args.distill_start, end_steps=args.distill_end,
+                config=dcfg, model=model, image_size=args.image_size)
+            for ph in out["phases"]:
+                print(f"  T={ph['n_student']}: {ph['checkpoint']} "
+                      f"(loss {ph['final_loss']:.5f})")
+        return 0
 
     cfg = TrainConfig(image_size=args.image_size, batch_size=args.batch,
                       learning_rate=args.lr, epochs=args.epochs,
