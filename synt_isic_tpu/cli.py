@@ -43,11 +43,13 @@ class ConsoleGenerator:
                  timestep_spacing: str = "leading",
                  seed: Optional[int] = None,
                  model_config=None,
-                 mesh=None):
+                 mesh=None,
+                 model_variant: str = "best"):
         self.base_dir = Path(base_dir) if base_dir else Path.cwd()
         ckpt = Path(checkpoints_dir) if checkpoints_dir else self.base_dir / "checkpoints"
         self.model_manager = ModelManager(checkpoints_dir=str(ckpt),
-                                          model_config=model_config)
+                                          model_config=model_config,
+                                          variant=model_variant)
         self.inference_steps = max(1, min(1000, inference_steps))
         self.batch_size = max(1, batch_size)
         self.scheduler = scheduler
@@ -184,6 +186,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "visits t=T-1 — the standard few-step quality fix "
                         "(recorded in sidecars for --reproduce)")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--model-variant", default="best", metavar="V",
+                   help="checkpoint variant to sample: 'best' = reference "
+                        "naming unet_<CLASS>_best.pth; a progressive-"
+                        "distillation student is e.g. 'distill8' (sample it "
+                        "with --steps 8 --timestep-spacing trailing). "
+                        "Recorded in sidecars for --reproduce")
     p.add_argument("--dp-mesh", type=int, default=0, metavar="N",
                    help="shard sampling over an N-device data-parallel "
                         "mesh (-1 = all local devices; 0 = single device). "
@@ -225,7 +233,10 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
     compute_dtype = jnp.dtype(sched.get("dtype", "float32"))
     gen = ImageGenerator(checkpoints_dir=checkpoints_dir,
                          model_config=model_config,
-                         compute_dtype=compute_dtype)
+                         compute_dtype=compute_dtype,
+                         # sidecars that predate variant recording were
+                         # always written from the 'best' checkpoint
+                         model_variant=sched.get("model_variant", "best"))
     gen.set_inference_steps(int(meta["inference_steps"]))
     # pin the reverse process from the recorded sampler kind; sidecars that
     # predate kind-recording can only be ASSUMED ddpm (the reference's only
@@ -301,7 +312,7 @@ def main(argv: Optional[List[str]] = None) -> int:
                            inference_steps=args.steps, batch_size=args.batch,
                            scheduler=args.scheduler, seed=args.seed,
                            timestep_spacing=args.timestep_spacing,
-                           mesh=mesh)
+                           mesh=mesh, model_variant=args.model_variant)
     if args.list_classes:
         classes = gen.list_classes()
         if not classes:

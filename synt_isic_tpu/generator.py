@@ -63,7 +63,8 @@ class ImageGenerator:
                  checkpoints_dir: Optional[str] = None,
                  device: Optional[jax.Device] = None,
                  compute_dtype=jnp.float32,
-                 model_config=None):
+                 model_config=None,
+                 model_variant: str = "best"):
         self.config = config
         project_root = config.project_root if config else None
         self.path_manager = PathManager(project_root)
@@ -76,7 +77,7 @@ class ImageGenerator:
         self.model_manager = ModelManager(
             checkpoints_dir=ckpt_dir, cache_manager=self.cache_manager,
             logger=self.logger, device=device, dtype=compute_dtype,
-            model_config=model_config)
+            model_config=model_config, variant=model_variant)
 
         self.inference_steps = int(config.get_generation_param("inference_timesteps")) \
             if config else 50
@@ -252,6 +253,9 @@ class ImageGenerator:
                 # compute dtype: bf16 (the serving default) and f32 produce
                 # different bytes, so reproduce must rebuild with the same
                 "dtype": jnp.dtype(self.model_manager.dtype).name,
+                # checkpoint variant (e.g. a distilled student) — reproduce
+                # must sample the same weights
+                "model_variant": self.model_manager.variant,
             })
 
     def generate_images(self, class_configs: List[Tuple[str, int]],

@@ -64,10 +64,17 @@ class ModelManager:
                  logger: Optional[Logger] = None,
                  device: Optional[jax.Device] = None,
                  model_config: Optional[UNet2DConfig] = None,
-                 dtype: Any = jnp.float32):
+                 dtype: Any = jnp.float32,
+                 variant: str = "best"):
         self.path_manager = PathManager()
         self.checkpoints_dir = Path(checkpoints_dir) if checkpoints_dir \
             else self.path_manager.get_checkpoints_dir()
+        # checkpoint variant: 'best' = reference naming (unet_<CLASS>_best.pth,
+        # `model_manager.py:103`); progressive distillation writes additional
+        # same-architecture variants (unet_<CLASS>_distill<N>.pth,
+        # train/distill.py) selectable here — recorded in sidecars so
+        # --reproduce rebuilds with the same weights
+        self.variant = variant
         self.cache = cache_manager
         self.logger = logger or Logger("model_manager")
         self.device = device or jax.devices()[0]
@@ -91,7 +98,14 @@ class ModelManager:
         return self.path_manager.get_available_classes(str(self.checkpoints_dir))
 
     def checkpoint_path(self, class_name: str) -> Path:
-        return self.checkpoints_dir / f"unet_{class_name}_best.pth"
+        return self.checkpoints_dir / f"unet_{class_name}_{self.variant}.pth"
+
+    def available_variants(self, class_name: str) -> List[str]:
+        """Checkpoint variants present for a class ('best' plus any
+        distilled students etc.), by filename convention."""
+        prefix = f"unet_{class_name}_"
+        return sorted(p.stem[len(prefix):]
+                      for p in self.checkpoints_dir.glob(f"{prefix}*.pth"))
 
     # -- load / unload ---------------------------------------------------------------
     def load_model(self, class_name: str,

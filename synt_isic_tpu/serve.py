@@ -633,6 +633,10 @@ def main(argv=None) -> int:
                         "jobs; default 256 = e.g. 4 images at 50 steps)")
     p.add_argument("--warmup", nargs="*", default=[],
                    help="classes to load+compile before accepting traffic")
+    p.add_argument("--model-variant", default="best",
+                   help="checkpoint variant to serve (e.g. 'distill8' from "
+                        "progressive distillation — pair with --steps 8; "
+                        "recorded in sidecars)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -643,7 +647,8 @@ def main(argv=None) -> int:
     enable_compilation_cache()
     gen = ImageGenerator(
         checkpoints_dir=args.checkpoints,
-        compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32)
+        compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+        model_variant=args.model_variant)
     if args.steps:
         gen.set_inference_steps(args.steps)
     if args.batch:

@@ -134,3 +134,49 @@ def test_cli_reproduce_pins_compute_dtype(tmp_path):
                                 output=str(tmp_path / "redo.png"),
                                 postprocess=False, model_config=TINY_JAX)
     assert rc == 0  # byte-identity requires rebuilding with bf16 compute
+
+
+def test_reproduce_honors_model_variant(tmp_path):
+    """A sidecar written from a non-'best' checkpoint variant (e.g. a
+    progressive-distillation student) records the variant, and --reproduce
+    samples the SAME weights — byte-identity would be impossible from the
+    'best' checkpoint, which here has different weights."""
+    from synt_isic_tpu.cli import reproduce_from_sidecar
+    from synt_isic_tpu.model_manager import ModelManager
+
+    ckpt = tmp_path / "checkpoints"
+    ckpt.mkdir()
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+    torch.manual_seed(7)   # DIFFERENT weights for the student
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_distill4.pth")
+
+    mm = ModelManager(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    assert mm.available_variants("NV") == ["best", "distill4"]
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX,
+                         model_variant="distill4")
+    gen.set_inference_steps(4)
+    gen.timestep_spacing = "trailing"
+    gen.set_generation_seed(42)
+    out = gen.generate_images([("NV", 1)], str(tmp_path / "run"),
+                              postprocess=False)
+    assert out["generated"] == 1
+    img_path = tmp_path / "run" / "NV" / "ISIC_0000001.png"
+    meta = json.loads(img_path.with_suffix(".json").read_text())
+    assert meta["scheduler"]["model_variant"] == "distill4"
+
+    rc = reproduce_from_sidecar(str(img_path.with_suffix(".json")), str(ckpt),
+                                output=str(tmp_path / "redo.png"),
+                                postprocess=False, model_config=TINY_JAX)
+    assert rc == 0
+    assert (tmp_path / "redo.png").read_bytes() == img_path.read_bytes()
+
+    # sanity: the 'best' checkpoint really does produce different bytes
+    gen_best = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen_best.set_inference_steps(4)
+    gen_best.timestep_spacing = "trailing"
+    ok, _ = gen_best.generate_single_image(
+        "NV", str(tmp_path / "best.png"), postprocess=False, seed=meta["seed"])
+    assert ok
+    assert (tmp_path / "best.png").read_bytes() != img_path.read_bytes()
