@@ -192,7 +192,8 @@ def main(argv=None) -> int:
             out = progressive_distill(
                 teacher, dataset, cls, args.checkpoints,
                 start_steps=args.distill_start, end_steps=args.distill_end,
-                config=dcfg, model=model, image_size=args.image_size)
+                config=dcfg, model=model, image_size=args.image_size,
+                mesh=mesh)
             for ph in out["phases"]:
                 print(f"  T={ph['n_student']}: {ph['checkpoint']} "
                       f"(loss {ph['final_loss']:.5f})")

@@ -252,10 +252,16 @@ def make_distill_scan(model: UNet2D, schedule: DiffusionSchedule,
 def distill_phase(model: UNet2D, schedule: DiffusionSchedule,
                   teacher_params: Any, dataset, n_student: int,
                   config: DistillConfig = DistillConfig(),
+                  mesh=None,
                   log=print) -> Dict[str, Any]:
     """One halving phase: train a student (init = teacher) whose n_student
     DDIM steps match the teacher's 2x-step trajectories. Returns
-    {'params': export params (EMA when enabled), 'history': losses}."""
+    {'params': export params (EMA when enabled), 'history': losses}.
+
+    `mesh`: optional `jax.sharding.Mesh` with a 'data' axis — batches shard
+    over it (dp) while student/teacher params replicate; XLA inserts the
+    gradient psum from the annotations alone (same design as
+    `train_ddpm.train_class`). The loss sequence is layout-independent."""
     lr = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=config.learning_rate,
         warmup_steps=min(config.warmup_steps,
@@ -271,12 +277,24 @@ def distill_phase(model: UNet2D, schedule: DiffusionSchedule,
         step=jnp.zeros((), jnp.int32),
         ema_params=(jax.tree_util.tree_map(jnp.array, student)
                     if config.ema_decay > 0 else None))
+    if mesh is not None:
+        from ..parallel import multihost as _mh
+        from ..parallel.mesh import replicated_sharding
+
+        if config.batch_size % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch_size {config.batch_size} must be a multiple of the "
+                f"mesh data axis size ({mesh.shape['data']}) for dp distill")
+        state = jax.device_put(state, replicated_sharding(mesh))
+        teacher_params = jax.device_put(teacher_params,
+                                        replicated_sharding(mesh))
 
     key = jax.random.PRNGKey(config.seed + n_student)
     data_rng = np.random.default_rng(config.seed + n_student)
     history: List[float] = []
     done = 0
-    use_scan = hasattr(dataset, "epoch_batches") and jax.process_count() == 1
+    use_scan = (hasattr(dataset, "epoch_batches")
+                and jax.process_count() == 1 and mesh is None)
     if use_scan:
         scan_fn = make_distill_scan(model, schedule, tx, config, n_student)
         while done < config.steps_per_phase:
@@ -296,8 +314,11 @@ def distill_phase(model: UNet2D, schedule: DiffusionSchedule,
         while done < config.steps_per_phase:
             for batch in dataset.batches(config.batch_size, data_rng):
                 key, sub = jax.random.split(key)
-                state, loss = step_fn(state, teacher_params,
-                                      jnp.asarray(batch), sub)
+                if mesh is not None:
+                    batch = _mh.global_batch_array(np.asarray(batch), mesh)
+                else:
+                    batch = jnp.asarray(batch)
+                state, loss = step_fn(state, teacher_params, batch, sub)
                 history.append(float(loss))
                 done += 1
                 if done >= config.steps_per_phase:
@@ -313,6 +334,7 @@ def progressive_distill(teacher_params: Any, dataset, class_name: str,
                         config: DistillConfig = DistillConfig(),
                         model: Optional[UNet2D] = None,
                         image_size: int = 128,
+                        mesh=None,
                         log=print) -> Dict[str, Any]:
     """Full halving ladder: start_steps -> start/2 -> ... -> end_steps.
 
@@ -329,6 +351,12 @@ def progressive_distill(teacher_params: Any, dataset, class_name: str,
     schedule = DiffusionSchedule.create(config.num_train_timesteps)
     ckpt_dir = Path(checkpoint_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
+    # on a multi-host mesh only process 0 writes artifacts (barriered)
+    if mesh is not None:
+        from ..parallel import multihost as _mh
+        write = lambda fn, *a: _mh.host0_only(fn, *a)  # noqa: E731
+    else:
+        write = lambda fn, *a: fn(*a)  # noqa: E731
 
     phases = []
     n = start_steps // 2
@@ -336,9 +364,9 @@ def progressive_distill(teacher_params: Any, dataset, class_name: str,
     while n >= end_steps:
         t0 = time.time()
         result = distill_phase(model, schedule, teacher, dataset, n,
-                               config, log=log)
+                               config, mesh=mesh, log=log)
         path = ckpt_dir / f"unet_{class_name}_distill{n}.pth"
-        save_checkpoint_torch_format(result["params"], str(path))
+        write(save_checkpoint_torch_format, result["params"], str(path))
         log(f"[distill:{n}] phase done in {time.time() - t0:.1f}s "
             f"-> {path}")
         phases.append({"n_student": n, "checkpoint": str(path),

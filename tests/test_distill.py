@@ -170,3 +170,41 @@ def test_progressive_ladder_checkpoints_load_and_sample(tmp_path):
     imgs = sampler.sample(flax_params, np.asarray([0, 1], np.uint32))["images"]
     assert imgs.shape == (2, 16, 16, 3)
     assert np.isfinite(np.asarray(imgs)).all()
+
+
+def test_distill_phase_mesh_layout_independent():
+    """dp-sharded distillation (batch over the mesh 'data' axis, params
+    replicated) produces the same loss sequence as the single-device run —
+    the sharding is a layout choice, never a result change."""
+    from synt_isic_tpu.parallel.mesh import create_mesh
+
+    class _StepOnly:
+        """batches()-only view so both runs take the per-step path (the
+        scan path draws its per-step keys differently by design)."""
+
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __len__(self):
+            return len(self._inner)
+
+        def batches(self, batch_size, rng):
+            return self._inner.batches(batch_size, rng)
+
+    model = UNet2D(config=TINY)
+    schedule = DiffusionSchedule.create()
+    teacher = init_unet_params(model, jax.random.PRNGKey(2), image_size=16)
+    data = _StepOnly(_ToyData(n=16, size=16))
+    cfg = DistillConfig(batch_size=8, steps_per_phase=3, learning_rate=1e-4,
+                        ema_decay=0.0, bf16_compute=False, seed=0,
+                        clip_teacher_x0=True)
+
+    ref = distill_phase(model, schedule, teacher, data, 4, cfg,
+                        log=lambda *a: None)
+    mesh = create_mesh({"data": 4})
+    shd = distill_phase(model, schedule, teacher, data, 4, cfg, mesh=mesh,
+                        log=lambda *a: None)
+    np.testing.assert_allclose(ref["history"], shd["history"], rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(ref["params"]),
+                    jax.tree_util.tree_leaves(shd["params"])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
