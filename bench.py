@@ -36,9 +36,15 @@ BASELINE_PROBE_STEPS = 3
 HEADLINE = dict(scheduler="ddim", steps=50, batch=128)
 RESEARCH = dict(scheduler="ddpm", steps=1000, batch=8)
 FAST = dict(scheduler="dpm_solver", steps=20, batch=128)  # 2nd-order solver
+# progressive-distillation student config (train/distill.py): DDIM-8
+# trailing. Throughput is weight-independent (same architecture, fewer
+# steps); the quality evidence for running at T=8 is the distill ladder
+# (scripts/distill_ladder.py -> artifacts/distill_ladder/report.json).
+DISTILLED = dict(scheduler="ddim", steps=8, batch=128, spacing="trailing")
 
 
-def bench_tpu(scheduler: str, steps: int, batch: int) -> float:
+def bench_tpu(scheduler: str, steps: int, batch: int,
+              spacing: str = "leading") -> float:
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +63,7 @@ def bench_tpu(scheduler: str, steps: int, batch: int) -> float:
     sampler = DiffusionSampler(
         apply_fn, DiffusionSchedule.create(),
         SamplerConfig(num_inference_steps=steps, scheduler=scheduler,
-                      dtype=jnp.bfloat16))
+                      timestep_spacing=spacing, dtype=jnp.bfloat16))
 
     seeds = np.arange(batch, dtype=np.uint32)
     # warmup / compile
@@ -116,6 +122,10 @@ def main() -> None:
     except Exception:
         fast_ips = float("nan")
     try:
+        distilled_ips = bench_tpu(**DISTILLED)
+    except Exception:
+        distilled_ips = float("nan")
+    try:
         per_step = torch_cpu_per_step_seconds()
         base_headline = 1.0 / (per_step * HEADLINE["steps"])  # b=1, like the ref
         base_research = 1.0 / (per_step * RESEARCH["steps"])
@@ -142,6 +152,10 @@ def main() -> None:
             "ddpm_T1000_b8_images_per_sec": round(research_ips, 4),
             "ddpm_T1000_vs_baseline": ratio(research_ips, base_research),
             "dpm_solver_T20_b128_images_per_sec": round(fast_ips, 4),
+            "ddim_T8_b128_images_per_sec": round(distilled_ips, 4),
+            "ddim_T8_note": "progressive-distillation student config "
+                            "(train/distill.py); quality evidence: "
+                            "scripts/distill_ladder.py",
             "baseline": "torch-CPU 1-core host, reference per-step loop "
                         "(extrapolated from 3 steps)",
         },
