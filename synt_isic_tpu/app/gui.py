@@ -167,6 +167,11 @@ class SyntheticDataGeneratorWindow(QMainWindow):
         self.xai_freq = QSpinBox()
         self.xai_freq.setRange(1, 1000)
         self.xai_freq.setValue(int(self.config.get_generation_param("xai_frequency")))
+        # beyond-reference: checkpoint-variant selector — progressive-
+        # distillation students (unet_<CLASS>_distillN.pth) sample through
+        # the unchanged pipeline at their own step count
+        self.variant_combo = QComboBox()
+        self.variant_combo.currentIndexChanged.connect(self._on_variant_changed)
         grid.addWidget(QLabel("Checkpoints:"), 0, 0)
         grid.addWidget(self.ckpt_edit, 0, 1)
         grid.addWidget(ckpt_btn, 0, 2)
@@ -187,6 +192,8 @@ class SyntheticDataGeneratorWindow(QMainWindow):
         grid.addWidget(self.xai_check, 2, 0)
         grid.addWidget(QLabel("XAI every N:"), 2, 1)
         grid.addWidget(self.xai_freq, 2, 2)
+        grid.addWidget(QLabel("Variant:"), 2, 3)
+        grid.addWidget(self.variant_combo, 2, 4)
         grid.addWidget(self.mem_label, 2, 5)
         root.addWidget(top)
 
@@ -302,6 +309,36 @@ class SyntheticDataGeneratorWindow(QMainWindow):
             if cls not in available:
                 cb.setChecked(False)
                 cb.setToolTip("no checkpoint found")
+        self._refresh_variants(available)
+
+    def _refresh_variants(self, available_classes):
+        """Populate the variant combo with the union of checkpoint variants
+        on disk ('best' always first; e.g. 'distill8' from progressive
+        distillation)."""
+        mm = self.generator.model_manager
+        variants = {"best"}
+        for cls in available_classes:
+            variants.update(mm.available_variants(cls))
+        # epoch snapshots are training artifacts, not serving variants
+        ordered = ["best"] + sorted(v for v in variants
+                                    if v != "best"
+                                    and not v.startswith("epoch"))
+        current = mm.variant if mm.variant in ordered else "best"
+        self.variant_combo.clear()
+        for v in ordered:
+            self.variant_combo.addItem(v)
+        self.variant_combo.setCurrentText(current)
+
+    def _on_variant_changed(self, idx: int):
+        if self.worker and self.worker.isRunning():
+            return
+        variant = self.variant_combo.currentText() or "best"
+        mm = self.generator.model_manager
+        if variant != mm.variant:
+            mm.variant = variant
+            mm.unload_all_models()
+            self._append_log(f"model variant set to {variant} "
+                             f"(weights reload on next generation)")
 
     def _update_config_info(self):
         """System-configuration panel (reference `main.py:773-793`)."""

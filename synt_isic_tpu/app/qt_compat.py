@@ -302,6 +302,10 @@ except ImportError:  # ---------------- headless stub ----------------------
         def count(self):
             return len(self._items)
 
+        def clear(self):
+            self._items = []
+            self._index = -1
+
     class QListWidgetItem:
         def __init__(self, text=""):
             self._text = str(text)

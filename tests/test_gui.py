@@ -194,3 +194,33 @@ def test_device_combo_dp_mesh_entry(window):
     win._update_memory_info()                 # must not raise on dp entry
     win._on_device_changed(0)
     assert win.generator.mesh is None
+
+
+def test_variant_combo_lists_and_switches(window):
+    """The variant selector (beyond-reference: progressive-distillation
+    students) lists on-disk variants with 'best' first, hides epoch
+    snapshots, and switching variants redirects the ModelManager's
+    checkpoint path + unloads stale weights."""
+    win, base = window
+    ckpt = base / "checkpoints"
+    torch.manual_seed(3)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_MEL_distill4.pth")
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_MEL_epoch5.pth")
+    win._refresh_classes()
+    items = [win.variant_combo._items[i] if qt_compat.QT_BACKEND == "stub"
+             else win.variant_combo.itemText(i)
+             for i in range(win.variant_combo.count())]
+    assert items[0] == "best"
+    assert "distill4" in items
+    assert not any(v.startswith("epoch") for v in items)
+
+    win.variant_combo.setCurrentText("distill4")
+    win._on_variant_changed(items.index("distill4"))
+    mm = win.generator.model_manager
+    assert mm.variant == "distill4"
+    assert mm.checkpoint_path("MEL").name == "unet_MEL_distill4.pth"
+    assert not mm.loaded_params  # stale weights dropped
+    # back to reference naming
+    win.variant_combo.setCurrentText("best")
+    win._on_variant_changed(0)
+    assert mm.checkpoint_path("MEL").name == "unet_MEL_best.pth"
