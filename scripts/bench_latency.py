@@ -27,10 +27,21 @@ def main() -> int:
     p.add_argument("--checkpoints", default=None)
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--batches", default="1,4,8")
-    p.add_argument("--configs", default="ddim:50,dpm_solver:20")
+    p.add_argument("--configs", default="ddim:50,dpm_solver:20",
+                   help="comma list of scheduler:steps[:spacing]; e.g. "
+                        "'ddim:8:trailing' = the distilled-student config")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (structural smoke; the env "
+                        "var alone is overridden by the TPU plugin)")
+    p.add_argument("--tiny", action="store_true",
+                   help="quarter-width 32px fabricated checkpoint — pairs "
+                        "with --cpu for a fast structural smoke")
     args = p.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from synt_isic_tpu.generator import ImageGenerator
@@ -38,6 +49,12 @@ def main() -> int:
 
     enable_compilation_cache()
     work = Path(tempfile.mkdtemp(prefix="bench_lat_"))
+    model_config = None
+    if args.tiny:
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from e2e_loop import small_unet_config
+
+        model_config = small_unet_config(32)
     if args.checkpoints:
         ckpt_dir = Path(args.checkpoints)
     else:
@@ -45,25 +62,34 @@ def main() -> int:
                                                  init_unet_params)
         from synt_isic_tpu.train.train_ddpm import save_checkpoint_torch_format
 
+        cfg = model_config or UNet2DConfig()
         ckpt_dir = work / "ckpt"
         ckpt_dir.mkdir(parents=True)
-        params = init_unet_params(UNet2D(config=UNet2DConfig()),
-                                  jax.random.PRNGKey(0))
+        params = init_unet_params(UNet2D(config=cfg), jax.random.PRNGKey(0),
+                                  image_size=cfg.sample_size)
         save_checkpoint_torch_format(params, str(ckpt_dir / "unet_NV_best.pth"))
 
     batches = [int(b) for b in args.batches.split(",")]
-    configs = [(s.split(":")[0], int(s.split(":")[1]))
-               for s in args.configs.split(",")]
+    # scheduler:steps[:spacing] — e.g. 'ddim:8:trailing' is the
+    # progressive-distillation student config (train/distill.py)
+    def _parse(tok):
+        parts = tok.split(":")
+        return (parts[0], int(parts[1]),
+                parts[2] if len(parts) > 2 else "leading")
+
+    configs = [_parse(s) for s in args.configs.split(",")]
 
     gen = ImageGenerator(checkpoints_dir=str(ckpt_dir),
-                         compute_dtype=jnp.bfloat16)
+                         compute_dtype=jnp.bfloat16,
+                         model_config=model_config)
     gen.save_trajectory = False
     cls = gen.get_available_classes()[0]
 
     rows = {}
     run_id = 0
-    for scheduler, steps in configs:
+    for scheduler, steps, spacing in configs:
         gen.scheduler_kind = scheduler
+        gen.timestep_spacing = spacing
         gen.set_inference_steps(steps)
         for b in batches:
             gen.batch_size = b
@@ -87,11 +113,11 @@ def main() -> int:
             print(f"{scheduler}-{steps} b{b}: {med:.3f}s/call "
                   f"= {med / b:.3f}s/image (reps={times})", flush=True)
 
-    print("\n| batch | " + " | ".join(f"{s}-{n}" for s, n in configs) + " |")
+    print("\n| batch | " + " | ".join(f"{s}-{n}" for s, n, _ in configs) + " |")
     print("|---" * (len(configs) + 1) + "|")
     for b in batches:
         cells = [str(rows[f"{s}{n}_b{b}"]["call_s"]) + " s/call"
-                 for s, n in configs]
+                 for s, n, _ in configs]
         print(f"| {b} | " + " | ".join(cells) + " |")
 
     b1key = f"{configs[-1][0]}{configs[-1][1]}_b1"

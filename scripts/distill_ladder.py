@@ -95,10 +95,12 @@ def run_distill_ladder(checkpoints: str, out_dir: str, class_name: str = "MEL",
     train_like = procedural_images(class_name, min(heldout, 128), size,
                                    seed=0, start_index=0)
 
-    def score(ckpt_dir: Path, steps: int, tag: str) -> dict:
+    def score(ckpt_dir: Path, steps: int, tag: str,
+              variant: str = "best") -> dict:
         gen = ImageGenerator(checkpoints_dir=str(ckpt_dir),
                              model_config=model_config,
-                             compute_dtype=jnp.bfloat16)
+                             compute_dtype=jnp.bfloat16,
+                             model_variant=variant)
         gen.scheduler_kind = "ddim"
         gen.timestep_spacing = "trailing"
         gen.set_inference_steps(steps)
@@ -149,12 +151,14 @@ def run_distill_ladder(checkpoints: str, out_dir: str, class_name: str = "MEL",
         # undistilled baseline at the student's step count
         report["rungs"].append(
             score(Path(checkpoints), n, f"teacher_ddim{n}"))
-        # the distilled student needs a generator-discoverable name
-        student_dir = out / f"student_T{n}"
-        student_dir.mkdir(parents=True, exist_ok=True)
-        shutil.copy(phase["checkpoint"],
-                    student_dir / f"unet_{class_name}_best.pth")
-        row = score(student_dir, n, f"distill{n}")
+        # the student samples through the production VARIANT path: the
+        # ladder's checkpoint dir needs the class discoverable (best) plus
+        # the student file, then ImageGenerator(model_variant=f"distill{n}")
+        student_dir = out / "checkpoints"
+        best_link = student_dir / f"unet_{class_name}_best.pth"
+        if not best_link.exists():
+            shutil.copy(teacher_path, best_link)
+        row = score(student_dir, n, f"distill{n}", variant=f"distill{n}")
         row["phase_final_loss"] = phase["final_loss"]
         report["rungs"].append(row)
 
