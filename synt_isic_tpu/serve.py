@@ -17,9 +17,13 @@ delimited JSON protocol over TCP:
                                                 no client pays first-jit
   {"op": "generate", "class": "NV", "count": 4,
    "seed": 42?, "steps": 50?, "output_dir": "..."?,
-   "postprocess": true?, "xai": false?}      -> {"ok": true, "files": [..],
+   "postprocess": true?, "xai": false?,
+   "fast": false?}                           -> {"ok": true, "files": [..],
                                                  "output_dir", "elapsed_s",
-                                                 "xai_dir"? }
+                                                 "xai_dir"?, "fast_variant"?}
+   ("fast": true samples the server's distilled fast variant
+    (--fast-variant, e.g. a progressive-distillation student at T=8) on
+    the priority lane — explicit opt-in, capped at max_batch images)
   {"op": "shutdown"}                         -> {"ok": true}
 
 Execution model: connection threads only parse and enqueue; ONE worker
@@ -91,6 +95,10 @@ def _coalesce_key(payload: Dict[str, Any]) -> Optional[Tuple]:
     client seed pins image indices, so such requests never merge."""
     if payload.get("op") != "generate" or payload.get("seed") is not None:
         return None
+    if payload.get("fast"):
+        # fast-variant previews run one-by-one through the dedicated
+        # distilled generator — never merged into a bulk device batch
+        return None
     return (payload["class"], payload.get("steps"),
             bool(payload.get("postprocess", True)),
             bool(payload.get("xai", False)),
@@ -157,8 +165,16 @@ class GenerationServer:
 
     def __init__(self, generator, host: str = "127.0.0.1", port: int = 0,
                  output_root: str = "serve_output", max_batch: int = 64,
-                 xai_analyzer_factory=None, interactive_cost: int = 256):
+                 xai_analyzer_factory=None, interactive_cost: int = 256,
+                 fast_generator=None):
         self.generator = generator
+        # fast-preview lane: a second ImageGenerator (same device, worker-
+        # serialized) holding a progressive-distillation student variant at
+        # its few-step config; requests opting in with {"fast": true} ride
+        # the priority lane and sample through it (~6x the DDIM-50 rate).
+        # Explicit opt-in only — a request that pins steps/scheduler always
+        # gets exactly what it asked for from the main generator.
+        self.fast_generator = fast_generator
         self.output_root = Path(output_root)
         self.max_batch = max_batch
         self._default_steps = generator.inference_steps
@@ -269,6 +285,12 @@ class GenerationServer:
                     "device_batch": self.generator.batch_size,
                     "max_batch": self.max_batch,
                     "default_steps": self._default_steps,
+                    "fast_variant": (
+                        None if self.fast_generator is None else {
+                            "variant": self.fast_generator.model_manager.variant,
+                            "steps": self.fast_generator.inference_steps,
+                            "timestep_spacing":
+                                self.fast_generator.timestep_spacing}),
                     "generator": self.generator.get_generation_status()}
         if op == "shutdown":
             threading.Thread(target=self.stop, daemon=True).start()
@@ -297,6 +319,8 @@ class GenerationServer:
         request and cost one load, not a generation)."""
         if payload.get("op") == "warmup":
             return True
+        if payload.get("fast"):
+            return True   # explicit preview opt-in (count capped at serve)
         steps = int(payload.get("steps") or self._default_steps)
         return int(payload.get("count", 1)) * steps <= self.interactive_cost
 
@@ -389,18 +413,30 @@ class GenerationServer:
         from .generator import class_seed_offset
         from .io.csv_io import append_synthetic_row, initialize_synthetic_csv
 
-        g = self.generator
         p = req.payload
         if p.get("op") == "warmup":
             self._finish(req, self._do_warmup(p))
             return
+        use_fast = bool(p.get("fast"))
+        if use_fast and self.fast_generator is None:
+            self._finish(req, {"ok": False, "error":
+                               "no fast variant configured (start the "
+                               "server with --fast-variant)"})
+            return
+        if use_fast and int(p.get("count", 1)) > self.max_batch:
+            self._finish(req, {"ok": False, "error":
+                               f"fast previews are capped at max_batch="
+                               f"{self.max_batch} images per request"})
+            return
+        g = self.fast_generator if use_fast else self.generator
         saved = (g.inference_steps, g.base_seed, g.save_trajectory,
                  g.xai_analyzer, g.xai_frequency)
         try:
             cls = p["class"]
             count = int(p.get("count", 1))
-            g.set_inference_steps(
-                int(p["steps"]) if p.get("steps") else self._default_steps)
+            if not use_fast:
+                g.set_inference_steps(
+                    int(p["steps"]) if p.get("steps") else self._default_steps)
             want_xai = bool(p.get("xai"))
             analyzer = self._get_xai_analyzer() if want_xai else None
             g.save_trajectory = want_xai
@@ -451,6 +487,9 @@ class GenerationServer:
                 "output_dir": str(out_dir), "coalesced": 1,
                 "interactive": True,
                 "elapsed_s": round(time.time() - t0, 3)}
+            if use_fast:
+                response["fast_variant"] = g.model_manager.variant
+                response["fast_steps"] = g.inference_steps
             if want_xai:
                 xd = out_dir / "xai_results" / cls
                 response["xai_dir"] = str(xd) if xd.exists() else None
@@ -473,14 +512,25 @@ class GenerationServer:
         import numpy as np
 
         g = self.generator
+        if payload.get("fast"):
+            if self.fast_generator is None:
+                return {"ok": False, "error": "no fast variant configured"}
+            g = self.fast_generator
         t0 = time.time()
         ok = g.model_manager.load_model(payload["class"]) is not None
         params = g.model_manager.loaded_params.get(payload["class"])
         resp: Dict[str, Any] = {"ok": ok and params is not None}
         if resp["ok"] and payload.get("compile"):
-            steps = int(payload.get("steps") or self._default_steps)
+            steps = int(payload.get("steps")
+                        or (g.inference_steps if payload.get("fast")
+                            else self._default_steps))
+            # timestep_spacing must match the generate path or the warmed
+            # executable is a different HLO program (trailing-configured
+            # generators — e.g. distilled fast variants — would otherwise
+            # still pay first-jit on the first real request)
             sampler = g.model_manager.create_sampler(
-                steps, scheduler=g.scheduler_kind, ddim_eta=g.ddim_eta)
+                steps, scheduler=g.scheduler_kind, ddim_eta=g.ddim_eta,
+                timestep_spacing=g.timestep_spacing)
             sizes = sorted({1, int(g.batch_size)})
             for b in sizes:
                 out = sampler.sample(params, np.arange(b, dtype=np.uint32))
@@ -521,6 +571,11 @@ class GenerationServer:
         cls = head["class"]
         if head.get("op") == "warmup":
             self._finish(batch[0], self._do_warmup(head))
+            return
+        if head.get("fast"):
+            # fast previews are non-coalescible (len(batch) == 1) and run
+            # through the dedicated distilled generator
+            self._run_interactive(batch[0])
             return
 
         # per-request steps must not leak into later requests that omit it
@@ -637,6 +692,18 @@ def main(argv=None) -> int:
                    help="checkpoint variant to serve (e.g. 'distill8' from "
                         "progressive distillation — pair with --steps 8; "
                         "recorded in sidecars)")
+    p.add_argument("--fast-variant", default=None, metavar="V",
+                   help="enable the fast-preview lane: requests with "
+                        "{'fast': true} sample this distilled variant "
+                        "(e.g. distill8) at --fast-steps on the priority "
+                        "lane; other requests are untouched")
+    p.add_argument("--fast-steps", type=int, default=None,
+                   help="steps for the fast variant (default: the trailing "
+                        "integer in its name, e.g. distill8 -> 8)")
+    p.add_argument("--fast-spacing", choices=("leading", "trailing"),
+                   default="trailing",
+                   help="timestep spacing of the fast variant (distilled "
+                        "students are trained on trailing grids)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -653,10 +720,28 @@ def main(argv=None) -> int:
         gen.set_inference_steps(args.steps)
     if args.batch:
         gen.batch_size = args.batch
+    fast_gen = None
+    if args.fast_variant:
+        import re
+
+        m = re.search(r"(\d+)$", args.fast_variant)
+        fast_steps = args.fast_steps or (int(m.group(1)) if m else None)
+        if not fast_steps:
+            p.error("--fast-steps required (variant name has no trailing "
+                    "integer to infer it from)")
+        fast_gen = ImageGenerator(
+            checkpoints_dir=args.checkpoints,
+            compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
+            model_variant=args.fast_variant)
+        fast_gen.set_inference_steps(fast_steps)
+        fast_gen.timestep_spacing = args.fast_spacing
+        fast_gen.scheduler_kind = "ddim"   # distillation targets DDIM steps
+        fast_gen.save_trajectory = False
     server = GenerationServer(gen, host=args.host, port=args.port,
                               output_root=args.output_root,
                               max_batch=args.max_batch or args.batch,
-                              interactive_cost=args.interactive_cost)
+                              interactive_cost=args.interactive_cost,
+                              fast_generator=fast_gen)
     for cls in args.warmup:
         print(f"warming up {cls} (weights + executables)...", flush=True)
         r = server._do_warmup({"class": cls, "compile": True})

@@ -398,3 +398,70 @@ def test_protocol_bad_json_and_persistent_connection(server):
             f.flush()
             reply = json.loads(f.readline().decode())
             assert check(reply), reply
+
+
+def test_fast_variant_lane(tmp_path_factory):
+    """{"fast": true} samples the distilled fast variant through the live
+    socket protocol: priority classification, dedicated generator, variant
+    recorded in the reply and the sidecar; clean error when no fast
+    variant is configured; warmup can pre-compile the fast executables."""
+    ckpt = tmp_path_factory.mktemp("ckpt_fast")
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+    torch.manual_seed(9)  # student weights deliberately differ
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_distill2.pth")
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen.set_inference_steps(4)
+    fast = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX,
+                          model_variant="distill2")
+    fast.set_inference_steps(2)
+    fast.timestep_spacing = "trailing"
+    fast.save_trajectory = False
+    out_root = tmp_path_factory.mktemp("out_fast")
+    srv = GenerationServer(gen, port=0, output_root=str(out_root),
+                           fast_generator=fast).start()
+    try:
+        st = _rpc(srv, {"op": "status"})
+        assert st["fast_variant"] == {"variant": "distill2", "steps": 2,
+                                      "timestep_spacing": "trailing"}
+        # fast requests classify as interactive regardless of cost budget
+        assert srv._is_interactive({"op": "generate", "class": "NV",
+                                    "count": 1, "fast": True})
+        w = _rpc(srv, {"op": "warmup", "class": "NV", "fast": True,
+                       "compile": True})
+        assert w["ok"] and w["steps"] == 2
+        r = _rpc(srv, {"op": "generate", "class": "NV", "count": 1,
+                       "seed": 7, "fast": True, "postprocess": False})
+        assert r["ok"], r
+        assert r["fast_variant"] == "distill2" and r["fast_steps"] == 2
+        assert r["interactive"] is True
+        meta = json.loads(Path(r["files"][0]).with_suffix(".json")
+                          .read_text())
+        assert meta["scheduler"]["model_variant"] == "distill2"
+        assert meta["scheduler"]["timestep_spacing"] == "trailing"
+        assert meta["inference_steps"] == 2
+        # the student's bytes differ from the same request on 'best'
+        # (different weights prove the fast lane used its own generator)
+        r_best = _rpc(srv, {"op": "generate", "class": "NV", "count": 1,
+                            "seed": 7, "steps": 2, "postprocess": False})
+        assert r_best["ok"] and "fast_variant" not in r_best
+        assert (Path(r["files"][0]).read_bytes()
+                != Path(r_best["files"][0]).read_bytes())
+        # fast previews are capped at max_batch
+        cap = _rpc(srv, {"op": "generate", "class": "NV",
+                         "count": srv.max_batch + 1, "fast": True})
+        assert not cap["ok"] and "capped" in cap["error"]
+    finally:
+        srv.stop()
+
+    # a server without a fast generator refuses fast requests cleanly
+    srv2 = GenerationServer(gen, port=0, output_root=str(out_root)).start()
+    try:
+        r = _rpc(srv2, {"op": "generate", "class": "NV", "count": 1,
+                        "fast": True})
+        assert not r["ok"] and "no fast variant" in r["error"]
+        st = _rpc(srv2, {"op": "status"})
+        assert st["fast_variant"] is None
+    finally:
+        srv2.stop()
