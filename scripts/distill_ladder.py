@@ -72,7 +72,11 @@ def run_distill_ladder(checkpoints: str, out_dir: str, class_name: str = "MEL",
 
     dcfg = DistillConfig(batch_size=batch_size,
                          steps_per_phase=steps_per_phase,
-                         timestep_spacing="trailing", seed=seed)
+                         timestep_spacing="trailing", seed=seed,
+                         # deterministic best-export selection once the
+                         # phase is long enough for drift to matter
+                         eval_every=(max(steps_per_phase // 6, 1)
+                                     if steps_per_phase >= 60 else 0))
     t0 = time.time()
     ladder = progressive_distill(teacher, dataset, class_name,
                                  str(out / "checkpoints"),

@@ -86,6 +86,15 @@ class DistillConfig:
     # early-phase gradients can spike; clipping keeps Adam on the rails.
     grad_clip: float = 1.0
     clip_teacher_x0: bool = False     # clip pred_x0 in teacher substeps
+    # deterministic held-out validation for best-export selection (0 = off
+    # = export the final EMA/raw params). Every eval_every optimizer steps
+    # the EXPORT params are scored with the phase's own objective on a
+    # fixed probe (eval_probe_images images x eval_keys fixed PRNG keys —
+    # zero sampling variance between calls, same rationale as
+    # TrainConfig.eval_every) and the best-scoring snapshot is exported.
+    eval_every: int = 0
+    eval_probe_images: int = 16
+    eval_keys: int = 4
     bf16_compute: bool = True
     seed: int = 0
 
@@ -295,6 +304,50 @@ def distill_phase(model: UNet2D, schedule: DiffusionSchedule,
     done = 0
     use_scan = (hasattr(dataset, "epoch_batches")
                 and jax.process_count() == 1 and mesh is None)
+
+    # deterministic held-out best-export selection (see DistillConfig)
+    eval_fn = None
+    val_history: List[float] = []
+    best_val = float("inf")
+    best_snapshot = None
+    last_eval_at = 0
+    if config.eval_every > 0:
+        probe_rng = np.random.default_rng(config.seed + n_student + 1)
+        chunks, have = [], 0
+        for b in dataset.batches(min(config.eval_probe_images,
+                                     config.batch_size), probe_rng):
+            chunks.append(np.asarray(b))
+            have += len(chunks[-1])
+            if have >= config.eval_probe_images:
+                break
+        probe = jnp.asarray(
+            np.concatenate(chunks)[:config.eval_probe_images])
+        loss_probe = jax.jit(
+            make_distill_loss(model, schedule, config, n_student))
+        eval_keys = [jax.random.PRNGKey(config.seed + 0xD15 + i)
+                     for i in range(config.eval_keys)]
+
+        def eval_fn(export_params):
+            return float(np.mean([loss_probe(export_params, teacher_params,
+                                             probe, k) for k in eval_keys]))
+
+    def maybe_eval(state):
+        """Score the export params and keep the best snapshot (device-side;
+        materialized once at phase end)."""
+        nonlocal best_val, best_snapshot, last_eval_at
+        if eval_fn is None:
+            return
+        if (done - last_eval_at < config.eval_every
+                and done < config.steps_per_phase):
+            return
+        last_eval_at = done
+        export = (state.ema_params if state.ema_params is not None
+                  else state.params)
+        val = eval_fn(export)
+        val_history.append(val)
+        if val < best_val:
+            best_val = val
+            best_snapshot = jax.tree_util.tree_map(jnp.array, export)
     if use_scan:
         scan_fn = make_distill_scan(model, schedule, tx, config, n_student)
         while done < config.steps_per_phase:
@@ -307,6 +360,7 @@ def distill_phase(model: UNet2D, schedule: DiffusionSchedule,
             done += take
             block_loss = float(jnp.mean(losses))
             history.append(block_loss)
+            maybe_eval(state)
             log(f"[distill:{n_student}] step {done}/{config.steps_per_phase} "
                 f"loss={block_loss:.5f} ({time.time() - t0:.1f}s)")
     else:
@@ -321,11 +375,17 @@ def distill_phase(model: UNet2D, schedule: DiffusionSchedule,
                 state, loss = step_fn(state, teacher_params, batch, sub)
                 history.append(float(loss))
                 done += 1
+                maybe_eval(state)
                 if done >= config.steps_per_phase:
                     break
     export = (state.ema_params if state.ema_params is not None
               else state.params)
-    return {"params": export, "history": history, "n_student": n_student}
+    result = {"params": best_snapshot if best_snapshot is not None else export,
+              "history": history, "n_student": n_student}
+    if eval_fn is not None:
+        result["val_history"] = val_history
+        result["best_val"] = best_val
+    return result
 
 
 def progressive_distill(teacher_params: Any, dataset, class_name: str,
@@ -369,8 +429,11 @@ def progressive_distill(teacher_params: Any, dataset, class_name: str,
         write(save_checkpoint_torch_format, result["params"], str(path))
         log(f"[distill:{n}] phase done in {time.time() - t0:.1f}s "
             f"-> {path}")
-        phases.append({"n_student": n, "checkpoint": str(path),
-                       "final_loss": result["history"][-1]})
+        record = {"n_student": n, "checkpoint": str(path),
+                  "final_loss": result["history"][-1]}
+        if "best_val" in result:
+            record["best_val"] = result["best_val"]
+        phases.append(record)
         teacher = result["params"]
         if n == end_steps:
             break

@@ -208,3 +208,32 @@ def test_distill_phase_mesh_layout_independent():
     for a, b in zip(jax.tree_util.tree_leaves(ref["params"]),
                     jax.tree_util.tree_leaves(shd["params"])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_distill_eval_every_selects_best_export():
+    """With eval_every on, the phase scores the export params on a FIXED
+    probe and exports the best-scoring snapshot; the recorded best_val is
+    reproducible from the exported params (deterministic probe)."""
+    from synt_isic_tpu.train.distill import make_distill_loss
+
+    model = UNet2D(config=TINY)
+    schedule = DiffusionSchedule.create()
+    teacher = init_unet_params(model, jax.random.PRNGKey(4), image_size=16)
+    data = _ToyData(n=16, size=16)
+    cfg = DistillConfig(batch_size=8, steps_per_phase=6, learning_rate=1e-3,
+                        ema_decay=0.0, bf16_compute=False, seed=2,
+                        clip_teacher_x0=True,
+                        eval_every=2, eval_probe_images=8, eval_keys=2)
+    result = distill_phase(model, schedule, teacher, data, 4, cfg,
+                           log=lambda *a: None)
+    assert result["val_history"], "eval_every produced no validations"
+    assert result["best_val"] == pytest.approx(min(result["val_history"]))
+    # the exported params reproduce best_val on the same fixed probe
+    probe_rng = np.random.default_rng(cfg.seed + 4 + 1)
+    probe = np.concatenate([np.asarray(b)
+                            for b in data.batches(8, probe_rng)])[:8]
+    loss_fn = jax.jit(make_distill_loss(model, schedule, cfg, 4))
+    keys = [jax.random.PRNGKey(cfg.seed + 0xD15 + i) for i in range(2)]
+    val = float(np.mean([loss_fn(result["params"], teacher,
+                                 jnp.asarray(probe), k) for k in keys]))
+    assert val == pytest.approx(result["best_val"], rel=1e-5)
