@@ -465,3 +465,28 @@ def test_fast_variant_lane(tmp_path_factory):
         assert st["fast_variant"] is None
     finally:
         srv2.stop()
+
+
+def test_warmup_compiles_the_exact_generate_executable(tmp_path_factory):
+    """Regression: warmup must build the sampler with the generator's
+    timestep_spacing — a trailing-configured server used to warm a
+    'leading' executable and the first real request still paid first-jit."""
+    ckpt = tmp_path_factory.mktemp("ckpt_warm")
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen.set_inference_steps(3)
+    gen.timestep_spacing = "trailing"
+    srv = GenerationServer(gen, port=0,
+                           output_root=str(tmp_path_factory.mktemp("o"))).start()
+    try:
+        w = _rpc(srv, {"op": "warmup", "class": "NV", "compile": True})
+        assert w["ok"] and w["steps"] == 3
+        warmed = set(gen.model_manager._samplers)
+        r = _rpc(srv, {"op": "generate", "class": "NV", "count": 1,
+                       "seed": 1, "postprocess": False})
+        assert r["ok"], r
+        assert set(gen.model_manager._samplers) == warmed, \
+            "generate built a sampler the warmup did not pre-build"
+    finally:
+        srv.stop()
