@@ -54,10 +54,13 @@ def run_mixed(host, port, cls, args) -> int:
     inter_ok = []
     while bulk_thread.is_alive() and len(inter_lat) < args.interactive_n:
         t0 = time.time()
-        r = request(host, port,
-                    {"op": "generate", "class": cls, "count": 1,
-                     "steps": args.interactive_steps, "postprocess": False},
-                    timeout=3600)
+        payload = {"op": "generate", "class": cls, "count": 1,
+                   "postprocess": False}
+        if getattr(args, "fast_variant", None):
+            payload["fast"] = True
+        else:
+            payload["steps"] = args.interactive_steps
+        r = request(host, port, payload, timeout=3600)
         inter_lat.append(time.time() - t0)
         inter_ok.append(bool(r.get("ok")))
         time.sleep(args.interactive_gap)
@@ -73,7 +76,8 @@ def run_mixed(host, port, cls, args) -> int:
           f"(ok={all(inter_ok) and bulk_result.get('ok', False)})")
     print(json.dumps({
         "metric": f"mixed_interactive_p95_s_bulk{args.count}xT{args.steps}"
-                  f"_b1T{args.interactive_steps}",
+                  + (f"_b1fast{args.fast_steps}" if getattr(args, "fast_variant", None)
+                     else f"_b1T{args.interactive_steps}"),
         "value": round(pct(.95), 3), "unit": "seconds",
         "p50_s": round(pct(.5), 3), "n_interactive": len(lat),
         "bulk_elapsed_s": round(bulk_s, 1),
@@ -96,6 +100,13 @@ def main() -> int:
     p.add_argument("--interactive-n", type=int, default=12)
     p.add_argument("--interactive-steps", type=int, default=20)
     p.add_argument("--interactive-gap", type=float, default=0.5)
+    p.add_argument("--fast-variant", default=None, metavar="V",
+                   help="serve a fast-preview lane on this distilled "
+                        "variant (e.g. distill8) and send the mixed-load "
+                        "interactive stream as {'fast': true} requests "
+                        "(fabricated-checkpoint mode creates the variant "
+                        "file with random weights — throughput-only)")
+    p.add_argument("--fast-steps", type=int, default=8)
     args = p.parse_args()
 
     import jax
@@ -123,6 +134,9 @@ def main() -> int:
         params = init_unet_params(UNet2D(config=UNet2DConfig()),
                                   jax.random.PRNGKey(0))
         save_checkpoint_torch_format(params, str(ckpt_dir / "unet_NV_best.pth"))
+        if args.fast_variant:
+            save_checkpoint_torch_format(
+                params, str(ckpt_dir / f"unet_NV_{args.fast_variant}.pth"))
         print("fabricated random-weight checkpoint", flush=True)
 
     gen = ImageGenerator(checkpoints_dir=str(ckpt_dir),
@@ -131,8 +145,17 @@ def main() -> int:
     gen.scheduler_kind = args.scheduler
     gen.batch_size = args.batch
     cls = gen.get_available_classes()[0]
+    fast_gen = None
+    if args.fast_variant:
+        fast_gen = ImageGenerator(checkpoints_dir=str(ckpt_dir),
+                                  compute_dtype=jnp.bfloat16,
+                                  model_variant=args.fast_variant)
+        fast_gen.set_inference_steps(args.fast_steps)
+        fast_gen.timestep_spacing = "trailing"
+        fast_gen.save_trajectory = False
     srv = GenerationServer(gen, port=0, output_root=str(work / "out"),
-                           max_batch=args.clients * args.count).start()
+                           max_batch=args.clients * args.count,
+                           fast_generator=fast_gen).start()
     host, port = srv.address
     request(host, port, {"op": "warmup", "class": cls}, timeout=1800)
     # one warm pass to populate executables/paths outside the timed window
@@ -141,9 +164,16 @@ def main() -> int:
 
     if args.mixed:
         # warm the b1 interactive executable too
-        request(host, port, {"op": "generate", "class": cls, "count": 1,
-                             "steps": args.interactive_steps,
-                             "postprocess": False}, timeout=1800)
+        if args.fast_variant:
+            request(host, port, {"op": "warmup", "class": cls, "fast": True,
+                                 "compile": True}, timeout=1800)
+            request(host, port, {"op": "generate", "class": cls, "count": 1,
+                                 "fast": True, "postprocess": False},
+                    timeout=1800)
+        else:
+            request(host, port, {"op": "generate", "class": cls, "count": 1,
+                                 "steps": args.interactive_steps,
+                                 "postprocess": False}, timeout=1800)
         rc = run_mixed(host, port, cls, args)
         srv.stop()
         return rc
