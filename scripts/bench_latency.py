@@ -87,6 +87,12 @@ def main() -> int:
 
     rows = {}
     run_id = 0
+
+    def cfg_key(s, n, sp):
+        # spacing participates in the key or leading/trailing rungs of the
+        # same (scheduler, steps) would overwrite each other
+        return f"{s}{n}" + ("" if sp == "leading" else f"_{sp}")
+
     for scheduler, steps, spacing in configs:
         gen.scheduler_kind = scheduler
         gen.timestep_spacing = spacing
@@ -107,22 +113,23 @@ def main() -> int:
                 times.append(time.time() - t0)
                 assert r.get("generated") == b, r
             med = float(np.median(times))
-            rows[f"{scheduler}{steps}_b{b}"] = {
+            rows[f"{cfg_key(scheduler, steps, spacing)}_b{b}"] = {
                 "call_s": round(med, 3),
                 "s_per_image": round(med / b, 3)}
-            print(f"{scheduler}-{steps} b{b}: {med:.3f}s/call "
+            print(f"{cfg_key(scheduler, steps, spacing)} b{b}: {med:.3f}s/call "
                   f"= {med / b:.3f}s/image (reps={times})", flush=True)
 
-    print("\n| batch | " + " | ".join(f"{s}-{n}" for s, n, _ in configs) + " |")
+    print("\n| batch | " + " | ".join(cfg_key(s, n, sp)
+                                           for s, n, sp in configs) + " |")
     print("|---" * (len(configs) + 1) + "|")
     for b in batches:
-        cells = [str(rows[f"{s}{n}_b{b}"]["call_s"]) + " s/call"
-                 for s, n, _ in configs]
+        cells = [str(rows[f"{cfg_key(s, n, sp)}_b{b}"]["call_s"]) + " s/call"
+                 for s, n, sp in configs]
         print(f"| {b} | " + " | ".join(cells) + " |")
 
-    b1key = f"{configs[-1][0]}{configs[-1][1]}_b1"
-    print(json.dumps({"metric": f"latency_b1_{configs[-1][0]}"
-                                f"{configs[-1][1]}_s",
+    last = cfg_key(*configs[-1])
+    b1key = f"{last}_b1"
+    print(json.dumps({"metric": f"latency_b1_{last}_s",
                       "value": rows[b1key]["call_s"], "unit": "seconds",
                       "cells": rows}))
     return 0

@@ -314,7 +314,8 @@ class SyntheticDataGeneratorWindow(QMainWindow):
     def _refresh_variants(self, available_classes):
         """Populate the variant combo with the union of checkpoint variants
         on disk ('best' always first; e.g. 'distill8' from progressive
-        distillation)."""
+        distillation). Guarded: real Qt fires currentIndexChanged during
+        clear()/addItem(), which must not thrash mm.variant/unload."""
         mm = self.generator.model_manager
         variants = {"best"}
         for cls in available_classes:
@@ -324,16 +325,31 @@ class SyntheticDataGeneratorWindow(QMainWindow):
                                     if v != "best"
                                     and not v.startswith("epoch"))
         current = mm.variant if mm.variant in ordered else "best"
-        self.variant_combo.clear()
-        for v in ordered:
-            self.variant_combo.addItem(v)
-        self.variant_combo.setCurrentText(current)
+        self._refreshing_variants = True
+        try:
+            self.variant_combo.clear()
+            for v in ordered:
+                self.variant_combo.addItem(v)
+            self.variant_combo.setCurrentText(current)
+        finally:
+            self._refreshing_variants = False
 
     def _on_variant_changed(self, idx: int):
+        if getattr(self, "_refreshing_variants", False):
+            return
+        mm = self.generator.model_manager
         if self.worker and self.worker.isRunning():
+            # resync the combo so it never displays a variant that is not
+            # actually active (the switch is refused mid-generation)
+            self._refreshing_variants = True
+            try:
+                self.variant_combo.setCurrentText(mm.variant)
+            finally:
+                self._refreshing_variants = False
+            self._append_log("cannot switch model variant while a "
+                             "generation is running", "warning")
             return
         variant = self.variant_combo.currentText() or "best"
-        mm = self.generator.model_manager
         if variant != mm.variant:
             mm.variant = variant
             mm.unload_all_models()

@@ -423,6 +423,16 @@ class GenerationServer:
                                "no fast variant configured (start the "
                                "server with --fast-variant)"})
             return
+        if (use_fast and p.get("steps")
+                and int(p["steps"]) != self.fast_generator.inference_steps):
+            # a distilled student only supports its own step count — honor
+            # the pinned-steps guarantee by refusing, never substituting
+            self._finish(req, {"ok": False, "error":
+                               f"fast previews run at the fast variant's "
+                               f"step count "
+                               f"({self.fast_generator.inference_steps}); "
+                               f"omit 'steps' or drop 'fast'"})
+            return
         if use_fast and int(p.get("count", 1)) > self.max_batch:
             self._finish(req, {"ok": False, "error":
                                f"fast previews are capped at max_batch="
@@ -691,7 +701,19 @@ def main(argv=None) -> int:
     p.add_argument("--model-variant", default="best",
                    help="checkpoint variant to serve (e.g. 'distill8' from "
                         "progressive distillation — pair with --steps 8; "
-                        "recorded in sidecars)")
+                        "recorded in sidecars). Distilled variants default "
+                        "the sampler to ddim/trailing (their training grid) "
+                        "unless --scheduler/--timestep-spacing say otherwise")
+    p.add_argument("--scheduler",
+                   choices=("ddpm", "ddim", "dpm_solver", "dpm_solver_sde"),
+                   default=None,
+                   help="sampler for the main generator (default: ddpm = "
+                        "reference parity; ddim for distill* variants)")
+    p.add_argument("--timestep-spacing", choices=("leading", "trailing"),
+                   default=None,
+                   help="main generator's timestep spacing (default: "
+                        "leading = reference parity; trailing for distill* "
+                        "variants)")
     p.add_argument("--fast-variant", default=None, metavar="V",
                    help="enable the fast-preview lane: requests with "
                         "{'fast': true} sample this distilled variant "
@@ -716,6 +738,19 @@ def main(argv=None) -> int:
         checkpoints_dir=args.checkpoints,
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
         model_variant=args.model_variant)
+    # a distilled student was trained against DDIM steps on a trailing
+    # grid — serving it through the reference defaults (ancestral DDPM,
+    # leading spacing) would silently degrade every image
+    is_distilled = args.model_variant.startswith("distill")
+    gen.scheduler_kind = args.scheduler or ("ddim" if is_distilled
+                                            else gen.scheduler_kind)
+    gen.timestep_spacing = args.timestep_spacing or (
+        "trailing" if is_distilled else gen.timestep_spacing)
+    if is_distilled and (args.scheduler is None
+                         or args.timestep_spacing is None):
+        print(f"model variant {args.model_variant}: sampler defaults set "
+              f"to {gen.scheduler_kind}/{gen.timestep_spacing} "
+              f"(its distillation grid)", flush=True)
     if args.steps:
         gen.set_inference_steps(args.steps)
     if args.batch:
@@ -746,6 +781,12 @@ def main(argv=None) -> int:
         print(f"warming up {cls} (weights + executables)...", flush=True)
         r = server._do_warmup({"class": cls, "compile": True})
         print(f"  {cls}: {r}", flush=True)
+        if fast_gen is not None:
+            # the fast lane has its own weights + executables; an unwarmed
+            # first preview would pay load + first-jit on the priority lane
+            rf = server._do_warmup({"class": cls, "compile": True,
+                                    "fast": True})
+            print(f"  {cls} (fast): {rf}", flush=True)
     server.start()
     print(f"serving on {server.address[0]}:{server.address[1]} "
           f"({len(gen.get_available_classes())} classes)", flush=True)

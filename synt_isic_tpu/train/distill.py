@@ -62,7 +62,8 @@ import optax
 
 from ..diffusion.schedules import DiffusionSchedule, spaced_timesteps
 from ..models.unet2d import UNet2D, UNet2DConfig
-from .train_ddpm import ema_update, save_checkpoint_torch_format
+from .train_ddpm import (ema_update, save_checkpoint_torch_format,
+                         warmup_cosine_schedule)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -271,12 +272,15 @@ def distill_phase(model: UNet2D, schedule: DiffusionSchedule,
     over it (dp) while student/teacher params replicate; XLA inserts the
     gradient psum from the annotations alone (same design as
     `train_ddpm.train_class`). The loss sequence is layout-independent."""
-    lr = optax.warmup_cosine_decay_schedule(
-        init_value=0.0, peak_value=config.learning_rate,
-        warmup_steps=min(config.warmup_steps,
-                         max(1, config.steps_per_phase // 10)),
-        decay_steps=config.steps_per_phase,
-        end_value=config.lr_end_factor * config.learning_rate)
+    if len(dataset) < config.batch_size:
+        # both phase loops draw full batches; an undersized dataset would
+        # yield zero batches and the while-loop would spin forever
+        raise ValueError(
+            f"dataset has {len(dataset)} images < batch_size "
+            f"{config.batch_size} — shrink batch_size or grow the dataset")
+    lr = warmup_cosine_schedule(config.learning_rate, config.warmup_steps,
+                                config.steps_per_phase,
+                                config.lr_end_factor)
     tx = (optax.chain(optax.clip_by_global_norm(config.grad_clip),
                       optax.adam(lr))
           if config.grad_clip > 0 else optax.adam(lr))
@@ -405,6 +409,11 @@ def progressive_distill(teacher_params: Any, dataset, class_name: str,
     """
     if start_steps % 2 or start_steps < 2:
         raise ValueError("start_steps must be even and >= 2")
+    if start_steps // 2 < end_steps:
+        raise ValueError(
+            f"start_steps {start_steps} halves to {start_steps // 2} < "
+            f"end_steps {end_steps} — no phase would run (start_steps must "
+            f"be at least 2 x end_steps)")
     model = model or UNet2D(
         config=UNet2DConfig(sample_size=image_size),
         dtype=jnp.bfloat16 if config.bf16_compute else jnp.float32)

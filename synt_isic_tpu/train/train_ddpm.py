@@ -111,6 +111,16 @@ def ema_update(ema_params: Any, new_params: Any, step: jnp.ndarray,
                                   ema_params, new_params)
 
 
+def warmup_cosine_schedule(peak_lr: float, warmup_steps: int,
+                           total_steps: int, end_factor: float):
+    """Linear warmup (clamped to total/10) then cosine decay to
+    end_factor * peak — shared by the trainer and the distiller."""
+    return optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=peak_lr,
+        warmup_steps=min(warmup_steps, max(1, total_steps // 10)),
+        decay_steps=total_steps, end_value=end_factor * peak_lr)
+
+
 def make_lr_schedule(config: TrainConfig, total_steps: Optional[int] = None):
     """Scalar or optax schedule per TrainConfig. `total_steps` is required
     for the cosine schedule (train_class derives it from the dataset)."""
@@ -123,11 +133,9 @@ def make_lr_schedule(config: TrainConfig, total_steps: Optional[int] = None):
         if not total_steps:
             raise ValueError("cosine lr_schedule needs total_steps "
                              "(epochs x steps-per-epoch)")
-        return optax.warmup_cosine_decay_schedule(
-            init_value=0.0, peak_value=config.learning_rate,
-            warmup_steps=min(config.warmup_steps, max(1, total_steps // 10)),
-            decay_steps=total_steps,
-            end_value=config.lr_end_factor * config.learning_rate)
+        return warmup_cosine_schedule(config.learning_rate,
+                                      config.warmup_steps, total_steps,
+                                      config.lr_end_factor)
     raise ValueError(f"unknown lr_schedule {config.lr_schedule!r}")
 
 
