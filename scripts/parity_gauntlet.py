@@ -67,8 +67,8 @@ def run_gauntlet(checkpoints_dir: str, out_path: str = "gauntlet_report.json",
     found = sorted(ckpt.glob("unet_*_best.pth"))
     if not found:
         record("manifest", False, f"no unet_*_best.pth under {ckpt}")
-        Path(out_path).write_text(json.dumps(report, indent=2))
         report["passed"] = False
+        Path(out_path).write_text(json.dumps(report, indent=2))
         return report
     bad = {}
     for p in found:

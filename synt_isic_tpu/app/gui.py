@@ -303,12 +303,24 @@ class SyntheticDataGeneratorWindow(QMainWindow):
             edit.setText(path)
 
     def _refresh_classes(self):
+        mm = self.generator.model_manager
         available = set(self.generator.get_available_classes())
+        # class availability follows the ACTIVE variant: with 'distill8'
+        # selected, a class that only has a 'best' checkpoint cannot
+        # generate (load_model would fail) and must not look checkable
+        if mm.variant != "best":
+            usable = {c for c in available
+                      if mm.variant in mm.available_variants(c)}
+        else:
+            usable = available
         for cls, (cb, _) in self.class_rows.items():
-            cb.setEnabled(cls in available)
-            if cls not in available:
+            cb.setEnabled(cls in usable)
+            if cls not in usable:
                 cb.setChecked(False)
-                cb.setToolTip("no checkpoint found")
+                cb.setToolTip("no checkpoint found" if cls not in available
+                              else f"no '{mm.variant}' checkpoint for this "
+                                   f"class (variant set in the settings "
+                                   f"panel)")
         self._refresh_variants(available)
 
     def _refresh_variants(self, available_classes):
@@ -325,6 +337,27 @@ class SyntheticDataGeneratorWindow(QMainWindow):
                                     if v != "best"
                                     and not v.startswith("epoch"))
         current = mm.variant if mm.variant in ordered else "best"
+        if current != mm.variant:
+            # the active variant vanished from disk (e.g. the checkpoints
+            # dir changed): reset the GENERATOR too, not just the display —
+            # otherwise the UI shows 'best' while load_model keeps failing
+            # on the stale variant
+            if self.worker and self.worker.isRunning():
+                # can't switch under a running generation; keep displaying
+                # the variant that is actually active
+                ordered.append(mm.variant)
+                current = mm.variant
+            else:
+                self._append_log(f"model variant '{mm.variant}' not found "
+                                 f"in the current checkpoints dir; reset "
+                                 f"to 'best'", "warning")
+                mm.variant = "best"
+                mm.unload_all_models()
+                # class availability was computed against the stale
+                # variant — redo the whole refresh (terminates: 'best' is
+                # always in `ordered` on the second pass)
+                self._refresh_classes()
+                return
         self._refreshing_variants = True
         try:
             self.variant_combo.clear()
@@ -355,6 +388,8 @@ class SyntheticDataGeneratorWindow(QMainWindow):
             mm.unload_all_models()
             self._append_log(f"model variant set to {variant} "
                              f"(weights reload on next generation)")
+            # class availability depends on the active variant
+            self._refresh_classes()
 
     def _update_config_info(self):
         """System-configuration panel (reference `main.py:773-793`)."""

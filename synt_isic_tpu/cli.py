@@ -228,26 +228,19 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
 
     sched = meta.get("scheduler") or {}
     # rebuild with the recorded compute dtype — served images default to
-    # bf16 and would never byte-match an f32 regeneration; sidecars that
-    # predate dtype recording were always written by f32 generators
-    compute_dtype = jnp.dtype(sched.get("dtype", "float32"))
-    gen = ImageGenerator(checkpoints_dir=checkpoints_dir,
-                         model_config=model_config,
-                         compute_dtype=compute_dtype,
-                         # sidecars that predate variant recording were
-                         # always written from the 'best' checkpoint
-                         model_variant=sched.get("model_variant", "best"))
-    gen.set_inference_steps(int(meta["inference_steps"]))
-    # pin the reverse process from the recorded sampler kind; sidecars that
-    # predate kind-recording can only be ASSUMED ddpm (the reference's only
-    # sampler) — then byte comparison against the original is the sole
-    # proof, and without it we exit 2, not 0
+    # bf16 and would never byte-match an f32 regeneration. Sidecars that
+    # PREDATE dtype recording may come from either default (the CLI/GUI
+    # wrote f32, the serve daemon wrote bf16), so when the original image
+    # is present we try f32 first and retry with bf16 before declaring
+    # non-reproduction.
+    dtype_recorded = "dtype" in sched
+    candidates = ([jnp.dtype(sched["dtype"])] if dtype_recorded
+                  else [jnp.dtype("float32"), jnp.dtype("bfloat16")])
     kind_recorded = "kind" in sched
-    gen.scheduler_kind = sched.get("kind", "ddpm")
-    gen.ddim_eta = float(sched.get("ddim_eta", 0.0))
-    # sidecars that predate spacing-recording were always 'leading'
-    gen.timestep_spacing = sched.get("timestep_spacing", "leading")
     if not kind_recorded:
+        # sidecars that predate kind-recording can only be ASSUMED ddpm
+        # (the reference's only sampler) — then byte comparison against the
+        # original is the sole proof, and without it we exit 2, not 0
         print("warning: sidecar predates sampler-kind recording — assuming "
               "the DDPM ancestral sampler", file=sys.stderr)
     reproduced_name = Path(meta["filename"]).stem + "_reproduced.png"
@@ -258,40 +251,74 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
     else:  # a directory
         Path(output).mkdir(parents=True, exist_ok=True)
         out_path = str(Path(output) / reproduced_name)
-    ok, _ = gen.generate_single_image(cls, out_path, postprocess=postprocess,
-                                      seed=int(seed))
-    if not ok:
-        print(f"generation failed for class {cls}", file=sys.stderr)
-        return 1
-    redo = json.loads(Path(out_path).with_suffix(".json")
-                      .read_text(encoding="utf-8"))
-    # the noise hash covers only the seed->initial-noise pipeline (it is
-    # independent of checkpoint and sampler); byte comparison against the
-    # original image, when it is still next to the sidecar, is the full check
-    if meta.get("noise_hash") and redo.get("noise_hash") != meta["noise_hash"]:
-        print(f"initial-noise hash MISMATCH: {redo.get('noise_hash')} != "
-              f"{meta['noise_hash']} (seed pipeline changed)", file=sys.stderr)
-        return 1
     original = Path(sidecar_path).with_name(meta["filename"])
-    if original.exists():
-        if original.read_bytes() == Path(out_path).read_bytes():
-            print(f"reproduced {meta['filename']} -> {out_path} "
-                  f"(byte-identical to the original)")
-        else:
-            print(f"reproduced {meta['filename']} -> {out_path}, but bytes "
-                  f"DIFFER from the original (different checkpoint, or "
-                  f"postprocess mismatch — try --no-postprocess)",
+
+    for i, compute_dtype in enumerate(candidates):
+        gen = ImageGenerator(checkpoints_dir=checkpoints_dir,
+                             model_config=model_config,
+                             compute_dtype=compute_dtype,
+                             # sidecars that predate variant recording were
+                             # always written from the 'best' checkpoint
+                             model_variant=sched.get("model_variant", "best"))
+        gen.set_inference_steps(int(meta["inference_steps"]))
+        gen.scheduler_kind = sched.get("kind", "ddpm")
+        gen.ddim_eta = float(sched.get("ddim_eta", 0.0))
+        # sidecars that predate spacing-recording were always 'leading'
+        gen.timestep_spacing = sched.get("timestep_spacing", "leading")
+        ok, _ = gen.generate_single_image(cls, out_path,
+                                          postprocess=postprocess,
+                                          seed=int(seed))
+        if not ok:
+            print(f"generation failed for class {cls}", file=sys.stderr)
+            return 1
+        redo = json.loads(Path(out_path).with_suffix(".json")
+                          .read_text(encoding="utf-8"))
+        # the noise hash covers only the seed->initial-noise pipeline (it
+        # is independent of checkpoint, sampler AND compute dtype); byte
+        # comparison against the original image, when it is still next to
+        # the sidecar, is the full check
+        if meta.get("noise_hash") and redo.get("noise_hash") != meta["noise_hash"]:
+            print(f"initial-noise hash MISMATCH: {redo.get('noise_hash')} != "
+                  f"{meta['noise_hash']} (seed pipeline changed)",
                   file=sys.stderr)
             return 1
-    else:
+        if original.exists():
+            if original.read_bytes() == Path(out_path).read_bytes():
+                suffix = ("" if dtype_recorded
+                          else f" (legacy sidecar; compute dtype "
+                               f"{compute_dtype.name})")
+                print(f"reproduced {meta['filename']} -> {out_path} "
+                      f"(byte-identical to the original){suffix}")
+                return 0
+            if i + 1 < len(candidates):
+                print(f"bytes differ with {compute_dtype.name}; sidecar "
+                      f"predates dtype recording — retrying with "
+                      f"{candidates[i + 1].name} (the serve default)",
+                      file=sys.stderr)
+                continue
+            tried = "/".join(c.name for c in candidates)
+            print(f"reproduced {meta['filename']} -> {out_path}, but bytes "
+                  f"DIFFER from the original (tried dtype {tried}; "
+                  f"different checkpoint, or postprocess mismatch — try "
+                  f"--no-postprocess)", file=sys.stderr)
+            return 1
+        # no original to compare: the dtype assumption is unverifiable, so
+        # retrying is pointless — report what WAS verified and stop
         print(f"reproduced {meta['filename']} -> {out_path} "
               f"(initial-noise hash verified; original not present for "
               f"byte comparison)")
-        if not kind_recorded:
-            print("UNVERIFIED: the sampler kind was assumed and the original "
-                  "image is not available to compare against", file=sys.stderr)
+        if not kind_recorded or not dtype_recorded:
+            assumed = []
+            if not kind_recorded:
+                assumed.append("sampler kind")
+            if not dtype_recorded:
+                assumed.append("compute dtype")
+            print(f"UNVERIFIED: {' and '.join(assumed)} assumed and the "
+                  f"original image is not available to compare against",
+                  file=sys.stderr)
             return 2
-    return 0
+        return 0
+    return 1
 
 
 def main(argv: Optional[List[str]] = None) -> int:

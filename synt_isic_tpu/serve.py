@@ -195,7 +195,11 @@ class GenerationServer:
         self._stop = threading.Event()
         self._served = 0
         self._t0 = time.time()
-        # completed-request latencies (seconds, enqueue -> reply), bounded
+        # completed-request latencies (seconds, enqueue -> reply), bounded.
+        # Guarded by _lat_lock: the worker appends in _finish while `status`
+        # connection threads sort — an unguarded concurrent append raises
+        # "deque mutated during iteration" and kills the status reply.
+        self._lat_lock = threading.Lock()
         self._lat_all: "deque[float]" = deque(maxlen=1024)
         self._lat_interactive: "deque[float]" = deque(maxlen=1024)
 
@@ -315,10 +319,13 @@ class GenerationServer:
     # -- worker ------------------------------------------------------------
     def _is_interactive(self, payload: Dict[str, Any]) -> bool:
         """Fast-lane test: device cost (count x steps) within budget.
-        Warmups are always interactive (they unblock a client's first
-        request and cost one load, not a generation)."""
+        Plain warmups are interactive (they unblock a client's first
+        request and cost one load, not a generation) — but a warmup with
+        `"compile": true` builds AND executes the serving executables
+        (tens of seconds of first-jit), which must not run in the
+        between-blocks fast lane ahead of queued b1 previews."""
         if payload.get("op") == "warmup":
-            return True
+            return not payload.get("compile")
         if payload.get("fast"):
             return True   # explicit preview opt-in (count capped at serve)
         steps = int(payload.get("steps") or self._default_steps)
@@ -464,8 +471,12 @@ class GenerationServer:
             initialize_synthetic_csv(csv_path)
             t0 = time.time()
             files: List[str] = []
+            xai_error: Optional[str] = None
             for i in range(count):
-                fname = f"ISIC_{i + 1:07d}.png"
+                # same numbering-from-1 semantics as the bulk path
+                # (generator.generate_images); shared formatter so the
+                # naming convention lives in exactly one place
+                fname = g.path_manager.get_isic_filename(i + 1)
                 path = class_dir / fname
                 seed = (None if p.get("seed") is None else
                         (int(p["seed"]) + class_seed_offset(cls) + i)
@@ -489,8 +500,10 @@ class GenerationServer:
                             trajectory=traj, class_name=cls, seed=recorded,
                             inference_steps=g.inference_steps,
                             filename=fname, file_path=str(path))
-                    except Exception:
-                        pass
+                    except Exception as exc:
+                        # continue generating, but report honestly (the bulk
+                        # path sets xai_error the same way)
+                        xai_error = f"{type(exc).__name__}: {exc}"
             self._served += len(files)
             response: Dict[str, Any] = {
                 "ok": len(files) == count, "class": cls, "files": files,
@@ -503,6 +516,11 @@ class GenerationServer:
             if want_xai:
                 xd = out_dir / "xai_results" / cls
                 response["xai_dir"] = str(xd) if xd.exists() else None
+                if xai_error is not None:
+                    response["xai_error"] = xai_error
+                elif response["xai_dir"] is None:
+                    response["xai_error"] = ("XAI produced no artifacts "
+                                             "(see server logs)")
             if len(files) != count:
                 response["error"] = f"partial generation: {len(files)}/{count}"
             self._finish(req, response)
@@ -564,14 +582,15 @@ class GenerationServer:
         """Set the reply and record the end-to-end latency."""
         r.response = response
         lat = time.time() - r.t_enqueue
-        self._lat_all.append(lat)
-        if self._is_interactive(r.payload):
-            self._lat_interactive.append(lat)
+        with self._lat_lock:
+            self._lat_all.append(lat)
+            if self._is_interactive(r.payload):
+                self._lat_interactive.append(lat)
         r.event.set()
 
-    @staticmethod
-    def _lat_stats(lats: "deque[float]") -> Dict[str, Any]:
-        vals = sorted(lats)
+    def _lat_stats(self, lats: "deque[float]") -> Dict[str, Any]:
+        with self._lat_lock:
+            vals = sorted(lats)
         return {"p50_ms": round(_percentile(vals, 0.50) * 1e3, 1),
                 "p95_ms": round(_percentile(vals, 0.95) * 1e3, 1),
                 "n": len(vals)}

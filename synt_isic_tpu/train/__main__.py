@@ -47,8 +47,13 @@ def main(argv=None) -> int:
                    default="data/ISIC2018_Task3_Training_GroundTruth.csv")
     p.add_argument("--checkpoints", default="checkpoints")
     p.add_argument("--epochs", type=int, default=50)
-    p.add_argument("--batch", type=int, default=2)
-    p.add_argument("--lr", type=float, default=1e-4)
+    # defaults are PER-MODE (dataclass defaults apply when omitted):
+    # DDPM training batch 2 / lr 1e-4 (reference parity), classifier
+    # batch 16 / lr 1e-4, distillation batch 32 / lr 5e-5 — a single
+    # hardcoded default would silently drag the distiller off its tuned
+    # regime
+    p.add_argument("--batch", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
     p.add_argument("--image-size", type=int, default=128)
     p.add_argument("--max-samples", type=int, default=500)
     p.add_argument("--no-bf16", action="store_true")
@@ -136,7 +141,8 @@ def main(argv=None) -> int:
         print(f"classifier training set: {len(dataset)} images")
         rng = np.random.default_rng(args.seed)
         cfg = ClassifierTrainConfig(batch_size=args.batch or 16,
-                                    learning_rate=args.lr, epochs=args.epochs,
+                                    learning_rate=args.lr or 1e-4,
+                                    epochs=args.epochs,
                                     bf16_compute=not args.no_bf16,
                                     seed=args.seed)
         result = train_classifier(
@@ -164,11 +170,18 @@ def main(argv=None) -> int:
             return 1
         model = UNet2D(config=UNet2DConfig(sample_size=args.image_size),
                        dtype=jnp.bfloat16 if not args.no_bf16 else jnp.float32)
-        dcfg = DistillConfig(batch_size=args.batch,
-                             steps_per_phase=args.distill_steps_per_phase,
-                             learning_rate=args.lr, seed=args.seed,
+        # only explicit --batch/--lr override the distiller's tuned
+        # defaults (batch 32, lr 5e-5) — the DDPM-training defaults
+        # (batch 2, lr 1e-4) are the wrong regime for distillation
+        dkw = {}
+        if args.batch is not None:
+            dkw["batch_size"] = args.batch
+        if args.lr is not None:
+            dkw["learning_rate"] = args.lr
+        dcfg = DistillConfig(steps_per_phase=args.distill_steps_per_phase,
+                             seed=args.seed,
                              timestep_spacing=args.distill_spacing,
-                             bf16_compute=not args.no_bf16)
+                             bf16_compute=not args.no_bf16, **dkw)
         for cls in classes:
             class_id = CLASS_NAMES.index(cls)
             if args.procedural:
@@ -199,8 +212,9 @@ def main(argv=None) -> int:
                       f"(loss {ph['final_loss']:.5f})")
         return 0
 
-    cfg = TrainConfig(image_size=args.image_size, batch_size=args.batch,
-                      learning_rate=args.lr, epochs=args.epochs,
+    cfg = TrainConfig(image_size=args.image_size,
+                      batch_size=args.batch or 2,
+                      learning_rate=args.lr or 1e-4, epochs=args.epochs,
                       bf16_compute=not args.no_bf16, seed=args.seed,
                       ema_decay=args.ema, offset_noise=args.offset_noise,
                       lr_schedule=args.lr_schedule,

@@ -237,3 +237,43 @@ def test_distill_eval_every_selects_best_export():
     val = float(np.mean([loss_fn(result["params"], teacher,
                                  jnp.asarray(probe), k) for k in keys]))
     assert val == pytest.approx(result["best_val"], rel=1e-5)
+
+
+def test_train_cli_distill_uses_tuned_defaults(tmp_path, monkeypatch):
+    """`--distill-from` without explicit --batch/--lr must use the
+    distiller's tuned defaults (batch 32, lr 5e-5), NOT the DDPM-training
+    CLI defaults (batch 2, lr 1e-4) — which silently train far off the
+    validated regime. Explicit flags still override."""
+    torch = pytest.importorskip("torch")
+
+    import synt_isic_tpu.train.distill as distill_mod
+    from synt_isic_tpu.train.__main__ import main
+
+    from tests.torch_oracle.unet2d_torch import UNet2DTorch, tiny_config
+
+    teacher_pth = tmp_path / "unet_MEL_best.pth"
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**tiny_config()).state_dict(), teacher_pth)
+
+    captured = {}
+
+    def fake_progressive_distill(*args, **kwargs):
+        captured["config"] = kwargs["config"]
+        return {"class": "MEL", "phases": [],
+                "timestep_spacing": kwargs["config"].timestep_spacing}
+
+    monkeypatch.setattr(distill_mod, "progressive_distill",
+                        fake_progressive_distill)
+    base = ["--classes", "MEL", "--distill-from", str(teacher_pth),
+            "--procedural", "4", "--checkpoints", str(tmp_path),
+            "--distill-start", "8", "--distill-end", "4",
+            "--distill-steps-per-phase", "1", "--image-size", "16"]
+    assert main(base) == 0
+    cfg = captured["config"]
+    assert cfg.batch_size == DistillConfig.batch_size == 32
+    assert cfg.learning_rate == DistillConfig.learning_rate == 5e-5
+
+    assert main(base + ["--batch", "4", "--lr", "1e-3"]) == 0
+    cfg = captured["config"]
+    assert cfg.batch_size == 4
+    assert cfg.learning_rate == pytest.approx(1e-3)

@@ -224,3 +224,50 @@ def test_variant_combo_lists_and_switches(window):
     win.variant_combo.setCurrentText("best")
     win._on_variant_changed(0)
     assert mm.checkpoint_path("MEL").name == "unet_MEL_best.pth"
+
+
+def test_variant_availability_follows_active_variant(window):
+    """Variants are a union across classes — selecting one that exists for
+    only MEL must disable NV's checkbox (its load would fail) instead of
+    letting the run silently produce zero NV images."""
+    win, base = window
+    ckpt = base / "checkpoints"
+    if not (ckpt / "unet_MEL_distill4.pth").exists():
+        torch.manual_seed(3)
+        torch.save(UNet2DTorch(**TINY).state_dict(),
+                   ckpt / "unet_MEL_distill4.pth")
+    win._refresh_classes()
+    win.variant_combo.setCurrentText("distill4")
+    win._on_variant_changed(0)
+    assert win.generator.model_manager.variant == "distill4"
+    assert win.class_rows["MEL"][0].isEnabled()
+    assert not win.class_rows["NV"][0].isEnabled()
+    assert "distill4" in win.class_rows["NV"][0].toolTip()
+    # back to 'best': both classes usable again
+    win.variant_combo.setCurrentText("best")
+    win._on_variant_changed(0)
+    assert win.class_rows["NV"][0].isEnabled()
+    assert win.class_rows["MEL"][0].isEnabled()
+
+
+def test_variant_reset_when_checkpoints_vanish(window):
+    """If the active variant's checkpoints disappear (e.g. the checkpoints
+    dir is switched), the refresh must reset the GENERATOR's variant too —
+    not just display 'best' while load_model keeps failing on the stale
+    variant."""
+    win, base = window
+    ckpt = base / "checkpoints"
+    path = ckpt / "unet_MEL_distill4.pth"
+    if not path.exists():
+        torch.manual_seed(3)
+        torch.save(UNet2DTorch(**TINY).state_dict(), path)
+    win._refresh_classes()
+    win.variant_combo.setCurrentText("distill4")
+    win._on_variant_changed(0)
+    mm = win.generator.model_manager
+    assert mm.variant == "distill4"
+    path.unlink()
+    win._refresh_classes()
+    assert mm.variant == "best"
+    assert mm.checkpoint_path("MEL").name == "unet_MEL_best.pth"
+    assert win.class_rows["NV"][0].isEnabled()

@@ -57,3 +57,7 @@ def test_gauntlet_fails_on_empty_dir(tmp_path):
                           model_config=TINY_JAX, work_dir=str(tmp_path / "w"),
                           log=lambda *_: None)
     assert not report["passed"]
+    # the PERSISTED report must carry the verdict too — a CI consumer
+    # reading the file would otherwise KeyError on exactly this path
+    import json
+    assert json.loads((tmp_path / "report.json").read_text())["passed"] is False

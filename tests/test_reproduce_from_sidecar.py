@@ -136,6 +136,40 @@ def test_cli_reproduce_pins_compute_dtype(tmp_path):
     assert rc == 0  # byte-identity requires rebuilding with bf16 compute
 
 
+def test_cli_reproduce_legacy_sidecar_retries_bf16(tmp_path):
+    """Sidecars that PREDATE dtype recording may come from either default:
+    the CLI/GUI wrote f32 but the serve daemon wrote bf16. With the
+    original image present, reproduce must try f32 then RETRY with bf16
+    before declaring non-reproduction — asserting 'legacy == f32' breaks
+    every served pre-dtype sidecar."""
+    import jax.numpy as jnp
+
+    from synt_isic_tpu.cli import reproduce_from_sidecar
+
+    ckpt = tmp_path / "checkpoints"
+    ckpt.mkdir()
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX,
+                         compute_dtype=jnp.bfloat16)
+    gen.set_inference_steps(4)
+    gen.set_generation_seed(78)
+    gen.generate_images([("NV", 1)], str(tmp_path / "run"), postprocess=False)
+    sidecar = tmp_path / "run" / "NV" / "ISIC_0000001.json"
+    # simulate a pre-dtype-recording (served, bf16) sidecar
+    meta = json.loads(sidecar.read_text())
+    del meta["scheduler"]["dtype"]
+    sidecar.write_text(json.dumps(meta))
+
+    rc = reproduce_from_sidecar(str(sidecar), str(ckpt),
+                                output=str(tmp_path / "redo.png"),
+                                postprocess=False, model_config=TINY_JAX)
+    assert rc == 0  # f32 attempt differs; the bf16 retry byte-matches
+    assert ((tmp_path / "redo.png").read_bytes()
+            == (tmp_path / "run" / "NV" / "ISIC_0000001.png").read_bytes())
+
+
 def test_reproduce_honors_model_variant(tmp_path):
     """A sidecar written from a non-'best' checkpoint variant (e.g. a
     progressive-distillation student) records the variant, and --reproduce

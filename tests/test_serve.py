@@ -251,8 +251,13 @@ def test_interactive_classification(tmp_path_factory):
     assert not srv._is_interactive({"op": "generate", "count": 1, "steps": 1000})
     # steps omitted -> server default (50 here) applies
     assert srv._is_interactive({"op": "generate", "count": 2})
-    # warmups always ride the fast lane
+    # plain warmups ride the fast lane (one load, no generation)...
     assert srv._is_interactive({"op": "warmup", "class": "NV"})
+    # ...but a compile warmup builds AND executes the serving executables
+    # (tens of seconds of first-jit) — it must queue as bulk, never run in
+    # the between-blocks fast lane ahead of b1 previews
+    assert not srv._is_interactive({"op": "warmup", "class": "NV",
+                                    "compile": True})
 
 
 def test_drain_diverts_interactive_pulls_to_fast_lane():
@@ -284,6 +289,33 @@ def test_status_reports_latency_metrics(tmp_path_factory):
     assert status["latency"]["p95_ms"] >= status["latency"]["p50_ms"] >= 0
     assert status["fast_lane_depth"] == 0
     assert "throughput_img_s" in status and "interactive_cost" in status
+
+
+def test_status_latency_safe_under_concurrent_finish(tmp_path_factory):
+    """The worker appends to the latency deques while `status` connection
+    threads sort them — unguarded, CPython raises 'deque mutated during
+    iteration' and the status client loses its connection."""
+    srv = _lite_server(tmp_path_factory, name="ckpt_latrace")
+    stop = threading.Event()
+    errors = []
+
+    def hammer():
+        while not stop.is_set():
+            srv._finish(_req(count=1, steps=20), {"ok": True})
+
+    t = threading.Thread(target=hammer, daemon=True)
+    t.start()
+    try:
+        for _ in range(300):
+            try:
+                status = srv._dispatch({"op": "status"})
+                assert status["ok"]
+            except RuntimeError as exc:  # pragma: no cover - the regression
+                errors.append(exc)
+    finally:
+        stop.set()
+        t.join(timeout=10)
+    assert not errors
 
 
 def test_interactive_served_mid_bulk_run(tmp_path_factory):
