@@ -114,7 +114,42 @@ def torch_cpu_per_step_seconds() -> float:
         return (time.time() - t0) / BASELINE_PROBE_STEPS
 
 
+def _probe_backend(timeout_s: float = 150.0, retries: int = 2) -> bool:
+    """Fail fast when the device backend cannot initialize.
+
+    The axon TPU tunnel has been observed to wedge so that `jax.devices()`
+    blocks forever at backend init (NOTES_ROUND3.md). Probing in a
+    SUBPROCESS with a timeout turns an indefinite hang of the whole bench
+    into a bounded, machine-readable error line. A healthy backend
+    initializes in seconds; retries paper over transient tunnel blips."""
+    import subprocess
+
+    for attempt in range(retries):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; jax.devices(); print('ok')"],
+                timeout=timeout_s, capture_output=True)
+            if r.returncode == 0 and b"ok" in r.stdout:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if attempt + 1 < retries:
+            time.sleep(30)
+    return False
+
+
 def main() -> None:
+    if not _probe_backend():
+        # one JSON line, same schema, value null + error — never hang the
+        # round's bench step on a wedged device tunnel
+        print(json.dumps({
+            "metric": "images_per_sec_chip_ddim_128_T50_b128_bf16",
+            "value": None, "unit": "images/sec", "vs_baseline": None,
+            "error": "device backend init timed out (axon tunnel "
+                     "unresponsive); see NOTES_ROUND3.md — rerun when the "
+                     "tunnel recovers"}))
+        sys.exit(1)
     headline_ips = bench_tpu(**HEADLINE)
     research_ips = bench_tpu(**RESEARCH)
     try:
