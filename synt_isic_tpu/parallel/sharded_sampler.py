@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh
 
 from ..diffusion.sampler import DiffusionSampler
-from .mesh import batch_sharding, replicated_sharding
+from .mesh import batch_sharding, pad_to_multiple, replicated_sharding
 
 
 class ShardedSampler:
@@ -41,10 +41,13 @@ class ShardedSampler:
                capture_trajectory: bool = False) -> Dict[str, Any]:
         seeds_arr = np.atleast_1d(np.asarray(seeds, dtype=np.uint32))
         n = len(seeds_arr)
-        padded = ((n + self.n_shards - 1) // self.n_shards) * self.n_shards
+        padded = pad_to_multiple(n, self.n_shards)
         if padded != n:
-            seeds_arr = np.concatenate([seeds_arr,
-                                        seeds_arr[: padded - n]])  # pad, drop later
+            # np.resize tiles cyclically, so the pad reaches `padded` rows
+            # even when padded - n > n (e.g. 1 seed on an 8-chip mesh —
+            # a single concat of seeds_arr[:padded-n] would come up short
+            # and device_put would reject the uneven shard)
+            seeds_arr = np.resize(seeds_arr, padded)  # pad, drop later
         if jax.process_count() > 1:
             # mesh spans hosts: plain device_put cannot target
             # non-addressable devices — assemble from per-process slices.
@@ -79,9 +82,11 @@ def sharded_scores(fn: Callable, batch: np.ndarray, mesh: Mesh,
     batch sharded over the mesh. Pads the batch to the axis size."""
     n = batch.shape[0]
     shards = mesh.shape[axis]
-    padded = ((n + shards - 1) // shards) * shards
+    padded = pad_to_multiple(n, shards)
     if padded != n:
-        batch = np.concatenate([batch, batch[: padded - n]])
+        # cyclic tiling (see ShardedSampler.sample): a short batch — fewer
+        # rows than the pad amount — must still reach `padded` rows
+        batch = np.resize(batch, (padded,) + batch.shape[1:])
     placed = jax.device_put(batch, batch_sharding(mesh, axis))
     out = np.asarray(fn(placed, *extra_args))
     return out[:n]

@@ -198,8 +198,13 @@ def main(argv=None) -> int:
             if len(dataset) == 0:
                 print(f"!! no data for {cls}, skipping")
                 continue
-            teacher = torch_to_flax(load_pth(
-                args.distill_from.replace("{CLASS}", cls)))
+            state = load_pth(args.distill_from.replace("{CLASS}", cls))
+            # tolerate full training checkpoints that wrap the weights,
+            # like the production load path (model_manager.py load_model)
+            if ("model_state_dict" in state
+                    and isinstance(state["model_state_dict"], dict)):
+                state = state["model_state_dict"]
+            teacher = torch_to_flax(state)
             print(f"== distilling {cls}: {args.distill_start} -> "
                   f"{args.distill_end} steps ==")
             out = progressive_distill(

@@ -119,23 +119,41 @@ def prefetch(iterator, depth: int = 2):
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END = object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        # bounded put that re-checks the stop flag: when the consumer
+        # abandons the generator mid-epoch (step raised, caller broke out)
+        # the worker must exit instead of blocking on a full queue forever,
+        # pinning depth+1 batches for the life of the process
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in iterator:
-                q.put(item)
-            q.put(_END)
+                if not _put(item):
+                    return
+            _put(_END)
         except BaseException as exc:  # surfaced on the consumer side
-            q.put(exc)
+            _put(exc)
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, BaseException):
-            raise item
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
 
 
 class MultiClassDataset:

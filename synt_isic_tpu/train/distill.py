@@ -369,11 +369,23 @@ def distill_phase(model: UNet2D, schedule: DiffusionSchedule,
                 f"loss={block_loss:.5f} ({time.time() - t0:.1f}s)")
     else:
         step_fn = make_distill_step(model, schedule, tx, config, n_student)
+        # multi-host mesh: every process draws the same global batch (same
+        # data_rng seed) and feeds ONLY its own slice — global_batch_array
+        # treats its input as the per-process slice, so passing the full
+        # batch would silently inflate the global batch to
+        # n_proc x batch_size with every image duplicated on all hosts
+        # (same contract as train_ddpm.train_class)
+        local_bounds = (_mh.local_batch_bounds(config.batch_size)
+                        if mesh is not None and jax.process_count() > 1
+                        else None)
         while done < config.steps_per_phase:
             for batch in dataset.batches(config.batch_size, data_rng):
                 key, sub = jax.random.split(key)
                 if mesh is not None:
-                    batch = _mh.global_batch_array(np.asarray(batch), mesh)
+                    batch = np.asarray(batch)
+                    if local_bounds is not None:
+                        batch = batch[local_bounds[0]:local_bounds[1]]
+                    batch = _mh.global_batch_array(batch, mesh)
                 else:
                     batch = jnp.asarray(batch)
                 state, loss = step_fn(state, teacher_params, batch, sub)

@@ -46,6 +46,11 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..models.classifier import LesionClassifier, SCORE_EPS
+# one canonical stride-1 count_include_pad average pool (torch
+# F.avg_pool2d parity) shared with the blur intervention — two copies
+# would silently diverge the blur BASELINE from the blur INTERVENTION if
+# the padding/divisor semantics were ever fixed in only one place
+from .interventions import _avg_pool_same
 
 
 def _as_batched(image: jnp.ndarray) -> jnp.ndarray:
@@ -501,12 +506,3 @@ def _stack_trajectory(trajectory) -> jnp.ndarray:
     return frames
 
 
-def _avg_pool_same(x: jnp.ndarray, k: int) -> jnp.ndarray:
-    """Average pool stride 1, zero padding, count_include_pad=True — matches
-    `F.avg_pool2d(..., stride=1, padding=k//2)` used by the reference for
-    the blur baseline/intervention."""
-    pad = k // 2
-    window = (1, k, k, 1)
-    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, (1, 1, 1, 1),
-                                   [(0, 0), (pad, pad), (pad, pad), (0, 0)])
-    return summed / (k * k)

@@ -40,11 +40,14 @@ class FairnessAuditor:
         # dequantized ON DEVICE: large audits are host->device-transfer
         # bound, and uint8 moves 4x fewer bytes (PNG sources are uint8
         # anyway, so nothing is lost).
-        def _probs(x):
+        # params are a CALL argument, not a closure capture — baking the
+        # weights into the trace would silently keep scoring with stale
+        # weights if classifier.params is ever replaced (checkpoint reload)
+        def _probs(x, params):
             if x.dtype == jnp.uint8:
                 x = x.astype(jnp.float32) / 127.5 - 1.0
             return jax.nn.softmax(
-                self.classifier._logits_impl(self.classifier.params, x), axis=-1)
+                self.classifier._logits_impl(params, x), axis=-1)
 
         self._prob_fn = jax.jit(_probs)
 
@@ -55,14 +58,16 @@ class FairnessAuditor:
         in [-1,1] OR uint8 [0,255]; prefer uint8 for large corpora (4x
         fewer transfer bytes, device-side dequantization)."""
         fn = self._prob_fn
+        params = self.classifier.params
         outs = []
         for start in range(0, len(images), self.batch_size):
             chunk = np.asarray(images[start:start + self.batch_size])
             if self.mesh is not None:
                 from ..parallel.sharded_sampler import sharded_scores
-                outs.append(sharded_scores(fn, chunk, self.mesh))
+                outs.append(sharded_scores(fn, chunk, self.mesh,
+                                           extra_args=(params,)))
             else:
-                outs.append(np.asarray(fn(jnp.asarray(chunk))))
+                outs.append(np.asarray(fn(jnp.asarray(chunk), params)))
         return np.concatenate(outs) if outs else np.zeros((0, len(self.class_names)))
 
     # -- audit -------------------------------------------------------------------

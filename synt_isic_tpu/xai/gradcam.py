@@ -19,6 +19,7 @@ GradCAM math (Selvaraju et al. 2017, as implemented by pytorch_grad_cam):
 """
 from __future__ import annotations
 
+from collections import OrderedDict
 from typing import Dict, Optional
 
 import jax
@@ -57,7 +58,11 @@ def compute_gradcam(classifier: LesionClassifier, images: jnp.ndarray,
     return np.asarray(fn(classifier.params, images))
 
 
-_CACHE: Dict = {}
+# bounded LRU of compiled CAM kernels: a long-lived serve/GUI process
+# running XAI on trajectories of varying frame counts would otherwise
+# accumulate one executable per (model, shape, target) combination forever
+_CACHE: "OrderedDict" = OrderedDict()
+_CACHE_MAX = 16
 
 
 def _get_jitted(classifier: LesionClassifier, target_class: int, shape,
@@ -66,19 +71,24 @@ def _get_jitted(classifier: LesionClassifier, target_class: int, shape,
     key = (id(classifier.model), target_class, tuple(shape), output_size,
            id(mesh) if mesh is not None else None, mesh_axis)
     if key in _CACHE:
+        _CACHE.move_to_end(key)
         return _CACHE[key]
 
     from ..models.classifier import preprocess_for_classifier
 
+    # capture the module DEFINITION only — closing over `classifier` would
+    # pin its params (the weights are passed as a call argument instead)
+    model = classifier.model
+
     def cam_fn(params, images):
         x = preprocess_for_classifier(images)
-        logits, act, block_input = classifier.model.apply(
-            {"params": params}, x, method=classifier.model.features_and_logits)
+        logits, act, block_input = model.apply(
+            {"params": params}, x, method=model.features_and_logits)
 
         def target_score(a):
-            out = classifier.model.apply(
+            out = model.apply(
                 {"params": params}, a, block_input,
-                method=classifier.model.logits_from_activation)
+                method=model.logits_from_activation)
             return jnp.sum(out[:, target_class])
 
         grads = jax.grad(target_score)(act)              # (B, h, w, C)
@@ -99,6 +109,8 @@ def _get_jitted(classifier: LesionClassifier, target_class: int, shape,
     else:
         fn = jax.jit(cam_fn)
     _CACHE[key] = fn
+    if len(_CACHE) > _CACHE_MAX:
+        _CACHE.popitem(last=False)
     return fn
 
 

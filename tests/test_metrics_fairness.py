@@ -137,3 +137,23 @@ def test_train_state_resume(tmp_path):
     b = jax.tree_util.tree_leaves(restored.params)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_auditor_scores_with_current_params(small_clf):
+    """The jitted scorer takes params as a CALL argument — replacing
+    classifier.params (checkpoint reload) must change the scores, not
+    silently keep the weights baked in at first trace."""
+    from synt_isic_tpu.models.classifier import LesionClassifier
+
+    rng = np.random.default_rng(3)
+    imgs = np.clip(rng.normal(0, 0.4, (4, 64, 64, 3)), -1, 1).astype(np.float32)
+    auditor = FairnessAuditor(small_clf, batch_size=4)
+    p1 = auditor.probabilities(imgs)
+    saved = small_clf.params
+    try:
+        small_clf.params = LesionClassifier.random_init(
+            num_classes=7, seed=9).params
+        p2 = auditor.probabilities(imgs)
+    finally:
+        small_clf.params = saved
+    assert not np.allclose(p1, p2)

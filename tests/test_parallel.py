@@ -67,6 +67,37 @@ def test_sharded_sampler_pads_odd_batches():
     assert len(out["noise_hashes"]) == 5
 
 
+def test_sharded_sampler_pads_shorter_than_pad_amount():
+    """Pad amount exceeding the batch itself (1 seed on 8 shards) must
+    still tile to a full axis multiple — a single concat of
+    seeds[:pad] came up short and device_put rejected the uneven shard.
+    The result must equal the single-device run for the real seed."""
+    sampler, params = _sampler()
+    seeds = np.asarray([7], np.uint32)
+    single = np.asarray(sampler.sample(params, seeds)["images"])
+    mesh = create_mesh({"data": -1})
+    sharded = ShardedSampler(sampler, mesh)
+    out = sharded.sample(params, seeds)
+    assert out["images"].shape[0] == 1
+    assert len(out["noise_hashes"]) == 1
+    np.testing.assert_allclose(np.asarray(out["images"]), single,
+                               rtol=2e-2, atol=5e-3)
+
+
+def test_sharded_scores_batch_shorter_than_pad_amount():
+    """Same under-padding hazard in the attribution fan-out path: a
+    3-frame scoring batch on an 8-device mesh (e.g. Time-SHAP on a short
+    trajectory) must pad by tiling, not by a short concat."""
+    from synt_isic_tpu.parallel.sharded_sampler import sharded_scores
+
+    mesh = create_mesh({"data": -1})
+    fn = jax.jit(lambda x: jnp.sum(x, axis=(1, 2, 3)))
+    batch = np.random.default_rng(0).normal(
+        size=(3, 4, 4, 3)).astype(np.float32)
+    out = sharded_scores(fn, batch, mesh)
+    np.testing.assert_allclose(out, batch.sum(axis=(1, 2, 3)), rtol=1e-5)
+
+
 def test_sharded_sampler_trajectory():
     sampler, params = _sampler()
     mesh = create_mesh({"data": -1})

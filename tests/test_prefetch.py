@@ -35,3 +35,27 @@ def test_prefetch_overlaps_producer_and_consumer():
     elapsed = time.time() - t0
     # serial would be ~0.2s; overlapped should be meaningfully less
     assert elapsed < 0.18
+
+
+def test_prefetch_worker_exits_when_consumer_abandons():
+    """Closing the generator mid-iteration (consumer raised / broke out)
+    must release the worker thread — a worker blocked forever on q.put
+    would pin depth+1 batches for the life of the process."""
+    import threading
+    import time
+
+    def source():
+        for i in range(1000):
+            yield [i] * 1000
+
+    before = set(threading.enumerate())
+    it = prefetch(source(), depth=2)
+    assert next(it) == [0] * 1000
+    it.close()  # abandon mid-iteration while the queue is full
+    deadline = time.time() + 5.0
+    while True:
+        extra = [t for t in threading.enumerate() if t not in before]
+        if not extra:
+            break
+        assert time.time() < deadline, f"prefetch worker leaked: {extra}"
+        time.sleep(0.05)
