@@ -321,6 +321,10 @@ class SyntheticDataGeneratorWindow(QMainWindow):
                               else f"no '{mm.variant}' checkpoint for this "
                                    f"class (variant set in the settings "
                                    f"panel)")
+            else:
+                # clear any stale unavailability message from a previous
+                # variant selection
+                cb.setToolTip("")
         self._refresh_variants(available)
 
     def _refresh_variants(self, available_classes):

@@ -185,6 +185,18 @@ def load_pth(path: str) -> Dict[str, np.ndarray]:
     return state
 
 
+def unwrap_state_dict(state: Dict[str, Any]) -> Dict[str, Any]:
+    """Tolerate full training checkpoints that wrap the weights in a
+    `model_state_dict` container (the reference classifier loader does the
+    same, `xai/XAI.py:508-513`). The ONE place this idiom lives — the
+    production load path (`model_manager.load_model`) and the distill
+    teacher loader both use it."""
+    if ("model_state_dict" in state
+            and isinstance(state["model_state_dict"], dict)):
+        return state["model_state_dict"]
+    return state
+
+
 def save_pth(state: Dict[str, np.ndarray], path: str) -> None:
     """Write a numpy state_dict in torch's zip `.pth` format.
 

@@ -30,7 +30,7 @@ from .cache import CacheManager
 from .diffusion import DiffusionSchedule, DiffusionSampler, SamplerConfig
 from .io.convert import torch_to_flax
 from .io.manifest import expected_unet2d_state_shapes, validate_state_dict
-from .io.pth import load_pth
+from .io.pth import load_pth, unwrap_state_dict
 from .models.unet2d import UNet2D, UNet2DConfig
 from .utils.logging import Logger
 from .utils.paths import PathManager
@@ -124,12 +124,7 @@ class ModelManager:
                 if flat is not None:
                     tree = _unflatten(flat)
             if tree is None:
-                state = load_pth(str(path))
-                # tolerate full training checkpoints that wrap the weights
-                # (the classifier loader does the same, `XAI.py:508-513`)
-                if "model_state_dict" in state and isinstance(
-                        state["model_state_dict"], dict):
-                    state = state["model_state_dict"]
+                state = unwrap_state_dict(load_pth(str(path)))
                 # full key/shape validation against the diffusers manifest —
                 # a checkpoint that doesn't match the architecture must fail
                 # loudly here, never sample garbage silently

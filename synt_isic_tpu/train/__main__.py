@@ -38,6 +38,19 @@ def select_classes_interactive() -> List[str]:
     return chosen
 
 
+def _explicit_batch_lr(args) -> dict:
+    """Only EXPLICIT --batch/--lr reach the config — each mode's dataclass
+    default applies when omitted (DDPM batch 2 / lr 1e-4 reference parity,
+    classifier batch 16, distillation batch 32 / lr 5e-5), so retuning a
+    dataclass default can never silently diverge from the CLI."""
+    kw = {}
+    if args.batch is not None:
+        kw["batch_size"] = args.batch
+    if args.lr is not None:
+        kw["learning_rate"] = args.lr
+    return kw
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="synt-isic-train")
     p.add_argument("--classes", nargs="*", help="class names (default: ask)")
@@ -140,11 +153,10 @@ def main(argv=None) -> int:
             return 1
         print(f"classifier training set: {len(dataset)} images")
         rng = np.random.default_rng(args.seed)
-        cfg = ClassifierTrainConfig(batch_size=args.batch or 16,
-                                    learning_rate=args.lr or 1e-4,
-                                    epochs=args.epochs,
+        cfg = ClassifierTrainConfig(epochs=args.epochs,
                                     bf16_compute=not args.no_bf16,
-                                    seed=args.seed)
+                                    seed=args.seed,
+                                    **_explicit_batch_lr(args))
         result = train_classifier(
             lambda epoch: dataset.batches(cfg.batch_size, rng),
             cfg, checkpoint_path=str(Path(args.checkpoints) / "classifier.pth"))
@@ -160,7 +172,7 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         from ..io.convert import torch_to_flax
-        from ..io.pth import load_pth
+        from ..io.pth import load_pth, unwrap_state_dict
         from ..models.unet2d import UNet2D, UNet2DConfig
         from .distill import DistillConfig, progressive_distill
 
@@ -173,15 +185,11 @@ def main(argv=None) -> int:
         # only explicit --batch/--lr override the distiller's tuned
         # defaults (batch 32, lr 5e-5) — the DDPM-training defaults
         # (batch 2, lr 1e-4) are the wrong regime for distillation
-        dkw = {}
-        if args.batch is not None:
-            dkw["batch_size"] = args.batch
-        if args.lr is not None:
-            dkw["learning_rate"] = args.lr
         dcfg = DistillConfig(steps_per_phase=args.distill_steps_per_phase,
                              seed=args.seed,
                              timestep_spacing=args.distill_spacing,
-                             bf16_compute=not args.no_bf16, **dkw)
+                             bf16_compute=not args.no_bf16,
+                             **_explicit_batch_lr(args))
         for cls in classes:
             class_id = CLASS_NAMES.index(cls)
             if args.procedural:
@@ -198,19 +206,25 @@ def main(argv=None) -> int:
             if len(dataset) == 0:
                 print(f"!! no data for {cls}, skipping")
                 continue
-            state = load_pth(args.distill_from.replace("{CLASS}", cls))
-            # tolerate full training checkpoints that wrap the weights,
-            # like the production load path (model_manager.py load_model)
-            if ("model_state_dict" in state
-                    and isinstance(state["model_state_dict"], dict)):
-                state = state["model_state_dict"]
-            teacher = torch_to_flax(state)
+            cfg_cls = dcfg
+            if args.batch is None and len(dataset) < dcfg.batch_size:
+                # smoke/small-corpus runs: clamp the DEFAULT batch to the
+                # dataset instead of tripping distill_phase's undersized-
+                # dataset guard (an explicit --batch still errors loudly)
+                import dataclasses as _dc
+
+                print(f"   {len(dataset)} images < default batch "
+                      f"{dcfg.batch_size}; clamping batch_size to "
+                      f"{len(dataset)}")
+                cfg_cls = _dc.replace(dcfg, batch_size=len(dataset))
+            teacher = torch_to_flax(unwrap_state_dict(load_pth(
+                args.distill_from.replace("{CLASS}", cls))))
             print(f"== distilling {cls}: {args.distill_start} -> "
                   f"{args.distill_end} steps ==")
             out = progressive_distill(
                 teacher, dataset, cls, args.checkpoints,
                 start_steps=args.distill_start, end_steps=args.distill_end,
-                config=dcfg, model=model, image_size=args.image_size,
+                config=cfg_cls, model=model, image_size=args.image_size,
                 mesh=mesh)
             for ph in out["phases"]:
                 print(f"  T={ph['n_student']}: {ph['checkpoint']} "
@@ -218,8 +232,7 @@ def main(argv=None) -> int:
         return 0
 
     cfg = TrainConfig(image_size=args.image_size,
-                      batch_size=args.batch or 2,
-                      learning_rate=args.lr or 1e-4, epochs=args.epochs,
+                      **_explicit_batch_lr(args), epochs=args.epochs,
                       bf16_compute=not args.no_bf16, seed=args.seed,
                       ema_decay=args.ema, offset_noise=args.offset_noise,
                       lr_schedule=args.lr_schedule,

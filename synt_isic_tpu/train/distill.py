@@ -373,17 +373,31 @@ def distill_phase(model: UNet2D, schedule: DiffusionSchedule,
         # data_rng seed) and feeds ONLY its own slice — global_batch_array
         # treats its input as the per-process slice, so passing the full
         # batch would silently inflate the global batch to
-        # n_proc x batch_size with every image duplicated on all hosts
-        # (same contract as train_ddpm.train_class)
-        local_bounds = (_mh.local_batch_bounds(config.batch_size)
-                        if mesh is not None and jax.process_count() > 1
-                        else None)
+        # n_proc x batch_size with every image duplicated on all hosts.
+        # Datasets whose `batches` supports `local_range` load/augment only
+        # this process's rows; others materialize the full batch and slice
+        # (same contract as train_ddpm.train_class).
+        import inspect
+
+        local_bounds = None
+        dataset_slices = False
+        if mesh is not None and jax.process_count() > 1:
+            local_bounds = _mh.local_batch_bounds(config.batch_size)
+            try:
+                dataset_slices = ("local_range" in inspect.signature(
+                    dataset.batches).parameters)
+            except (TypeError, ValueError):
+                dataset_slices = False
         while done < config.steps_per_phase:
-            for batch in dataset.batches(config.batch_size, data_rng):
+            batch_iter = (dataset.batches(config.batch_size, data_rng,
+                                          local_range=local_bounds)
+                          if dataset_slices
+                          else dataset.batches(config.batch_size, data_rng))
+            for batch in batch_iter:
                 key, sub = jax.random.split(key)
                 if mesh is not None:
                     batch = np.asarray(batch)
-                    if local_bounds is not None:
+                    if not dataset_slices and local_bounds is not None:
                         batch = batch[local_bounds[0]:local_bounds[1]]
                     batch = _mh.global_batch_array(batch, mesh)
                 else:

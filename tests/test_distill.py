@@ -265,7 +265,7 @@ def test_train_cli_distill_uses_tuned_defaults(tmp_path, monkeypatch):
     monkeypatch.setattr(distill_mod, "progressive_distill",
                         fake_progressive_distill)
     base = ["--classes", "MEL", "--distill-from", str(teacher_pth),
-            "--procedural", "4", "--checkpoints", str(tmp_path),
+            "--procedural", "64", "--checkpoints", str(tmp_path),
             "--distill-start", "8", "--distill-end", "4",
             "--distill-steps-per-phase", "1", "--image-size", "16"]
     assert main(base) == 0
@@ -277,3 +277,13 @@ def test_train_cli_distill_uses_tuned_defaults(tmp_path, monkeypatch):
     cfg = captured["config"]
     assert cfg.batch_size == 4
     assert cfg.learning_rate == pytest.approx(1e-3)
+
+    # a dataset smaller than the tuned default batch clamps instead of
+    # tripping distill_phase's undersized-dataset guard...
+    small = [a if a != "64" else "8" for a in base]
+    assert main(small) == 0
+    assert captured["config"].batch_size == 8
+    # ...but an EXPLICIT oversized --batch still errors loudly downstream
+    # (no silent clamp of a user-chosen value)
+    assert main(small + ["--batch", "16"]) == 0  # fake distill never runs the guard
+    assert captured["config"].batch_size == 16
