@@ -127,10 +127,14 @@ def main() -> int:
                  for s, n, sp in configs]
         print(f"| {b} | " + " | ".join(cells) + " |")
 
+    # headline cell: smallest measured batch of the last config (the
+    # interactive-most cell) — hardcoding _b1 crashed any --batches list
+    # without 1 after all measurements had already completed
     last = cfg_key(*configs[-1])
-    b1key = f"{last}_b1"
-    print(json.dumps({"metric": f"latency_b1_{last}_s",
-                      "value": rows[b1key]["call_s"], "unit": "seconds",
+    b_head = min(batches)
+    headkey = f"{last}_b{b_head}"
+    print(json.dumps({"metric": f"latency_b{b_head}_{last}_s",
+                      "value": rows[headkey]["call_s"], "unit": "seconds",
                       "cells": rows}))
     return 0
 

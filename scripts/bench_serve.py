@@ -70,19 +70,35 @@ def run_mixed(host, port, cls, args) -> int:
     lat = sorted(inter_lat)
     pct = lambda q: lat[min(len(lat) - 1, int(round(q * (len(lat) - 1))))] if lat else 0  # noqa: E731
     n_bulk = len(bulk_result.get("files", []))
+    # zero interactive samples = nothing was measured (bulk finished before
+    # the first probe): all([])=True would otherwise report a fabricated
+    # perfect p95 of 0.0 with ok:true
+    measured = len(lat) > 0
+    # in --fast-variant mode the interactive requests ran at the FAST
+    # generator's step count through the distilled student, not
+    # --interactive-steps
+    inter_desc = (f"fast-lane T={args.fast_steps} ({args.fast_variant})"
+                  if getattr(args, "fast_variant", None)
+                  else f"T={args.interactive_steps}")
     print(f"bulk: {n_bulk} imgs T={args.steps} in {bulk_s:.1f}s; "
-          f"{len(lat)} interactive b1 T={args.interactive_steps} during it: "
+          f"{len(lat)} interactive b1 {inter_desc} during it: "
           f"p50={pct(.5):.2f}s p95={pct(.95):.2f}s "
-          f"(ok={all(inter_ok) and bulk_result.get('ok', False)})")
+          f"(ok={measured and all(inter_ok) and bulk_result.get('ok', False)})")
+    if not measured:
+        print("warning: bulk job finished before any interactive request "
+              "completed — no latency was measured; raise --count or lower "
+              "--interactive-gap", file=sys.stderr)
+    ok = measured and all(inter_ok) and bool(bulk_result.get("ok"))
     print(json.dumps({
         "metric": f"mixed_interactive_p95_s_bulk{args.count}xT{args.steps}"
                   + (f"_b1fast{args.fast_steps}" if getattr(args, "fast_variant", None)
                      else f"_b1T{args.interactive_steps}"),
-        "value": round(pct(.95), 3), "unit": "seconds",
-        "p50_s": round(pct(.5), 3), "n_interactive": len(lat),
+        "value": round(pct(.95), 3) if measured else None, "unit": "seconds",
+        "p50_s": round(pct(.5), 3) if measured else None,
+        "n_interactive": len(lat),
         "bulk_elapsed_s": round(bulk_s, 1),
-        "ok": all(inter_ok) and bool(bulk_result.get("ok"))}))
-    return 0 if (all(inter_ok) and bulk_result.get("ok")) else 1
+        "ok": ok}))
+    return 0 if ok else 1
 
 
 def main() -> int:

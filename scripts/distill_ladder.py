@@ -57,7 +57,8 @@ def run_distill_ladder(checkpoints: str, out_dir: str, class_name: str = "MEL",
     from synt_isic_tpu.train.procedural import ProceduralDataset, procedural_images
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
-    from e2e_loop import load_generated_images, small_unet_config
+    from e2e_loop import small_unet_config
+    from ladder_common import make_stats_fn, score_rung
 
     if model_config is None:
         model_config = small_unet_config(size)
@@ -86,15 +87,10 @@ def run_distill_ladder(checkpoints: str, out_dir: str, class_name: str = "MEL",
                                  log=log)
     distill_wall = time.time() - t0
 
-    # scoring setup (same battery as sampler_ladder)
+    # scoring setup (SHARED battery with sampler_ladder: ladder_common)
     held = procedural_images(class_name, heldout, size, seed=0,
                              start_index=10_000_000)
-    extractor = PixelFeatureExtractor()
-
-    def stats(imgs):
-        f = np.asarray(extractor(imgs), np.float64)
-        return f.mean(axis=0), np.cov(f, rowvar=False)
-
+    stats = make_stats_fn(PixelFeatureExtractor())
     s_held = stats(held)
     train_like = procedural_images(class_name, min(heldout, 128), size,
                                    seed=0, start_index=0)
@@ -109,28 +105,10 @@ def run_distill_ladder(checkpoints: str, out_dir: str, class_name: str = "MEL",
         gen.timestep_spacing = "trailing"
         gen.set_inference_steps(steps)
         gen.batch_size = min(count, 64)
-        gen.save_trajectory = False
-        run_dir = out / "runs" / tag
-        # warm pass on a different seed (the tunnel coalesces byte-identical
-        # dispatches; see sampler_ladder.py)
-        gen.set_generation_seed(seed + 100_000)
-        gen.generate_images([(class_name, min(count, gen.batch_size))],
-                            str(run_dir.with_name(tag + "_warm")),
-                            postprocess=False)
-        gen.set_generation_seed(seed)
-        t0 = time.time()
-        result = gen.generate_images([(class_name, count)], str(run_dir),
-                                     postprocess=False)
-        if "error" in result:
-            raise RuntimeError(f"{tag} failed: {result['error']}")
-        imgs = load_generated_images(run_dir / class_name, count)
-        fd = float(frechet_distance(*stats(imgs), *s_held))
-        row = {"steps": steps, "tag": tag,
-               "frechet_vs_heldout": round(fd, 3),
-               "img_per_s": result["images_per_second"],
-               "wall_s": round(time.time() - t0, 1)}
-        log(f"[distill-ladder] {tag}: frechet={fd:.3f} "
-            f"{result['images_per_second']} img/s")
+        row = score_rung(gen, class_name, count, out / "runs" / tag,
+                         seed=seed, stats=stats, s_held=s_held, tag=tag,
+                         log=log)
+        row["steps"] = steps
         return row
 
     report = {
@@ -141,6 +119,10 @@ def run_distill_ladder(checkpoints: str, out_dir: str, class_name: str = "MEL",
         "distill_wall_s": round(distill_wall, 1),
         "floor_train_vs_heldout": float(frechet_distance(*stats(train_like),
                                                          *s_held)),
+        # floor at the rungs' own sample count (n=count covariance noise)
+        # — same small-n anchor the sampler ladder reports
+        "floor_train_n_vs_heldout": float(frechet_distance(
+            *stats(train_like[:count]), *s_held)),
         "ceiling_noise_vs_heldout": float(frechet_distance(
             *stats(np.random.default_rng(seed).uniform(
                 -1, 1, held.shape).astype(np.float32)), *s_held)),

@@ -165,6 +165,10 @@ def run_gauntlet(checkpoints_dir: str, out_path: str = "gauntlet_report.json",
         t0 = time.time()
         try:
             n = max(16, 4 * samples_per_class)
+            # one device block per set — batch_size was left at the smoke
+            # step's samples_per_class, which splits n into many tiny
+            # dispatch+transfer round-trips on a tunneled chip
+            gen.batch_size = min(n, 64)
             gen.set_generation_seed(777)
             d1 = work / "fid_a"
             gen.generate_images([(classes[0], n)], str(d1), postprocess=False)

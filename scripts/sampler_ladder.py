@@ -69,7 +69,8 @@ def run_ladder(checkpoints: str, out_path: str, class_name: str = "MEL",
     from synt_isic_tpu.train.procedural import procedural_images
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
-    from e2e_loop import load_generated_images, small_unet_config
+    from e2e_loop import small_unet_config
+    from ladder_common import make_stats_fn, score_rung
 
     if model_config is None:
         model_config = small_unet_config(size)
@@ -80,11 +81,7 @@ def run_ladder(checkpoints: str, out_path: str, class_name: str = "MEL",
     noise = np.random.default_rng(seed).uniform(
         -1, 1, held.shape).astype(np.float32)
 
-    extractor = PixelFeatureExtractor()
-
-    def stats(imgs):
-        f = np.asarray(extractor(imgs), np.float64)
-        return f.mean(axis=0), np.cov(f, rowvar=False)
+    stats = make_stats_fn(PixelFeatureExtractor())
 
     grid = [(r + ("leading",))[:3] for r in grid]   # optional 3rd: spacing
     s_held = stats(held)
@@ -113,35 +110,18 @@ def run_ladder(checkpoints: str, out_path: str, class_name: str = "MEL",
         gen.save_trajectory = False
         tag = f"{scheduler}_{steps}" + ("" if spacing == "leading"
                                         else f"_{spacing}")
-        run_dir = out_dir / tag
-        # warm pass: each rung's (steps, batch) is its own executable — a
-        # cold first block would bill minutes of XLA compile to this rung's
-        # img/s while cached rungs ride free; one small warmed run levels it.
-        # DIFFERENT seed than the timed run: the tunnel coalesces
-        # byte-identical execution requests (verify skill notes), so a
-        # replayed-seed warm pass would let the timed run be served from
-        # the coalescer and fake its rate.
-        gen.set_generation_seed(seed + 100_000)
-        gen.generate_images([(class_name, min(count, gen.batch_size))],
-                            str(run_dir.with_name(run_dir.name + "_warm")),
-                            postprocess=False)
-        gen.set_generation_seed(seed)
-        t0 = time.time()
-        result = gen.generate_images([(class_name, count)], str(run_dir),
-                                     postprocess=False)
-        if "error" in result:
-            raise RuntimeError(f"{scheduler}-{steps} failed: {result['error']}")
-        wall = time.time() - t0
-        imgs = load_generated_images(run_dir / class_name, count)
-        fd = float(frechet_distance(*stats(imgs), *s_held))
+        # warm + timed scoring (shared battery, ladder_common.score_rung:
+        # warms every executable incl. the remainder block, distinct warm
+        # seed against tunnel request-coalescing)
+        row = score_rung(gen, class_name, count, out_dir / tag,
+                         seed=seed, stats=stats, s_held=s_held, tag=tag,
+                         log=log)
         rung = {"scheduler": scheduler, "steps": steps,
                 "timestep_spacing": spacing,
-                "frechet_vs_heldout": round(fd, 3),
-                "img_per_s": result["images_per_second"],
-                "wall_s": round(wall, 1)}
+                "frechet_vs_heldout": row["frechet_vs_heldout"],
+                "img_per_s": row["img_per_s"],
+                "wall_s": row["wall_s"]}
         report["rungs"].append(rung)
-        log(f"[ladder] {tag}: frechet={fd:.3f} "
-            f"{result['images_per_second']} img/s")
 
     # the fastest rung whose Fréchet is within 15% of the best rung — the
     # honest headline config for this checkpoint
