@@ -35,6 +35,11 @@ batch — per-image recorded seeds keep every image reproducible regardless
 of how requests were merged (same guarantee as the reference's random
 mode, `image_generator.py:632-637`).
 
+Multi-chip: `--mesh N|auto` shards every device batch over a data-parallel
+mesh (`ShardedSampler`) — per-seed RNG streams keep each image bit-identical
+to the single-chip output, so clients cannot observe the topology; `status`
+reports the mesh and warmup compiles the partitioned executable.
+
 Priority: requests whose device cost (count x steps) is at most
 `interactive_cost` ride a fast lane serviced ahead of queued bulk work,
 and a RUNNING bulk job yields to them between its device blocks (the
@@ -287,6 +292,8 @@ class GenerationServer:
                     "loaded_models": _snapshot_keys(
                         self.generator.model_manager.loaded_params),
                     "device_batch": self.generator.batch_size,
+                    "mesh": (dict(self.generator.mesh.shape)
+                             if self.generator.mesh is not None else None),
                     "max_batch": self.max_batch,
                     "default_steps": self._default_steps,
                     "fast_variant": (
@@ -559,6 +566,14 @@ class GenerationServer:
             sampler = g.model_manager.create_sampler(
                 steps, scheduler=g.scheduler_kind, ddim_eta=g.ddim_eta,
                 timestep_spacing=g.timestep_spacing)
+            if g.mesh is not None:
+                # a mesh-backed generator serves through ShardedSampler —
+                # warming the single-device executable would leave the real
+                # partitioned program's first-jit on the first client
+                from .parallel.sharded_sampler import ShardedSampler
+
+                sampler = ShardedSampler(sampler, g.mesh)
+                resp["mesh"] = dict(g.mesh.shape)
             sizes = sorted({1, int(g.batch_size)})
             for b in sizes:
                 out = sampler.sample(params, np.arange(b, dtype=np.uint32))
@@ -711,6 +726,13 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
                    help="compute dtype (bf16 is the production path all "
                         "published throughput numbers use)")
+    p.add_argument("--mesh", default=None, metavar="N|auto",
+                   help="multi-chip serving: shard device batches over a "
+                        "data-parallel mesh of N chips ('auto' = every "
+                        "visible device). Per-seed RNG streams keep every "
+                        "image identical to the single-chip output; "
+                        "throughput scales with chips (per-image step cost "
+                        "is batch-flat on one chip, PERFORMANCE.md)")
     p.add_argument("--interactive-cost", type=int, default=256,
                    help="count x steps threshold under which a request "
                         "rides the priority lane (ahead of queued bulk "
@@ -774,6 +796,20 @@ def main(argv=None) -> int:
         gen.set_inference_steps(args.steps)
     if args.batch:
         gen.batch_size = args.batch
+    if args.mesh:
+        import jax
+
+        from .parallel.mesh import create_mesh
+
+        n = len(jax.devices()) if args.mesh == "auto" else int(args.mesh)
+        mesh = create_mesh({"data": n})
+        gen.set_mesh(mesh)
+        if gen.batch_size % n:
+            # ShardedSampler pads (cyclic-tiled seeds, extras dropped), but a
+            # non-multiple device batch wastes the pad every call — round up
+            gen.batch_size = -(-gen.batch_size // n) * n
+        print(f"serving over a {dict(mesh.shape)} mesh "
+              f"(device batch {gen.batch_size})", flush=True)
     fast_gen = None
     if args.fast_variant:
         import re

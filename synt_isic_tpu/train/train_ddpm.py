@@ -407,11 +407,21 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
             return False
         best_val = val
         return True
-    # on a multi-host mesh only process 0 writes artifacts (barriered)
-    if mesh is not None:
-        write = lambda fn, *a: _mh.host0_only(fn, *a)  # noqa: E731
+    # Checkpoint writes: single-process runs go through the async writer
+    # (device-side snapshot + background D2H/serialize — on a tunneled
+    # device a synchronous ~100 MB pull re-serializes training, see
+    # async_ckpt.py). Multi-host runs keep the synchronous host0_only
+    # path: its barrier + failure broadcast ARE the contract there.
+    async_writer = None
+    if mesh is not None and jax.process_count() > 1:
+        write = lambda fn, tree, path, coalesce=None: (  # noqa: E731
+            _mh.host0_only(fn, tree, path))
     else:
-        write = lambda fn, *a: fn(*a)  # noqa: E731
+        from .async_ckpt import AsyncCheckpointer
+
+        async_writer = AsyncCheckpointer(log=log)
+        write = lambda fn, tree, path, coalesce=None: (  # noqa: E731
+            async_writer.submit(tree, fn, path, coalesce))
 
     # emit per-class color statistics alongside the checkpoints so the
     # generator's postprocessing stage (io/color_stats.py) has real targets —
@@ -420,8 +430,14 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
     if color_stats is not None:
         from ..io.color_stats import update_color_statistics_file
 
-        write(update_color_statistics_file,
-              ckpt_dir / "color_statistics.json", class_name, color_stats)
+        def _write_stats():
+            update_color_statistics_file(
+                ckpt_dir / "color_statistics.json", class_name, color_stats)
+
+        if mesh is not None and jax.process_count() > 1:
+            _mh.host0_only(_write_stats)
+        else:
+            _write_stats()  # tiny host-side JSON, no device pull involved
 
     from .data import prefetch
 
@@ -449,76 +465,92 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
     epoch_fn = (make_epoch_step(model, schedule, tx, config)
                 if use_epoch_scan else None)
 
-    for epoch in range(1, config.epochs + 1):
-        t0 = time.time()
-        if use_epoch_scan:
-            key, sub = jax.random.split(key)
-            batches = dataset.epoch_batches(config.batch_size, data_rng)
-            state, losses_arr = epoch_fn(state, batches, sub)
-            epoch_loss = float(jnp.mean(losses_arr))
+    try:
+        for epoch in range(1, config.epochs + 1):
+            t0 = time.time()
+            if use_epoch_scan:
+                key, sub = jax.random.split(key)
+                batches = dataset.epoch_batches(config.batch_size, data_rng)
+                state, losses_arr = epoch_fn(state, batches, sub)
+                epoch_loss = float(jnp.mean(losses_arr))
+                history.append(epoch_loss)
+                if epoch % max(1, config.snapshot_every) == 0 or epoch == 1:
+                    log(f"[train:{class_name}] epoch {epoch}/{config.epochs} "
+                        f"loss={epoch_loss:.5f} ({time.time() - t0:.1f}s)")
+                export_params = (state.ema_params if state.ema_params is not None
+                                 else state.params)
+                improved = epoch_loss < best_loss
+                best_loss = min(best_loss, epoch_loss)
+                if select_best(epoch, improved, export_params):
+                    # device-side snapshot only: at seconds-scale epochs a disk
+                    # best-write (device->host pull) per improvement would
+                    # dominate; materialized at snapshot boundaries + at end
+                    best_snapshot = jax.tree_util.tree_map(jnp.array, export_params)
+                if epoch % config.snapshot_every == 0:
+                    write(save_checkpoint_torch_format,
+                          best_snapshot if best_snapshot is not None
+                          else export_params, str(best_path), "best")
+                    snap = ckpt_dir / f"unet_{class_name}_epoch{epoch}.pth"
+                    write(save_checkpoint_torch_format, export_params, str(snap))
+                    write(save_train_state, state, str(resume_path), "resume")
+                continue
+            losses = []
+            batch_iter = (dataset.batches(config.batch_size, data_rng,
+                                          local_range=local_bounds)
+                          if dataset_slices
+                          else dataset.batches(config.batch_size, data_rng))
+            for batch in prefetch(batch_iter):
+                key, sub = jax.random.split(key)
+                if mesh is not None:
+                    batch = np.asarray(batch)
+                    if not dataset_slices and local_bounds is not None:
+                        batch = batch[local_bounds[0]:local_bounds[1]]
+                    batch = _mh.global_batch_array(batch, mesh)
+                else:
+                    batch = jnp.asarray(batch)
+                state, loss = step_fn(state, batch, sub)
+                # keep the DEVICE value — a float() here would sync every step
+                # (one tunnel round-trip per step dominates small-model epochs);
+                # the whole epoch's dispatches pipeline and we materialize once
+                losses.append(loss)
+            epoch_loss = (float(np.mean([float(l) for l in losses]))
+                          if losses else float("nan"))
             history.append(epoch_loss)
-            if epoch % max(1, config.snapshot_every) == 0 or epoch == 1:
-                log(f"[train:{class_name}] epoch {epoch}/{config.epochs} "
-                    f"loss={epoch_loss:.5f} ({time.time() - t0:.1f}s)")
+            log(f"[train:{class_name}] epoch {epoch}/{config.epochs} "
+                f"loss={epoch_loss:.5f} ({time.time() - t0:.1f}s)")
+            # checkpoints ship the EMA weights when enabled (sampling quality),
+            # raw params keep training either way
             export_params = (state.ema_params if state.ema_params is not None
                              else state.params)
-            improved = epoch_loss < best_loss
-            best_loss = min(best_loss, epoch_loss)
+            improved = np.isfinite(epoch_loss) and epoch_loss < best_loss
+            best_loss = min(best_loss, epoch_loss) if improved else best_loss
             if select_best(epoch, improved, export_params):
-                # device-side snapshot only: at seconds-scale epochs a disk
-                # best-write (device->host pull) per improvement would
-                # dominate; materialized at snapshot boundaries + at end
-                best_snapshot = jax.tree_util.tree_map(jnp.array, export_params)
+                write(save_checkpoint_torch_format, export_params,
+                      str(best_path), "best")
+                log(f"[train:{class_name}] new best "
+                    f"({best_val if eval_fn is not None else best_loss:.5f}) "
+                    f"-> {best_path}")
             if epoch % config.snapshot_every == 0:
-                write(save_checkpoint_torch_format,
-                      best_snapshot if best_snapshot is not None
-                      else export_params, str(best_path))
                 snap = ckpt_dir / f"unet_{class_name}_epoch{epoch}.pth"
                 write(save_checkpoint_torch_format, export_params, str(snap))
-                write(save_train_state, state, str(resume_path))
-            continue
-        losses = []
-        batch_iter = (dataset.batches(config.batch_size, data_rng,
-                                      local_range=local_bounds)
-                      if dataset_slices
-                      else dataset.batches(config.batch_size, data_rng))
-        for batch in prefetch(batch_iter):
-            key, sub = jax.random.split(key)
-            if mesh is not None:
-                batch = np.asarray(batch)
-                if not dataset_slices and local_bounds is not None:
-                    batch = batch[local_bounds[0]:local_bounds[1]]
-                batch = _mh.global_batch_array(batch, mesh)
-            else:
-                batch = jnp.asarray(batch)
-            state, loss = step_fn(state, batch, sub)
-            # keep the DEVICE value — a float() here would sync every step
-            # (one tunnel round-trip per step dominates small-model epochs);
-            # the whole epoch's dispatches pipeline and we materialize once
-            losses.append(loss)
-        epoch_loss = (float(np.mean([float(l) for l in losses]))
-                      if losses else float("nan"))
-        history.append(epoch_loss)
-        log(f"[train:{class_name}] epoch {epoch}/{config.epochs} "
-            f"loss={epoch_loss:.5f} ({time.time() - t0:.1f}s)")
-        # checkpoints ship the EMA weights when enabled (sampling quality),
-        # raw params keep training either way
-        export_params = (state.ema_params if state.ema_params is not None
-                         else state.params)
-        improved = np.isfinite(epoch_loss) and epoch_loss < best_loss
-        best_loss = min(best_loss, epoch_loss) if improved else best_loss
-        if select_best(epoch, improved, export_params):
-            write(save_checkpoint_torch_format, export_params, str(best_path))
-            log(f"[train:{class_name}] new best "
-                f"({best_val if eval_fn is not None else best_loss:.5f}) "
-                f"-> {best_path}")
-        if epoch % config.snapshot_every == 0:
-            snap = ckpt_dir / f"unet_{class_name}_epoch{epoch}.pth"
-            write(save_checkpoint_torch_format, export_params, str(snap))
-            write(save_train_state, state, str(resume_path))
-    if best_snapshot is not None:
-        write(save_checkpoint_torch_format, best_snapshot, str(best_path))
-    write(save_train_state, state, str(resume_path))
+                write(save_train_state, state, str(resume_path), "resume")
+        if best_snapshot is not None:
+            write(save_checkpoint_torch_format, best_snapshot, str(best_path),
+                  "best")
+        write(save_train_state, state, str(resume_path), "resume")
+    finally:
+        # always flush queued checkpoint writes; if the loop itself
+        # raised, don't let a writer error mask the original failure
+        if async_writer is not None:
+            import sys as _sys
+
+            _flush_err = None
+            try:
+                async_writer.close()
+            except Exception as exc:
+                _flush_err = exc
+            if _flush_err is not None and _sys.exc_info()[0] is None:
+                raise _flush_err
     result = {"class": class_name, "best_loss": best_loss, "history": history,
               "checkpoint": str(best_path), "steps": int(state.step)}
     if eval_fn is not None:

@@ -522,3 +522,46 @@ def test_warmup_compiles_the_exact_generate_executable(tmp_path_factory):
             "generate built a sampler the warmup did not pre-build"
     finally:
         srv.stop()
+
+
+def test_mesh_backed_serving_is_bit_identical(tmp_path_factory):
+    """`--mesh` serving (ShardedSampler over the virtual 8-device mesh)
+    must return byte-identical images to the single-device server for the
+    same fixed seed, warm the PARTITIONED executable, and report the mesh
+    in status."""
+    from PIL import Image
+
+    from synt_isic_tpu.parallel.mesh import create_mesh
+
+    ckpt = tmp_path_factory.mktemp("ckpt_mesh")
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+
+    def run(mesh):
+        gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+        gen.set_inference_steps(3)
+        if mesh is not None:
+            gen.set_mesh(mesh)
+        srv = GenerationServer(
+            gen, port=0,
+            output_root=str(tmp_path_factory.mktemp("out_mesh"))).start()
+        try:
+            w = _rpc(srv, {"op": "warmup", "class": "NV", "compile": True})
+            assert w["ok"], w
+            if mesh is not None:
+                assert w.get("mesh") == {"data": 8}
+            st = _rpc(srv, {"op": "status"})
+            assert st["mesh"] == ({"data": 8} if mesh is not None else None)
+            # count=3 exercises the pad path (3 seeds on 8 shards)
+            r = _rpc(srv, {"op": "generate", "class": "NV", "count": 3,
+                           "seed": 11, "postprocess": False})
+            assert r["ok"], r
+            return [np.asarray(Image.open(f)) for f in r["files"]]
+        finally:
+            srv.stop()
+
+    single = run(None)
+    sharded = run(create_mesh({"data": 8}))
+    assert len(single) == len(sharded) == 3
+    for a, b in zip(single, sharded):
+        np.testing.assert_array_equal(a, b)
