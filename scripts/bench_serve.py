@@ -123,6 +123,10 @@ def main() -> int:
                         "(fabricated-checkpoint mode creates the variant "
                         "file with random weights — throughput-only)")
     p.add_argument("--fast-steps", type=int, default=8)
+    p.add_argument("--mesh", default=None, metavar="N|auto",
+                   help="serve over a data-parallel mesh of N devices "
+                        "('auto' = all visible) — measures multi-chip "
+                        "served throughput (serve.py --mesh)")
     args = p.parse_args()
 
     import jax
@@ -160,6 +164,15 @@ def main() -> int:
     gen.set_inference_steps(args.steps)
     gen.scheduler_kind = args.scheduler
     gen.batch_size = args.batch
+    if args.mesh:
+        from synt_isic_tpu.parallel.mesh import create_mesh
+
+        n = len(jax.devices()) if args.mesh == "auto" else int(args.mesh)
+        gen.set_mesh(create_mesh({"data": n}))
+        if gen.batch_size % n:
+            gen.batch_size = -(-gen.batch_size // n) * n
+        print(f"serving over a {{'data': {n}}} mesh "
+              f"(device block {gen.batch_size})", flush=True)
     cls = gen.get_available_classes()[0]
     fast_gen = None
     if args.fast_variant:

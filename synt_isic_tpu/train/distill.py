@@ -446,32 +446,54 @@ def progressive_distill(teacher_params: Any, dataset, class_name: str,
     schedule = DiffusionSchedule.create(config.num_train_timesteps)
     ckpt_dir = Path(checkpoint_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)
-    # on a multi-host mesh only process 0 writes artifacts (barriered)
-    if mesh is not None:
+    # Per-phase checkpoint writes: multi-host keeps the barriered
+    # host0_only contract; single-process goes through the async writer so
+    # the ~100 MB device->host pull overlaps the NEXT phase's compute
+    # instead of stalling between phases (train/async_ckpt.py; submit takes
+    # a device-side copy, so the next phase donating the teacher buffers
+    # cannot invalidate a queued write).
+    async_writer = None
+    if mesh is not None and jax.process_count() > 1:
         from ..parallel import multihost as _mh
-        write = lambda fn, *a: _mh.host0_only(fn, *a)  # noqa: E731
+        write = lambda fn, tree, path: _mh.host0_only(fn, tree, path)  # noqa: E731
     else:
-        write = lambda fn, *a: fn(*a)  # noqa: E731
+        from .async_ckpt import AsyncCheckpointer
+
+        async_writer = AsyncCheckpointer(log=log)
+        write = lambda fn, tree, path: async_writer.submit(tree, fn, path)  # noqa: E731
 
     phases = []
     n = start_steps // 2
     teacher = teacher_params
-    while n >= end_steps:
-        t0 = time.time()
-        result = distill_phase(model, schedule, teacher, dataset, n,
-                               config, mesh=mesh, log=log)
-        path = ckpt_dir / f"unet_{class_name}_distill{n}.pth"
-        write(save_checkpoint_torch_format, result["params"], str(path))
-        log(f"[distill:{n}] phase done in {time.time() - t0:.1f}s "
-            f"-> {path}")
-        record = {"n_student": n, "checkpoint": str(path),
-                  "final_loss": result["history"][-1]}
-        if "best_val" in result:
-            record["best_val"] = result["best_val"]
-        phases.append(record)
-        teacher = result["params"]
-        if n == end_steps:
-            break
-        n = max(n // 2, end_steps)
+    try:
+        while n >= end_steps:
+            t0 = time.time()
+            result = distill_phase(model, schedule, teacher, dataset, n,
+                                   config, mesh=mesh, log=log)
+            path = ckpt_dir / f"unet_{class_name}_distill{n}.pth"
+            write(save_checkpoint_torch_format, result["params"], str(path))
+            log(f"[distill:{n}] phase done in {time.time() - t0:.1f}s "
+                f"-> {path}")
+            record = {"n_student": n, "checkpoint": str(path),
+                      "final_loss": result["history"][-1]}
+            if "best_val" in result:
+                record["best_val"] = result["best_val"]
+            phases.append(record)
+            teacher = result["params"]
+            if n == end_steps:
+                break
+            n = max(n // 2, end_steps)
+    finally:
+        # flush queued writes; don't let a writer error mask a phase error
+        if async_writer is not None:
+            import sys as _sys
+
+            _flush_err = None
+            try:
+                async_writer.close()
+            except Exception as exc:
+                _flush_err = exc
+            if _flush_err is not None and _sys.exc_info()[0] is None:
+                raise _flush_err
     return {"class": class_name, "phases": phases,
             "timestep_spacing": config.timestep_spacing}

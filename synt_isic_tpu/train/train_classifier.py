@@ -167,25 +167,49 @@ def train_classifier(dataset_iter_fn, config: ClassifierTrainConfig,
                      log=print) -> Dict[str, Any]:
     """dataset_iter_fn(epoch) must yield (images_nhwc_[-1,1]-or-norm, labels)
     batches; images are expected already preprocessed to classifier space."""
+    from .async_ckpt import AsyncCheckpointer
+
     model, state, tx = create_classifier_train_state(config)
     step_fn = make_classifier_train_step(model, tx)
     best_acc = 0.0
     history = []
-    for epoch in range(1, config.epochs + 1):
-        losses, accs = [], []
-        for images, labels in dataset_iter_fn(epoch):
-            state, loss, acc = step_fn(state, jnp.asarray(images),
-                                       jnp.asarray(labels))
-            losses.append(float(loss))
-            accs.append(float(acc))
-        epoch_loss = float(np.mean(losses)) if losses else float("nan")
-        epoch_acc = float(np.mean(accs)) if accs else 0.0
-        history.append({"loss": epoch_loss, "acc": epoch_acc})
-        log(f"[clf] epoch {epoch}/{config.epochs} loss={epoch_loss:.4f} "
-            f"acc={epoch_acc:.3f}")
-        if epoch_acc >= best_acc:
-            best_acc = epoch_acc
-            Path(checkpoint_path).parent.mkdir(parents=True, exist_ok=True)
-            export_classifier_pth(state, checkpoint_path)
+    # best-checkpoint writes ride the async writer (train/async_ckpt.py):
+    # a ~45 MB ResNet18 pull per improving epoch would otherwise stall the
+    # loop at link speed on a tunneled device; only the newest queued best
+    # matters (coalesce key)
+    async_writer = AsyncCheckpointer(log=log)
+    try:
+        for epoch in range(1, config.epochs + 1):
+            losses, accs = [], []
+            for images, labels in dataset_iter_fn(epoch):
+                state, loss, acc = step_fn(state, jnp.asarray(images),
+                                           jnp.asarray(labels))
+                # keep DEVICE values — a float() here syncs every step (one
+                # tunnel round-trip per step); materialize once per epoch
+                losses.append(loss)
+                accs.append(acc)
+            epoch_loss = (float(np.mean([float(l) for l in losses]))
+                          if losses else float("nan"))
+            epoch_acc = (float(np.mean([float(a) for a in accs]))
+                         if accs else 0.0)
+            history.append({"loss": epoch_loss, "acc": epoch_acc})
+            log(f"[clf] epoch {epoch}/{config.epochs} loss={epoch_loss:.4f} "
+                f"acc={epoch_acc:.3f}")
+            if epoch_acc >= best_acc:
+                best_acc = epoch_acc
+                Path(checkpoint_path).parent.mkdir(parents=True, exist_ok=True)
+                async_writer.submit(state, export_classifier_pth,
+                                    checkpoint_path, coalesce="best")
+    finally:
+        # flush queued writes; don't mask a training error with a writer one
+        import sys as _sys
+
+        _flush_err = None
+        try:
+            async_writer.close()
+        except Exception as exc:
+            _flush_err = exc
+        if _flush_err is not None and _sys.exc_info()[0] is None:
+            raise _flush_err
     return {"best_acc": best_acc, "history": history,
             "checkpoint": checkpoint_path, "state": state}
