@@ -79,6 +79,40 @@ def bench_tpu(scheduler: str, steps: int, batch: int,
     return (batch * n_runs) / dt
 
 
+def mfu_estimate(images_per_sec: float, steps: int):
+    """Live MFU for the headline config: achieved FLOP/s over the chip's
+    dense-bf16 peak, with per-image FLOPs from XLA's own cost analysis of
+    one UNet forward (methodology identical to scripts/profile_mfu.py;
+    peaks table kept in sync with it). None when the chip is unknown or
+    the cost analysis is unavailable."""
+    import jax
+    import jax.numpy as jnp
+
+    from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig, init_unet_params
+
+    peaks = {  # dense bf16 FLOP/s (scripts/profile_mfu.py PEAKS)
+        "TPU v5 lite": 197e12, "TPU v4": 275e12,
+        "TPU v5p": 459e12, "TPU v6 lite": 918e12,
+    }
+    peak = peaks.get(jax.devices()[0].device_kind)
+    if peak is None:
+        return None
+    try:
+        b = 8  # cost scales linearly in batch; small shape compiles fast
+        model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16)
+        params = init_unet_params(model, jax.random.PRNGKey(0))
+        x = jnp.zeros((b, 128, 128, 3), jnp.float32)
+        t = jnp.full((b,), 500, jnp.int32)
+        cost = (jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))
+                .lower(params, x, t).compile().cost_analysis())
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_image = float(cost["flops"]) / b * steps
+        return round(images_per_sec * flops_per_image / peak * 100, 1)
+    except Exception:
+        return None
+
+
 def torch_cpu_per_step_seconds() -> float:
     """Reference-equivalent per-UNet-step wall time on this host's CPU."""
     import torch
@@ -182,7 +216,10 @@ def main() -> None:
         "vs_baseline_caveat": "ratio vs torch-CPU 1-core (extrapolated from "
                               "3 steps) — sanity anchor only; headline is "
                               "the absolute value + mfu_pct",
-        "mfu_pct": 31,  # measured: scripts/profile_mfu.py, BENCHMARKS.md
+        # live estimate (XLA cost analysis x measured rate / chip peak);
+        # null off-TPU — the trace-backed reference figure is in
+        # BENCHMARKS.md via scripts/profile_mfu.py (31% in round 2)
+        "mfu_pct": mfu_estimate(headline_ips, HEADLINE["steps"]),
         "extra": {
             "ddpm_T1000_b8_images_per_sec": round(research_ips, 4),
             "ddpm_T1000_vs_baseline": ratio(research_ips, base_research),
