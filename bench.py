@@ -89,18 +89,22 @@ def mfu_estimate(images_per_sec: float, steps: int):
     import jax.numpy as jnp
 
     from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig, init_unet_params
+    from synt_isic_tpu.utils.compute import TPU_PEAKS
 
-    peaks = {  # dense bf16 FLOP/s (scripts/profile_mfu.py PEAKS)
-        "TPU v5 lite": 197e12, "TPU v4": 275e12,
-        "TPU v5p": 459e12, "TPU v6 lite": 918e12,
-    }
-    peak = peaks.get(jax.devices()[0].device_kind)
-    if peak is None:
+    entry = TPU_PEAKS.get(jax.devices()[0].device_kind)
+    if entry is None:
         return None
+    peak = entry[0]
     try:
         b = 8  # cost scales linearly in batch; small shape compiles fast
-        model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16)
-        params = init_unet_params(model, jax.random.PRNGKey(0))
+        on_tpu = jax.devices()[0].platform == "tpu"
+        # SAME build flags as bench_tpu/profile_mfu — the cost analysis must
+        # describe the HLO actually benchmarked (fused attention, fast_norm)
+        model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16,
+                       use_fused_attention=on_tpu, fast_norm=on_tpu)
+        params = init_unet_params(
+            UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16),
+            jax.random.PRNGKey(0))
         x = jnp.zeros((b, 128, 128, 3), jnp.float32)
         t = jnp.full((b,), 500, jnp.int32)
         cost = (jax.jit(lambda p, x, t: model.apply({"params": p}, x, t))

@@ -30,6 +30,10 @@ def main() -> int:
     p.add_argument("--configs", default="ddim:50,dpm_solver:20",
                    help="comma list of scheduler:steps[:spacing]; e.g. "
                         "'ddim:8:trailing' = the distilled-student config")
+    p.add_argument("--mesh", default=None, metavar="N|auto|DxT",
+                   help="measure on a device mesh; 'DxT' (e.g. 1x8) "
+                        "channel-shards the UNet over the 'model' axis — "
+                        "the tensor-parallel latency config for pods")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (structural smoke; the env "
                         "var alone is overridden by the TPU plugin)")
@@ -83,6 +87,11 @@ def main() -> int:
                          compute_dtype=jnp.bfloat16,
                          model_config=model_config)
     gen.save_trajectory = False
+    if args.mesh:
+        from synt_isic_tpu.parallel.mesh import apply_dp_mesh
+
+        mesh = apply_dp_mesh(gen, args.mesh)
+        print(f"latency over a {dict(mesh.shape)} mesh", flush=True)
     cls = gen.get_available_classes()[0]
 
     rows = {}

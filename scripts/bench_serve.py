@@ -165,13 +165,10 @@ def main() -> int:
     gen.scheduler_kind = args.scheduler
     gen.batch_size = args.batch
     if args.mesh:
-        from synt_isic_tpu.parallel.mesh import create_mesh
+        from synt_isic_tpu.parallel.mesh import apply_dp_mesh
 
-        n = len(jax.devices()) if args.mesh == "auto" else int(args.mesh)
-        gen.set_mesh(create_mesh({"data": n}))
-        if gen.batch_size % n:
-            gen.batch_size = -(-gen.batch_size // n) * n
-        print(f"serving over a {{'data': {n}}} mesh "
+        mesh = apply_dp_mesh(gen, args.mesh)
+        print(f"serving over a {dict(mesh.shape)} mesh "
               f"(device block {gen.batch_size})", flush=True)
     cls = gen.get_available_classes()[0]
     fast_gen = None

@@ -26,13 +26,8 @@ import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
-# chip peaks (dense bf16) + HBM bandwidth
-PEAKS = {
-    "TPU v5 lite": (197e12, 819e9),   # v5e
-    "TPU v4": (275e12, 1228e9),
-    "TPU v5p": (459e12, 2765e9),
-    "TPU v6 lite": (918e12, 1640e9),  # v6e / Trillium
-}
+# chip peaks (dense bf16) + HBM bandwidth — single shared table
+from synt_isic_tpu.utils.compute import TPU_PEAKS as PEAKS  # noqa: E402
 
 
 def main() -> None:

@@ -146,7 +146,10 @@ class ImageGenerator:
 
     def set_mesh(self, mesh) -> None:
         """Shard sampling batches over a `jax.sharding.Mesh` ('data' axis).
-        Per-seed RNG streams keep outputs independent of the layout."""
+        Per-seed RNG streams keep outputs independent of the layout. A mesh
+        with a 'model' axis > 1 additionally channel-shards the UNet
+        weights over it (tensor parallelism — cuts per-call latency where
+        dp only scales throughput; see `parallel.mesh.tp_param_shardings`)."""
         self.mesh = mesh
 
     # -- logging / progress ----------------------------------------------------------

@@ -21,7 +21,8 @@ import numpy as np
 from jax.sharding import Mesh
 
 from ..diffusion.sampler import DiffusionSampler
-from .mesh import batch_sharding, pad_to_multiple, replicated_sharding
+from .mesh import (batch_sharding, pad_to_multiple, replicated_sharding,
+                   tp_param_shardings)
 
 
 class ShardedSampler:
@@ -29,13 +30,24 @@ class ShardedSampler:
 
     Batch size must be a multiple of the 'data' axis size; seeds are padded
     (with discarded extras) when not.
+
+    Tensor parallelism is configured by the mesh itself: when the mesh has
+    a `tp_axis` ('model') axis of size > 1, params are placed
+    channel-sharded over it (`tp_param_shardings`) instead of replicated,
+    and GSPMD partitions every conv/dense in the scan across that axis —
+    the LATENCY scaling direction (dp scales throughput but cannot cut the
+    time-to-first-image of a b1 interactive request; tp can). A 1-D 'data'
+    mesh behaves exactly as before.
     """
 
-    def __init__(self, sampler: DiffusionSampler, mesh: Mesh, axis: str = "data"):
+    def __init__(self, sampler: DiffusionSampler, mesh: Mesh, axis: str = "data",
+                 tp_axis: str = "model"):
         self.sampler = sampler
         self.mesh = mesh
         self.axis = axis
         self.n_shards = mesh.shape[axis]
+        self.tp_axis = (tp_axis if tp_axis in mesh.axis_names
+                        and mesh.shape[tp_axis] > 1 else None)
 
     def sample(self, model_params, seeds: Union[int, np.ndarray],
                capture_trajectory: bool = False) -> Dict[str, Any]:
@@ -49,6 +61,13 @@ class ShardedSampler:
             # and device_put would reject the uneven shard)
             seeds_arr = np.resize(seeds_arr, padded)  # pad, drop later
         if jax.process_count() > 1:
+            if self.tp_axis is not None:
+                # TP shards weights over ICI within a host's chips; across
+                # DCN the all-gather per layer would dominate — refuse
+                # loudly rather than run a silently-degenerate layout
+                raise NotImplementedError(
+                    "tensor-parallel sampling is single-process (ICI) only; "
+                    "use a 1-D 'data' mesh across hosts")
             # mesh spans hosts: plain device_put cannot target
             # non-addressable devices — assemble from per-process slices.
             # Noise is per-seed-independent, so each process computes ONLY
@@ -64,7 +83,13 @@ class ShardedSampler:
         else:
             noise = self.sampler.initial_noise(seeds_arr)
             noise = jax.device_put(noise, batch_sharding(self.mesh, self.axis))
-            params = jax.device_put(model_params, replicated_sharding(self.mesh))
+            if self.tp_axis is not None:
+                params = jax.device_put(
+                    model_params,
+                    tp_param_shardings(model_params, self.mesh, self.tp_axis))
+            else:
+                params = jax.device_put(model_params,
+                                        replicated_sharding(self.mesh))
         out = self.sampler.sample(params, seeds_arr, capture_trajectory,
                                   initial_noise=noise)
         if padded != n:

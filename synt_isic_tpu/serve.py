@@ -590,7 +590,12 @@ class GenerationServer:
             else:
                 from .xai.integration import create_integrated_xai_analyzer
 
-                self._xai_analyzer = create_integrated_xai_analyzer()
+                # a mesh-backed server shards the heavy attribution kernels
+                # (frame-batched IG / patch-SHAP / Grad-CAM / Time-SHAP)
+                # over the same mesh — output stays bit-identical to
+                # single-device (tests/test_sharded_attribution.py)
+                self._xai_analyzer = create_integrated_xai_analyzer(
+                    mesh=self.generator.mesh)
         return self._xai_analyzer
 
     def _finish(self, r: _Request, response: Dict[str, Any]) -> None:
@@ -726,13 +731,19 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", choices=["bf16", "f32"], default="bf16",
                    help="compute dtype (bf16 is the production path all "
                         "published throughput numbers use)")
-    p.add_argument("--mesh", default=None, metavar="N|auto",
-                   help="multi-chip serving: shard device batches over a "
-                        "data-parallel mesh of N chips ('auto' = every "
+    p.add_argument("--mesh", default=None, metavar="N|auto|DxT",
+                   help="multi-chip serving: shard bulk device batches over "
+                        "a data-parallel mesh of N chips ('auto' = every "
                         "visible device). Per-seed RNG streams keep every "
                         "image identical to the single-chip output; "
                         "throughput scales with chips (per-image step cost "
-                        "is batch-flat on one chip, PERFORMANCE.md)")
+                        "is batch-flat on one chip, PERFORMANCE.md). A "
+                        "'DxT' spec (e.g. 4x2) adds tensor parallelism: "
+                        "UNet weights channel-shard over the T-sized "
+                        "'model' axis — the LATENCY axis, where dp only "
+                        "scales throughput. The --fast-variant preview "
+                        "lane stays single-chip (b1 latency work gains "
+                        "nothing from padding)")
     p.add_argument("--interactive-cost", type=int, default=256,
                    help="count x steps threshold under which a request "
                         "rides the priority lane (ahead of queued bulk "
@@ -797,17 +808,12 @@ def main(argv=None) -> int:
     if args.batch:
         gen.batch_size = args.batch
     if args.mesh:
-        import jax
+        from .parallel.mesh import apply_dp_mesh
 
-        from .parallel.mesh import create_mesh
-
-        n = len(jax.devices()) if args.mesh == "auto" else int(args.mesh)
-        mesh = create_mesh({"data": n})
-        gen.set_mesh(mesh)
-        if gen.batch_size % n:
-            # ShardedSampler pads (cyclic-tiled seeds, extras dropped), but a
-            # non-multiple device batch wastes the pad every call — round up
-            gen.batch_size = -(-gen.batch_size // n) * n
+        mesh = apply_dp_mesh(gen, args.mesh)
+        # the fast-preview lane stays single-chip ON PURPOSE: it serves
+        # images one-by-one (latency-bound b1 work), where sharding only
+        # adds per-call padding — bulk traffic is the multi-chip axis
         print(f"serving over a {dict(mesh.shape)} mesh "
               f"(device batch {gen.batch_size})", flush=True)
     fast_gen = None
@@ -829,7 +835,10 @@ def main(argv=None) -> int:
         fast_gen.save_trajectory = False
     server = GenerationServer(gen, host=args.host, port=args.port,
                               output_root=args.output_root,
-                              max_batch=args.max_batch or args.batch,
+                              # gen.batch_size, not args.batch: --mesh may
+                              # have rounded the device batch up, and a cap
+                              # below it would re-pad every full block
+                              max_batch=args.max_batch or gen.batch_size,
                               interactive_cost=args.interactive_cost,
                               fast_generator=fast_gen)
     for cls in args.warmup:

@@ -465,6 +465,7 @@ def progressive_distill(teacher_params: Any, dataset, class_name: str,
     phases = []
     n = start_steps // 2
     teacher = teacher_params
+    _loop_ok = False
     try:
         while n >= end_steps:
             t0 = time.time()
@@ -483,17 +484,15 @@ def progressive_distill(teacher_params: Any, dataset, class_name: str,
             if n == end_steps:
                 break
             n = max(n // 2, end_steps)
+        _loop_ok = True
     finally:
         # flush queued writes; don't let a writer error mask a phase error
+        # (local flag, not sys.exc_info() — see train_ddpm.train_class)
         if async_writer is not None:
-            import sys as _sys
-
-            _flush_err = None
             try:
                 async_writer.close()
-            except Exception as exc:
-                _flush_err = exc
-            if _flush_err is not None and _sys.exc_info()[0] is None:
-                raise _flush_err
+            except Exception:
+                if _loop_ok:
+                    raise
     return {"class": class_name, "phases": phases,
             "timestep_spacing": config.timestep_spacing}

@@ -178,6 +178,7 @@ def train_classifier(dataset_iter_fn, config: ClassifierTrainConfig,
     # loop at link speed on a tunneled device; only the newest queued best
     # matters (coalesce key)
     async_writer = AsyncCheckpointer(log=log)
+    _loop_ok = False
     try:
         for epoch in range(1, config.epochs + 1):
             losses, accs = [], []
@@ -188,9 +189,11 @@ def train_classifier(dataset_iter_fn, config: ClassifierTrainConfig,
                 # tunnel round-trip per step); materialize once per epoch
                 losses.append(loss)
                 accs.append(acc)
-            epoch_loss = (float(np.mean([float(l) for l in losses]))
+            # ONE device->host transfer per epoch (a float() per element
+            # is a blocking round-trip per step on a tunneled link)
+            epoch_loss = (float(np.mean(jax.device_get(jnp.stack(losses))))
                           if losses else float("nan"))
-            epoch_acc = (float(np.mean([float(a) for a in accs]))
+            epoch_acc = (float(np.mean(jax.device_get(jnp.stack(accs))))
                          if accs else 0.0)
             history.append({"loss": epoch_loss, "acc": epoch_acc})
             log(f"[clf] epoch {epoch}/{config.epochs} loss={epoch_loss:.4f} "
@@ -200,16 +203,14 @@ def train_classifier(dataset_iter_fn, config: ClassifierTrainConfig,
                 Path(checkpoint_path).parent.mkdir(parents=True, exist_ok=True)
                 async_writer.submit(state, export_classifier_pth,
                                     checkpoint_path, coalesce="best")
+        _loop_ok = True
     finally:
-        # flush queued writes; don't mask a training error with a writer one
-        import sys as _sys
-
-        _flush_err = None
+        # flush queued writes; don't mask a training error with a writer
+        # one (local flag, not sys.exc_info() — see train_ddpm.train_class)
         try:
             async_writer.close()
-        except Exception as exc:
-            _flush_err = exc
-        if _flush_err is not None and _sys.exc_info()[0] is None:
-            raise _flush_err
+        except Exception:
+            if _loop_ok:
+                raise
     return {"best_acc": best_acc, "history": history,
             "checkpoint": checkpoint_path, "state": state}

@@ -407,21 +407,6 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
             return False
         best_val = val
         return True
-    # Checkpoint writes: single-process runs go through the async writer
-    # (device-side snapshot + background D2H/serialize — on a tunneled
-    # device a synchronous ~100 MB pull re-serializes training, see
-    # async_ckpt.py). Multi-host runs keep the synchronous host0_only
-    # path: its barrier + failure broadcast ARE the contract there.
-    async_writer = None
-    if mesh is not None and jax.process_count() > 1:
-        write = lambda fn, tree, path, coalesce=None: (  # noqa: E731
-            _mh.host0_only(fn, tree, path))
-    else:
-        from .async_ckpt import AsyncCheckpointer
-
-        async_writer = AsyncCheckpointer(log=log)
-        write = lambda fn, tree, path, coalesce=None: (  # noqa: E731
-            async_writer.submit(tree, fn, path, coalesce))
 
     # emit per-class color statistics alongside the checkpoints so the
     # generator's postprocessing stage (io/color_stats.py) has real targets —
@@ -465,6 +450,23 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
     epoch_fn = (make_epoch_step(model, schedule, tx, config)
                 if use_epoch_scan else None)
 
+    # Checkpoint writes: single-process runs go through the async writer
+    # (device-side snapshot + background D2H/serialize — on a tunneled
+    # device a synchronous ~100 MB pull re-serializes training, see
+    # async_ckpt.py). Multi-host runs keep the synchronous host0_only
+    # path: its barrier + failure broadcast ARE the contract there.
+    async_writer = None
+    if mesh is not None and jax.process_count() > 1:
+        write = lambda fn, tree, path, coalesce=None: (  # noqa: E731
+            _mh.host0_only(fn, tree, path))
+    else:
+        from .async_ckpt import AsyncCheckpointer
+
+        async_writer = AsyncCheckpointer(log=log)
+        write = lambda fn, tree, path, coalesce=None: (  # noqa: E731
+            async_writer.submit(tree, fn, path, coalesce))
+
+    _loop_ok = False
     try:
         for epoch in range(1, config.epochs + 1):
             t0 = time.time()
@@ -513,7 +515,10 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
                 # (one tunnel round-trip per step dominates small-model epochs);
                 # the whole epoch's dispatches pipeline and we materialize once
                 losses.append(loss)
-            epoch_loss = (float(np.mean([float(l) for l in losses]))
+            # ONE device->host transfer for the whole epoch (a float()
+            # per element is a blocking round-trip per step on a tunneled
+            # link)
+            epoch_loss = (float(np.mean(jax.device_get(jnp.stack(losses))))
                           if losses else float("nan"))
             history.append(epoch_loss)
             log(f"[train:{class_name}] epoch {epoch}/{config.epochs} "
@@ -538,19 +543,19 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
             write(save_checkpoint_torch_format, best_snapshot, str(best_path),
                   "best")
         write(save_train_state, state, str(resume_path), "resume")
+        _loop_ok = True
     finally:
-        # always flush queued checkpoint writes; if the loop itself
-        # raised, don't let a writer error mask the original failure
+        # always flush queued checkpoint writes; if the loop itself raised,
+        # don't let a writer error mask the original failure (a local flag,
+        # not sys.exc_info(): the trainer may itself run inside a caller's
+        # except block, where exc_info() reports the OUTER exception and
+        # would silently swallow a real flush error)
         if async_writer is not None:
-            import sys as _sys
-
-            _flush_err = None
             try:
                 async_writer.close()
-            except Exception as exc:
-                _flush_err = exc
-            if _flush_err is not None and _sys.exc_info()[0] is None:
-                raise _flush_err
+            except Exception:
+                if _loop_ok:
+                    raise
     result = {"class": class_name, "best_loss": best_loss, "history": history,
               "checkpoint": str(best_path), "steps": int(state.step)}
     if eval_fn is not None:

@@ -107,6 +107,75 @@ def test_sharded_sampler_trajectory():
     assert out["trajectory"].shape == (3, 8, 16, 16, 3)
 
 
+def test_tensor_parallel_sampler_matches_single_device():
+    """Pure-TP mesh (data=1, model=8): UNet weights channel-shard over
+    'model' and GSPMD partitions the scan — results must match the
+    replicated run (output-channel sharding keeps full contractions, so
+    only layout/fusion float noise differs)."""
+    sampler, params = _sampler()
+    seeds = np.asarray([3, 11], np.uint32)
+    single = np.asarray(sampler.sample(params, seeds)["images"])
+
+    mesh = create_mesh({"data": 1, "model": 8})
+    tp = ShardedSampler(sampler, mesh)
+    assert tp.tp_axis == "model"
+    out = tp.sample(params, seeds)
+    np.testing.assert_allclose(np.asarray(out["images"]), single,
+                               rtol=2e-2, atol=5e-3)
+
+
+def test_dp_tp_sampler_matches_single_device():
+    """2-D dp x tp mesh: batch over 'data', weights over 'model', both at
+    once — the full pod-slice serving layout."""
+    sampler, params = _sampler()
+    seeds = np.arange(4, dtype=np.uint32)
+    single = np.asarray(sampler.sample(params, seeds)["images"])
+
+    mesh = create_mesh({"data": 4, "model": 2})
+    out = ShardedSampler(sampler, mesh).sample(params, seeds,
+                                               capture_trajectory=True)
+    np.testing.assert_allclose(np.asarray(out["images"]), single,
+                               rtol=2e-2, atol=5e-3)
+    assert out["trajectory"].shape == (3, 4, 16, 16, 3)
+
+
+def test_tp_sampler_1d_mesh_unchanged():
+    """A plain 1-D 'data' mesh must not trigger the tp path."""
+    sampler, _ = _sampler()
+    mesh = create_mesh({"data": -1})
+    assert ShardedSampler(sampler, mesh).tp_axis is None
+
+
+def test_apply_dp_mesh_rounds_device_batch_up():
+    """The CLI helper (serve --mesh / bench_serve) must attach the mesh and
+    round a non-multiple device batch UP so ShardedSampler never pads on
+    every call; a multiple stays untouched."""
+    from synt_isic_tpu.parallel.mesh import apply_dp_mesh
+
+    class _Gen:
+        batch_size = 12
+
+        def set_mesh(self, mesh):
+            self.mesh = mesh
+
+    g = _Gen()
+    mesh = apply_dp_mesh(g, 8)
+    assert g.mesh is mesh and dict(mesh.shape) == {"data": 8}
+    assert g.batch_size == 16  # 12 -> next multiple of 8
+
+    g2 = _Gen()
+    g2.batch_size = 16
+    apply_dp_mesh(g2, "auto")  # all 8 virtual devices
+    assert g2.batch_size == 16
+
+    # 'DxT' spec: dp x tp mesh; the batch rounds to the DP size only
+    g3 = _Gen()
+    g3.batch_size = 6
+    mesh3 = apply_dp_mesh(g3, "4x2")
+    assert dict(mesh3.shape) == {"data": 4, "model": 2}
+    assert g3.batch_size == 8
+
+
 def test_graft_dryrun_multichip():
     import __graft_entry__ as graft
     graft.dryrun_multichip(8)

@@ -565,3 +565,25 @@ def test_mesh_backed_serving_is_bit_identical(tmp_path_factory):
     assert len(single) == len(sharded) == 3
     for a, b in zip(single, sharded):
         np.testing.assert_array_equal(a, b)
+
+
+def test_mesh_server_threads_mesh_into_xai_analyzer(tmp_path_factory):
+    """XAI-as-a-service on a mesh-backed server must shard the heavy
+    attribution kernels over the SAME mesh (bit-identity of the sharded
+    kernels themselves is test_sharded_attribution.py; this pins the
+    wiring)."""
+    from synt_isic_tpu.parallel.mesh import create_mesh
+
+    ckpt = tmp_path_factory.mktemp("ckpt_mesh_xai")
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    mesh = create_mesh({"data": 8})
+    gen.set_mesh(mesh)
+    srv = GenerationServer(gen, port=0,
+                           output_root=str(tmp_path_factory.mktemp("o")))
+    try:
+        analyzer = srv._get_xai_analyzer()
+        assert analyzer.mesh is mesh
+    finally:
+        srv.stop()
