@@ -171,6 +171,7 @@ class AttentionBlock(nn.Module):
     dtype: Any = jnp.float32
     use_fused: bool = False
     fused_heads_per_program: int = 1
+    fused_fast_math: bool = False
     fast_norm: bool = False
 
     @nn.compact
@@ -204,7 +205,8 @@ class AttentionBlock(nn.Module):
             from ..ops.pallas.attention import fused_attention
 
             out = fused_attention(q, k, v,
-                                  heads_per_program=self.fused_heads_per_program
+                                  heads_per_program=self.fused_heads_per_program,
+                                  fast_math=self.fused_fast_math,
                                   ).astype(self.dtype)
         else:
             scale = 1.0 / math.sqrt(self.head_dim)
@@ -252,6 +254,8 @@ class DownBlock2D(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
+    fused_heads_per_program: int = 1
+    fused_fast_math: bool = False
     fast_norm: bool = False
 
     def setup(self):
@@ -270,6 +274,8 @@ class DownBlock2D(nn.Module):
                                                  groups=self.groups, eps=self.eps,
                                                  dtype=self.dtype,
                                                  use_fused=self.use_fused_attention,
+                                               fused_heads_per_program=self.fused_heads_per_program,
+                                               fused_fast_math=self.fused_fast_math,
                                                  fast_norm=self.fast_norm,
                                                  name=f"attentions_{i}"))
         self.resnets = resnets
@@ -298,6 +304,8 @@ class UNetMidBlock2D(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
+    fused_heads_per_program: int = 1
+    fused_fast_math: bool = False
     fast_norm: bool = False
 
     def setup(self):
@@ -311,6 +319,8 @@ class UNetMidBlock2D(nn.Module):
                                                groups=self.groups, eps=self.eps,
                                                dtype=self.dtype,
                                                use_fused=self.use_fused_attention,
+                                               fused_heads_per_program=self.fused_heads_per_program,
+                                               fused_fast_math=self.fused_fast_math,
                                                fast_norm=self.fast_norm)
         self.resnets_1 = ResnetBlock2D(self.channels, self.channels,
                                        groups=self.groups, eps=self.eps,
@@ -336,6 +346,8 @@ class UpBlock2D(nn.Module):
     eps: float = 1e-5
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
+    fused_heads_per_program: int = 1
+    fused_fast_math: bool = False
     fast_norm: bool = False
 
     def setup(self):
@@ -355,6 +367,8 @@ class UpBlock2D(nn.Module):
                                                  groups=self.groups, eps=self.eps,
                                                  dtype=self.dtype,
                                                  use_fused=self.use_fused_attention,
+                                               fused_heads_per_program=self.fused_heads_per_program,
+                                               fused_fast_math=self.fused_fast_math,
                                                  fast_norm=self.fast_norm,
                                                  name=f"attentions_{i}"))
         self.resnets = resnets
@@ -384,6 +398,10 @@ class UNet2D(nn.Module):
     config: UNet2DConfig = UNet2DConfig()
     dtype: Any = jnp.float32
     use_fused_attention: bool = False
+    fused_heads_per_program: int = 1  # heads per Pallas grid program (bit-
+                                      # identical math; amortizes grid/DMA)
+    fused_fast_math: bool = False  # bf16 exponentials in the fused kernel —
+                                   # CHANGES output at bf16 level; opt-in only
     fast_norm: bool = False  # f32-stats/bf16-arithmetic GroupNorm (sampling)
     remat: bool = False  # rematerialize blocks in the backward pass
                          # (jax.checkpoint — trades FLOPs for training memory)
@@ -412,6 +430,8 @@ class UNet2D(nn.Module):
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                 dtype=self.dtype,
                 use_fused_attention=self.use_fused_attention,
+                fused_heads_per_program=self.fused_heads_per_program,
+                fused_fast_math=self.fused_fast_math,
                 fast_norm=self.fast_norm,
                 name=f"down_blocks_{i}"))
         self.down_blocks = down_blocks
@@ -422,6 +442,8 @@ class UNet2D(nn.Module):
                                         groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                                         dtype=self.dtype,
                                         use_fused_attention=self.use_fused_attention,
+                                        fused_heads_per_program=self.fused_heads_per_program,
+                                        fused_fast_math=self.fused_fast_math,
                                         fast_norm=self.fast_norm)
 
         up_blocks = []
@@ -443,6 +465,8 @@ class UNet2D(nn.Module):
                 groups=cfg.norm_num_groups, eps=cfg.norm_eps,
                 dtype=self.dtype,
                 use_fused_attention=self.use_fused_attention,
+                fused_heads_per_program=self.fused_heads_per_program,
+                fused_fast_math=self.fused_fast_math,
                 fast_norm=self.fast_norm,
                 name=f"up_blocks_{i}"))
         self.up_blocks = up_blocks
