@@ -265,6 +265,10 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
         gen.ddim_eta = float(sched.get("ddim_eta", 0.0))
         # sidecars that predate spacing-recording were always 'leading'
         gen.timestep_spacing = sched.get("timestep_spacing", "leading")
+        if sched.get("attention_fast_math"):
+            # the original sampled with bf16-exponential attention — bytes
+            # only match when the regeneration does too
+            gen.model_manager.set_attention_tuning(fast_math=True)
         ok, _ = gen.generate_single_image(cls, out_path,
                                           postprocess=postprocess,
                                           seed=int(seed))

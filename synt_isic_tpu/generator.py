@@ -259,6 +259,11 @@ class ImageGenerator:
                 # checkpoint variant (e.g. a distilled student) — reproduce
                 # must sample the same weights
                 "model_variant": self.model_manager.variant,
+                # bf16-exponential attention changes output bytes — record
+                # it ONLY when enabled so pre-existing sidecars stay
+                # byte-identical (reproduce rebuilds with the same setting)
+                **({"attention_fast_math": True}
+                   if self.model_manager.attention_fast_math else {}),
             })
 
     def generate_images(self, class_configs: List[Tuple[str, int]],

@@ -85,6 +85,12 @@ class ModelManager:
         # output deviation only (ops/norms.py); fast_norm engages only for
         # sub-f32 compute dtypes
         on_tpu = self.device.platform == "tpu"
+        # fused-attention tuning (ops/pallas/attention.py knobs):
+        # heads-per-program grouping is bit-identical math; fast_math (bf16
+        # exponentials) CHANGES output bytes and is therefore recorded in
+        # sidecars when enabled (see generator._write_image_artifacts)
+        self.attention_heads_per_program = 1
+        self.attention_fast_math = False
         self.sample_model = UNet2D(config=self.model.config, dtype=dtype,
                                    use_fused_attention=on_tpu,
                                    fast_norm=on_tpu and dtype != jnp.float32)
@@ -190,6 +196,28 @@ class ModelManager:
             apply_fn = lambda params, x, t: self.sample_model.apply({"params": params}, x, t)
             self._samplers[key] = DiffusionSampler(apply_fn, self.schedule, cfg)
         return self._samplers[key]
+
+    def set_attention_tuning(self, heads_per_program: Optional[int] = None,
+                             fast_math: Optional[bool] = None) -> None:
+        """Rebuild the sampling model with fused-attention tuning knobs.
+
+        `heads_per_program` groups G heads per Pallas grid program —
+        bit-identical math, amortizes grid/DMA overhead. `fast_math` runs
+        the softmax exponentials in bf16 — output changes at bf16 level, so
+        it is recorded in sidecars and honored by `--reproduce`. Clears the
+        sampler cache: cached executables traced the previous model."""
+        if heads_per_program is not None:
+            self.attention_heads_per_program = int(heads_per_program)
+        if fast_math is not None:
+            self.attention_fast_math = bool(fast_math)
+        on_tpu = self.device.platform == "tpu"
+        self.sample_model = UNet2D(
+            config=self.model.config, dtype=self.dtype,
+            use_fused_attention=on_tpu,
+            fused_heads_per_program=self.attention_heads_per_program,
+            fused_fast_math=self.attention_fast_math,
+            fast_norm=on_tpu and self.dtype != jnp.float32)
+        self._samplers.clear()
 
     # -- validation / info ------------------------------------------------------------------
     def validate_model(self, class_name: str) -> bool:
