@@ -41,10 +41,16 @@ FAST = dict(scheduler="dpm_solver", steps=20, batch=128)  # 2nd-order solver
 # steps); the quality evidence for running at T=8 is the distill ladder
 # (scripts/distill_ladder.py -> artifacts/distill_ladder/report.json).
 DISTILLED = dict(scheduler="ddim", steps=8, batch=128, spacing="trailing")
+# class-conditional family with classifier-free guidance (train/
+# train_conditional.py): ONE model for every class; g=2 runs the cond+null
+# branches as a single 2B-batched forward, so this rung measures the real
+# cost of guided sampling (throughput is weight-independent; the quality
+# evidence is scripts/e2e_conditional.py -> artifacts/e2e_conditional/)
+CONDITIONAL = dict(scheduler="ddim", steps=50, batch=128, guidance=2.0)
 
 
 def bench_tpu(scheduler: str, steps: int, batch: int,
-              spacing: str = "leading") -> float:
+              spacing: str = "leading", guidance: float = 0.0) -> float:
     import jax
     import jax.numpy as jnp
 
@@ -55,25 +61,34 @@ def bench_tpu(scheduler: str, steps: int, batch: int,
     from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig, init_unet_params
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16,
+    cond = guidance > 0.0
+    config = UNet2DConfig(num_class_embeds=8) if cond else UNet2DConfig()
+    model = UNet2D(config=config, dtype=jnp.bfloat16,
                    use_fused_attention=on_tpu, fast_norm=on_tpu)
-    init_model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16)
+    init_model = UNet2D(config=config, dtype=jnp.bfloat16)
     params = init_unet_params(init_model, jax.random.PRNGKey(0))
-    apply_fn = lambda p, x, t: model.apply({"params": p}, x, t)
+    if cond:
+        apply_fn = lambda p, x, t, y: model.apply({"params": p}, x, t, y)
+    else:
+        apply_fn = lambda p, x, t: model.apply({"params": p}, x, t)
     sampler = DiffusionSampler(
         apply_fn, DiffusionSchedule.create(),
         SamplerConfig(num_inference_steps=steps, scheduler=scheduler,
-                      timestep_spacing=spacing, dtype=jnp.bfloat16))
+                      timestep_spacing=spacing, dtype=jnp.bfloat16,
+                      guidance_scale=guidance),
+        conditional=cond, null_label=7 if cond else None)
 
     seeds = np.arange(batch, dtype=np.uint32)
+    labels = (np.arange(batch, dtype=np.int32) % 7) if cond else None
     # warmup / compile
-    out = sampler.sample(params, seeds)
+    out = sampler.sample(params, seeds, class_labels=labels)
     out["images"].block_until_ready()
     # timed runs
     t0 = time.time()
     n_runs = 2
     for r in range(n_runs):
-        out = sampler.sample(params, seeds + (r + 1) * batch)
+        out = sampler.sample(params, seeds + (r + 1) * batch,
+                             class_labels=labels)
         out["images"].block_until_ready()
     dt = time.time() - t0
     return (batch * n_runs) / dt
@@ -199,6 +214,10 @@ def main() -> None:
     except Exception:
         distilled_ips = float("nan")
     try:
+        conditional_ips = bench_tpu(**CONDITIONAL)
+    except Exception:
+        conditional_ips = float("nan")
+    try:
         per_step = torch_cpu_per_step_seconds()
         base_headline = 1.0 / (per_step * HEADLINE["steps"])  # b=1, like the ref
         base_research = 1.0 / (per_step * RESEARCH["steps"])
@@ -232,6 +251,10 @@ def main() -> None:
             "ddim_T8_note": "progressive-distillation student config "
                             "(train/distill.py); quality evidence: "
                             "scripts/distill_ladder.py",
+            "ddim_T50_b128_cfg2_images_per_sec": round(conditional_ips, 4),
+            "cfg2_note": "class-conditional model, classifier-free guidance "
+                         "g=2 (cond+null as ONE 2B-batched forward); quality "
+                         "evidence: scripts/e2e_conditional.py",
             "baseline": "torch-CPU 1-core host, reference per-step loop "
                         "(extrapolated from 3 steps)",
         },

@@ -127,6 +127,14 @@ def main() -> int:
                    help="serve over a data-parallel mesh of N devices "
                         "('auto' = all visible) — measures multi-chip "
                         "served throughput (serve.py --mesh)")
+    p.add_argument("--conditional", action="store_true",
+                   help="serve the single class-conditional checkpoint and "
+                        "point every client at a DIFFERENT class — measures "
+                        "cross-class request coalescing (one mixed-label "
+                        "MXU batch; a per-class server would dispatch once "
+                        "per class). Fabricated mode writes a random-weight "
+                        "conditional checkpoint")
+    p.add_argument("--guidance-scale", type=float, default=0.0)
     args = p.parse_args()
 
     import jax
@@ -141,26 +149,46 @@ def main() -> int:
     if args.checkpoints:
         # never write into a user-supplied checkpoint directory
         ckpt_dir = Path(args.checkpoints)
-        if not any(ckpt_dir.glob("unet_*_best.pth")):
-            print(f"error: no unet_*_best.pth in {ckpt_dir}", file=sys.stderr)
+        want = ("unet_conditional_best.pth" if args.conditional
+                else "unet_*_best.pth")
+        if not any(ckpt_dir.glob(want)):
+            print(f"error: no {want} in {ckpt_dir}", file=sys.stderr)
             return 1
     else:
+        import dataclasses
+        import json as _json
+
         from synt_isic_tpu.models.unet2d import (UNet2D, UNet2DConfig,
                                                  init_unet_params)
         from synt_isic_tpu.train.train_ddpm import save_checkpoint_torch_format
 
         ckpt_dir = work / "ckpt"
         ckpt_dir.mkdir(parents=True)
-        params = init_unet_params(UNet2D(config=UNet2DConfig()),
-                                  jax.random.PRNGKey(0))
-        save_checkpoint_torch_format(params, str(ckpt_dir / "unet_NV_best.pth"))
-        if args.fast_variant:
+        if args.conditional:
+            cond_classes = ["MEL", "NV", "VASC"]
+            cfg = dataclasses.replace(UNet2DConfig(),
+                                      num_class_embeds=len(cond_classes) + 1)
+            params = init_unet_params(UNet2D(config=cfg), jax.random.PRNGKey(0))
             save_checkpoint_torch_format(
-                params, str(ckpt_dir / f"unet_NV_{args.fast_variant}.pth"))
+                params, str(ckpt_dir / "unet_conditional_best.pth"))
+            (ckpt_dir / "unet_conditional_best.json").write_text(_json.dumps({
+                "classes": cond_classes,
+                "num_class_embeds": len(cond_classes) + 1,
+                "null_label": len(cond_classes)}))
+        else:
+            params = init_unet_params(UNet2D(config=UNet2DConfig()),
+                                      jax.random.PRNGKey(0))
+            save_checkpoint_torch_format(params,
+                                         str(ckpt_dir / "unet_NV_best.pth"))
+            if args.fast_variant:
+                save_checkpoint_torch_format(
+                    params, str(ckpt_dir / f"unet_NV_{args.fast_variant}.pth"))
         print("fabricated random-weight checkpoint", flush=True)
 
     gen = ImageGenerator(checkpoints_dir=str(ckpt_dir),
-                         compute_dtype=jnp.bfloat16)
+                         compute_dtype=jnp.bfloat16,
+                         conditional=args.conditional,
+                         guidance_scale=args.guidance_scale)
     gen.set_inference_steps(args.steps)
     gen.scheduler_kind = args.scheduler
     gen.batch_size = args.batch
@@ -205,14 +233,20 @@ def main() -> int:
         return rc
 
     results = []
+    # conditional serving: every client asks for a different class — the
+    # server coalesces them into mixed-label device batches (one dispatch);
+    # a per-class server would need one dispatch per class
+    all_classes = (gen.get_available_classes() if args.conditional else [cls])
 
-    def go():
+    def go(i=0):
         results.append(request(
-            host, port, {"op": "generate", "class": cls,
+            host, port, {"op": "generate",
+                         "class": all_classes[i % len(all_classes)],
                          "count": args.count, "postprocess": False},
             timeout=3600))
 
-    threads = [threading.Thread(target=go) for _ in range(args.clients)]
+    threads = [threading.Thread(target=go, args=(i,))
+               for i in range(args.clients)]
     t0 = time.time()
     for t in threads:
         t.start()
@@ -221,16 +255,19 @@ def main() -> int:
     dt = time.time() - t0
     n = sum(len(r.get("files", [])) for r in results)
     ok = all(r.get("ok") for r in results)
+    kind = "conditional mixed-class" if args.conditional else "single-class"
     print(f"served {n} images in {dt:.1f}s = {n / dt:.2f} img/s "
           f"(ok={ok}, coalesced={sorted(r.get('coalesced', 0) for r in results)}, "
-          f"{args.clients} clients x {args.count}, "
+          f"{args.clients} clients x {args.count} [{kind}], "
           f"{args.scheduler} T={args.steps} block={args.batch})")
     import json
 
     print(json.dumps({
         "metric": f"served_images_per_sec_{args.scheduler}_T{args.steps}"
-                  f"_c{args.clients}x{args.count}",
-        "value": round(n / dt, 3), "unit": "images/sec", "ok": ok}))
+                  f"_c{args.clients}x{args.count}"
+                  + ("_conditional_mixed" if args.conditional else ""),
+        "value": round(n / dt, 3), "unit": "images/sec", "ok": ok,
+        "coalesced": sorted(r.get("coalesced", 0) for r in results)}))
     srv.stop()
     return 0 if ok else 1
 

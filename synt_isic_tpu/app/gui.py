@@ -28,11 +28,11 @@ import sys
 from pathlib import Path
 
 from .qt_compat import (QT_BACKEND, QApplication, QCheckBox, QComboBox,
-                        QDialog, QFileDialog, QGridLayout, QGroupBox,
-                        QHBoxLayout, QLabel, QLineEdit, QListWidget,
-                        QMainWindow, QPixmap, QProgressBar, QPushButton,
-                        QSpinBox, QSplitter, Qt, QTextEdit, QThread, QTimer,
-                        QVBoxLayout, QWidget, pyqtSignal)
+                        QDialog, QDoubleSpinBox, QFileDialog, QGridLayout,
+                        QGroupBox, QHBoxLayout, QLabel, QLineEdit,
+                        QListWidget, QMainWindow, QPixmap, QProgressBar,
+                        QPushButton, QSpinBox, QSplitter, Qt, QTextEdit,
+                        QThread, QTimer, QVBoxLayout, QWidget, pyqtSignal)
 
 PYQT_AVAILABLE = QT_BACKEND == "pyqt5"
 
@@ -69,13 +69,14 @@ class XAIWorker(QThread):
     finished_ok = pyqtSignal(int)
 
     def __init__(self, target_class: str, seed: int, steps: int,
-                 save_every: int = 5):
+                 save_every: int = 5, extra_env: dict = None):
         super().__init__()
         self.env_vars = {
             "XAI_TARGET_CLASS": target_class,
             "XAI_GENERATION_SEED": str(seed),
             "XAI_INFERENCE_STEPS": str(steps),
             "XAI_SAVE_EVERY_N": str(save_every),
+            **(extra_env or {}),
         }
         self._proc = None
 
@@ -110,6 +111,13 @@ class SyntheticDataGeneratorWindow(QMainWindow):
         self.config = config or ConfigManager()
         self.generator = generator or ImageGenerator(
             config=self.config, checkpoints_dir=checkpoints_dir)
+        # the UNCONDITIONAL architecture config + compute dtype, kept for
+        # family switches (the conditional ModelManager derives its
+        # embedding-table size from the checkpoint metadata on top of this)
+        import dataclasses as _dc
+        self._base_model_config = _dc.replace(
+            self.generator.model_manager.model.config, num_class_embeds=None)
+        self._compute_dtype = self.generator.model_manager.dtype
         self.class_names = CLASS_NAMES
         self.worker = None
         self._checkpoints_dir = checkpoints_dir or str(Path("checkpoints").resolve())
@@ -172,6 +180,20 @@ class SyntheticDataGeneratorWindow(QMainWindow):
         # the unchanged pipeline at their own step count
         self.variant_combo = QComboBox()
         self.variant_combo.currentIndexChanged.connect(self._on_variant_changed)
+        # beyond-reference: model-family selector — 'per-class' (reference
+        # semantics: one checkpoint per class) vs 'conditional' (one
+        # class-conditional checkpoint serving every class, with a
+        # classifier-free-guidance weight). The conditional entry appears
+        # only when unet_conditional_<variant>.pth (+ .json metadata) exists
+        # in the checkpoints dir.
+        self.family_combo = QComboBox()
+        self.family_combo.currentIndexChanged.connect(self._on_family_changed)
+        self.guidance_spin = QDoubleSpinBox()
+        self.guidance_spin.setRange(0.0, 10.0)
+        self.guidance_spin.setSingleStep(0.5)
+        self.guidance_spin.setValue(float(self.generator.guidance_scale))
+        self.guidance_spin.setEnabled(False)
+        self.guidance_spin.valueChanged.connect(self._on_guidance_changed)
         grid.addWidget(QLabel("Checkpoints:"), 0, 0)
         grid.addWidget(self.ckpt_edit, 0, 1)
         grid.addWidget(ckpt_btn, 0, 2)
@@ -195,6 +217,10 @@ class SyntheticDataGeneratorWindow(QMainWindow):
         grid.addWidget(QLabel("Variant:"), 2, 3)
         grid.addWidget(self.variant_combo, 2, 4)
         grid.addWidget(self.mem_label, 2, 5)
+        grid.addWidget(QLabel("Family:"), 3, 0)
+        grid.addWidget(self.family_combo, 3, 1)
+        grid.addWidget(QLabel("CFG scale:"), 3, 2)
+        grid.addWidget(self.guidance_spin, 3, 3)
         root.addWidget(top)
 
         split = QSplitter(Qt.Horizontal)
@@ -308,7 +334,13 @@ class SyntheticDataGeneratorWindow(QMainWindow):
         # class availability follows the ACTIVE variant: with 'distill8'
         # selected, a class that only has a 'best' checkpoint cannot
         # generate (load_model would fail) and must not look checkable
-        if mm.variant != "best":
+        if mm.conditional:
+            # one shared checkpoint: its variant either exists for every
+            # class in its metadata or for none
+            usable = (available
+                      if mm.variant in mm.available_variants("conditional")
+                      else set())
+        elif mm.variant != "best":
             usable = {c for c in available
                       if mm.variant in mm.available_variants(c)}
         else:
@@ -326,6 +358,7 @@ class SyntheticDataGeneratorWindow(QMainWindow):
                 # variant selection
                 cb.setToolTip("")
         self._refresh_variants(available)
+        self._refresh_family()
 
     def _refresh_variants(self, available_classes):
         """Populate the variant combo with the union of checkpoint variants
@@ -334,8 +367,12 @@ class SyntheticDataGeneratorWindow(QMainWindow):
         clear()/addItem(), which must not thrash mm.variant/unload."""
         mm = self.generator.model_manager
         variants = {"best"}
-        for cls in available_classes:
-            variants.update(mm.available_variants(cls))
+        if mm.conditional:
+            # variants of the one shared checkpoint (unet_conditional_*.pth)
+            variants.update(mm.available_variants("conditional"))
+        else:
+            for cls in available_classes:
+                variants.update(mm.available_variants(cls))
         # epoch snapshots are training artifacts, not serving variants
         ordered = ["best"] + sorted(v for v in variants
                                     if v != "best"
@@ -355,6 +392,11 @@ class SyntheticDataGeneratorWindow(QMainWindow):
                 self._append_log(f"model variant '{mm.variant}' not found "
                                  f"in the current checkpoints dir; reset "
                                  f"to 'best'", "warning")
+                if mm.conditional:
+                    # conditional metadata is per-variant — rebuild so the
+                    # class mapping matches the checkpoint actually served
+                    self._rebuild_generator(conditional=True)
+                    return
                 mm.variant = "best"
                 mm.unload_all_models()
                 # class availability was computed against the stale
@@ -388,12 +430,99 @@ class SyntheticDataGeneratorWindow(QMainWindow):
             return
         variant = self.variant_combo.currentText() or "best"
         if variant != mm.variant:
+            if mm.conditional:
+                # the conditional checkpoint's class metadata is read per
+                # variant — rebuild the generator so the embedding-table
+                # mapping always matches the active checkpoint
+                self._rebuild_generator(conditional=True, variant=variant)
+                return
             mm.variant = variant
             mm.unload_all_models()
             self._append_log(f"model variant set to {variant} "
                              f"(weights reload on next generation)")
             # class availability depends on the active variant
             self._refresh_classes()
+
+    # -- model family (per-class vs conditional; beyond-reference) --------------
+    def _conditional_available(self) -> bool:
+        """A conditional checkpoint (+ its class metadata) is on disk."""
+        ckpt = Path(self.ckpt_edit.text())
+        return any(p.with_suffix(".json").exists()
+                   for p in ckpt.glob("unet_conditional_*.pth"))
+
+    def _refresh_family(self):
+        """Populate the family combo: 'per-class' always; 'conditional'
+        when the single class-conditional checkpoint exists. Guarded like
+        the variant combo (real Qt fires currentIndexChanged on clear)."""
+        current = ("conditional" if self.generator.model_manager.conditional
+                   else "per-class")
+        entries = ["per-class"]
+        if self._conditional_available() or current == "conditional":
+            entries.append("conditional")
+        self._refreshing_family = True
+        try:
+            self.family_combo.clear()
+            for e in entries:
+                self.family_combo.addItem(e)
+            self.family_combo.setCurrentText(current)
+        finally:
+            self._refreshing_family = False
+        self.guidance_spin.setEnabled(current == "conditional")
+
+    def _on_family_changed(self, idx: int):
+        if getattr(self, "_refreshing_family", False):
+            return
+        mm = self.generator.model_manager
+        want = self.family_combo.currentText() == "conditional"
+        if want == mm.conditional:
+            return
+        if self.worker and self.worker.isRunning():
+            self._refreshing_family = True
+            try:
+                self.family_combo.setCurrentText(
+                    "conditional" if mm.conditional else "per-class")
+            finally:
+                self._refreshing_family = False
+            self._append_log("cannot switch model family while a "
+                             "generation is running", "warning")
+            return
+        self._rebuild_generator(conditional=want)
+
+    def _on_guidance_changed(self, value):
+        # the CFG weight is read per sampling call (create_sampler caches
+        # per-(steps, ..., guidance) executables), so a live update is safe
+        if self.generator.model_manager.conditional:
+            self.generator.guidance_scale = float(value)
+
+    def _rebuild_generator(self, conditional: bool, variant: str = "best"):
+        """Swap the backing ImageGenerator (family or conditional-variant
+        switch). Settings that live on the window (steps, seed, XAI) are
+        re-applied at Start; the device/mesh selection is re-applied here."""
+        from ..generator import ImageGenerator
+
+        old = self.generator
+        try:
+            self.generator = ImageGenerator(
+                config=self.config, checkpoints_dir=self.ckpt_edit.text(),
+                compute_dtype=self._compute_dtype,
+                model_config=self._base_model_config,
+                model_variant=variant, conditional=conditional,
+                guidance_scale=(self.guidance_spin.value()
+                                if conditional else 0.0))
+        except Exception as exc:
+            self.generator = old
+            self._append_log(f"family switch failed: {exc}", "error")
+            self._refresh_family()
+            return
+        old.model_manager.unload_all_models()
+        self._append_log(
+            f"model family -> {'conditional' if conditional else 'per-class'}"
+            + (f" (CFG scale {self.guidance_spin.value():g})"
+               if conditional else ""))
+        # re-apply the device/mesh selection to the fresh generator
+        self._on_device_changed(self.device_combo.currentIndex())
+        self._refresh_classes()
+        self._update_config_info()
 
     def _update_config_info(self):
         """System-configuration panel (reference `main.py:773-793`)."""
@@ -607,8 +736,14 @@ class SyntheticDataGeneratorWindow(QMainWindow):
         if not checked:
             self._append_log("select a class for standalone XAI", "warning")
             return
+        extra = {}
+        if self.generator.model_manager.conditional:
+            # the subprocess analyzes the same family the GUI serves
+            extra = {"XAI_CONDITIONAL": "1",
+                     "XAI_GUIDANCE_SCALE": str(self.guidance_spin.value())}
         self._xai_worker = XAIWorker(
-            checked[0], self.seed_spin.value(), self.steps_spin.value())
+            checked[0], self.seed_spin.value(), self.steps_spin.value(),
+            extra_env=extra)
         self._xai_worker.log.connect(self._append_log)
         self._xai_worker.finished_ok.connect(
             lambda code: self._append_log(f"standalone XAI exited ({code})"))

@@ -19,10 +19,10 @@ try:
     from PyQt5.QtCore import Qt, QThread, QTimer, pyqtSignal  # noqa: F401
     from PyQt5.QtGui import QPixmap  # noqa: F401
     from PyQt5.QtWidgets import (  # noqa: F401
-        QApplication, QCheckBox, QComboBox, QDialog, QFileDialog, QGridLayout,
-        QGroupBox, QHBoxLayout, QLabel, QLineEdit, QListWidget,
-        QListWidgetItem, QMainWindow, QProgressBar, QPushButton, QSpinBox,
-        QSplitter, QTextEdit, QVBoxLayout, QWidget)
+        QApplication, QCheckBox, QComboBox, QDialog, QDoubleSpinBox,
+        QFileDialog, QGridLayout, QGroupBox, QHBoxLayout, QLabel, QLineEdit,
+        QListWidget, QListWidgetItem, QMainWindow, QProgressBar, QPushButton,
+        QSpinBox, QSplitter, QTextEdit, QVBoxLayout, QWidget)
 
     QT_BACKEND = "pyqt5"
 
@@ -263,6 +263,27 @@ except ImportError:  # ---------------- headless stub ----------------------
 
         def setValue(self, v):  # noqa: N802
             self._value = max(self._min, min(self._max, int(v)))
+            self.valueChanged.emit(self._value)
+
+        def value(self):
+            return self._value
+
+    class QDoubleSpinBox(QWidget):
+        def __init__(self):
+            super().__init__()
+            self._value = 0.0
+            self._min, self._max = 0.0, 99.0
+            self._step = 1.0
+            self.valueChanged = _Signal()
+
+        def setRange(self, lo, hi):  # noqa: N802
+            self._min, self._max = float(lo), float(hi)
+
+        def setSingleStep(self, s):  # noqa: N802
+            self._step = float(s)
+
+        def setValue(self, v):  # noqa: N802
+            self._value = max(self._min, min(self._max, float(v)))
             self.valueChanged.emit(self._value)
 
         def value(self):

@@ -44,12 +44,16 @@ class ConsoleGenerator:
                  seed: Optional[int] = None,
                  model_config=None,
                  mesh=None,
-                 model_variant: str = "best"):
+                 model_variant: str = "best",
+                 conditional: bool = False,
+                 guidance_scale: float = 0.0):
         self.base_dir = Path(base_dir) if base_dir else Path.cwd()
         ckpt = Path(checkpoints_dir) if checkpoints_dir else self.base_dir / "checkpoints"
         self.model_manager = ModelManager(checkpoints_dir=str(ckpt),
                                           model_config=model_config,
-                                          variant=model_variant)
+                                          variant=model_variant,
+                                          conditional=conditional)
+        self.guidance_scale = float(guidance_scale)
         self.inference_steps = max(1, min(1000, inference_steps))
         self.batch_size = max(1, batch_size)
         self.scheduler = scheduler
@@ -96,18 +100,21 @@ class ConsoleGenerator:
                 continue
             sampler = self.model_manager.create_sampler(
                 self.inference_steps, scheduler=self.scheduler,
-                timestep_spacing=self.timestep_spacing)
+                timestep_spacing=self.timestep_spacing,
+                guidance_scale=self.guidance_scale)
             if self.mesh is not None:
                 from .parallel.sharded_sampler import ShardedSampler
 
                 sampler = ShardedSampler(sampler, self.mesh)
             params = self.model_manager.loaded_params[class_name]
+            labels = (self.model_manager.class_id(class_name)
+                      if self.model_manager.conditional else None)
             n = 0
             while n < count:
                 block = min(self.batch_size, count - n)
                 seeds = rng.integers(0, 0x7FFFFFFF, size=block, dtype=np.int64) \
                     .astype(np.uint32)
-                out = sampler.sample(params, seeds)
+                out = sampler.sample(params, seeds, class_labels=labels)
                 images = to_uint8_images(out["images"])
                 for j in range(block):
                     arr = images[j]
@@ -192,6 +199,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "distillation student is e.g. 'distill8' (sample it "
                         "with --steps 8 --timestep-spacing trailing). "
                         "Recorded in sidecars for --reproduce")
+    p.add_argument("--conditional", action="store_true",
+                   help="sample the single class-conditional checkpoint "
+                        "(unet_conditional_<variant>.pth + its .json "
+                        "metadata, train/train_conditional.py) instead of "
+                        "per-class models")
+    p.add_argument("--guidance-scale", type=float, default=0.0, metavar="S",
+                   help="classifier-free guidance weight for --conditional "
+                        "(0/1 = plain conditional; >1 = guided, 2x UNet "
+                        "evals per step). Recorded in sidecars")
     p.add_argument("--dp-mesh", type=int, default=0, metavar="N",
                    help="shard sampling over an N-device data-parallel "
                         "mesh (-1 = all local devices; 0 = single device). "
@@ -259,7 +275,13 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
                              compute_dtype=compute_dtype,
                              # sidecars that predate variant recording were
                              # always written from the 'best' checkpoint
-                             model_variant=sched.get("model_variant", "best"))
+                             model_variant=sched.get("model_variant", "best"),
+                             # conditional single-checkpoint sidecars record
+                             # the mode + CFG weight; class id re-derives
+                             # from the class name via checkpoint metadata
+                             conditional=bool(sched.get("conditional", False)),
+                             guidance_scale=float(sched.get("guidance_scale",
+                                                            0.0)))
         gen.set_inference_steps(int(meta["inference_steps"]))
         gen.scheduler_kind = sched.get("kind", "ddpm")
         gen.ddim_eta = float(sched.get("ddim_eta", 0.0))
@@ -343,7 +365,9 @@ def main(argv: Optional[List[str]] = None) -> int:
                            inference_steps=args.steps, batch_size=args.batch,
                            scheduler=args.scheduler, seed=args.seed,
                            timestep_spacing=args.timestep_spacing,
-                           mesh=mesh, model_variant=args.model_variant)
+                           mesh=mesh, model_variant=args.model_variant,
+                           conditional=args.conditional,
+                           guidance_scale=args.guidance_scale)
     if args.list_classes:
         classes = gen.list_classes()
         if not classes:

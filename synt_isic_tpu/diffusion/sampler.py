@@ -50,12 +50,21 @@ class SamplerConfig:
     # 'leading' = reference scheduler parity; 'trailing' = beyond-reference
     # few-step fix (always visits t = T-1; see schedules.trailing_timesteps)
     timestep_spacing: str = "leading"
+    # Classifier-free guidance weight for CONDITIONAL samplers (Ho &
+    # Salimans 2022): eps = eps_uncond + s * (eps_cond - eps_uncond).
+    # 0.0 or 1.0 = plain conditional forward (one UNet eval per step);
+    # > 1.0 = guided (the cond and null branches run as ONE 2B-batched
+    # forward — MXU-friendly, no extra dispatches). Ignored for
+    # unconditional samplers.
+    guidance_scale: float = 0.0
 
     def __post_init__(self):
         if self.scheduler not in ("ddpm", "ddim", "dpm_solver", "dpm_solver_sde"):
             raise ValueError(f"unknown scheduler: {self.scheduler}")
         if self.timestep_spacing not in ("leading", "trailing"):
             raise ValueError(f"unknown timestep_spacing: {self.timestep_spacing!r}")
+        if self.guidance_scale < 0.0:
+            raise ValueError(f"guidance_scale must be >= 0, got {self.guidance_scale}")
 
 
 def save_indices(num_steps: int, save_every: int,
@@ -105,13 +114,26 @@ class DiffusionSampler:
 
     `apply_fn(params, x_nhwc, t_batch) -> eps` is any jittable epsilon
     predictor (the Flax UNet2D's bound apply by default).
+
+    `conditional=True` switches the predictor contract to
+    `apply_fn(params, x, t_batch, class_labels) -> eps` (the conditional
+    UNet2D); `sample()` then requires `class_labels`, and
+    `config.guidance_scale > 1` additionally runs classifier-free guidance
+    against `null_label` (the trained models' unconditional embedding row).
     """
 
     def __init__(self, apply_fn: Callable, schedule: DiffusionSchedule,
-                 config: SamplerConfig = SamplerConfig()):
+                 config: SamplerConfig = SamplerConfig(),
+                 conditional: bool = False,
+                 null_label: Optional[int] = None):
         self.apply_fn = apply_fn
         self.schedule = schedule
         self.config = config
+        self.conditional = bool(conditional)
+        self.null_label = null_label
+        if self.conditional and config.guidance_scale > 1.0 and null_label is None:
+            raise ValueError("guidance_scale > 1 requires null_label "
+                             "(the unconditional embedding index)")
         if config.scheduler == "ddpm":
             self.params = DDPMParams.create(schedule, config.num_inference_steps,
                                             clip_sample=config.clip_sample,
@@ -146,6 +168,33 @@ class DiffusionSampler:
         shape = (self.config.image_size, self.config.image_size, self.config.channels)
         return jax.vmap(lambda k: jax.random.normal(k, shape, jnp.float32))(keys)
 
+    # -- epsilon predictor (conditional / CFG dispatch) ----------------------------
+    def _make_predict(self) -> Callable:
+        """(model_params, x, t_batch, labels) -> eps in cfg.dtype.
+
+        Unconditional samplers ignore `labels`. Conditional samplers with
+        guidance_scale > 1 evaluate the cond and null branches as one
+        2B-batched forward and combine eps_u + s*(eps_c - eps_u)."""
+        cfg = self.config
+        apply_fn = self.apply_fn
+        if not self.conditional:
+            return lambda mp, x, t_b, labels: apply_fn(mp, x, t_b).astype(cfg.dtype)
+        g = float(cfg.guidance_scale)
+        if g > 1.0:
+            null = int(self.null_label)
+
+            def predict(mp, x, t_b, labels):
+                b = x.shape[0]
+                eps2 = apply_fn(
+                    mp, jnp.concatenate([x, x], axis=0),
+                    jnp.concatenate([t_b, t_b], axis=0),
+                    jnp.concatenate([labels, jnp.full_like(labels, null)],
+                                    axis=0)).astype(cfg.dtype)
+                return eps2[b:] + g * (eps2[:b] - eps2[b:])
+
+            return predict
+        return lambda mp, x, t_b, labels: apply_fn(mp, x, t_b, labels).astype(cfg.dtype)
+
     # -- compiled core -------------------------------------------------------------
     def _build(self, batch: int, capture) -> Callable:
         """capture: False (no trajectory) | True (every step) | int n
@@ -179,29 +228,30 @@ class DiffusionSampler:
                 lambda key: jax.random.normal(jax.random.fold_in(key, k + 1),
                                               shape, cfg.dtype))(keys)
 
-        def advance(carry, k, model_params, keys):
+        predict = self._make_predict()
+
+        def advance(carry, k, model_params, keys, labels):
             x = carry_x(carry)
             t = sched.timesteps[k]
-            eps = apply_fn(model_params, x,
-                           jnp.broadcast_to(t, (batch,))).astype(cfg.dtype)
+            eps = predict(model_params, x, jnp.broadcast_to(t, (batch,)), labels)
             if multistep:
                 z = posterior_noise(keys, k) if sched.sde else None
                 return dpm_solver_step(carry[0], carry[1], eps, k, sched, z)
             return step_fn(x, eps, k, sched, posterior_noise(keys, k))
 
-        def run_segment(model_params, carry, keys, start, length: int):
+        def run_segment(model_params, carry, keys, labels, start, length: int):
             def seg_body(carry, k):
-                return advance(carry, k, model_params, keys), None
+                return advance(carry, k, model_params, keys, labels), None
 
             carry, _ = jax.lax.scan(seg_body, carry, start + jnp.arange(length))
             return carry
 
         if isinstance(capture, bool):
-            def sample_fn(model_params, noise, keys):
+            def sample_fn(model_params, noise, keys, labels):
                 carry = init_carry(noise.astype(cfg.dtype))
 
                 def full_body(carry, k):
-                    carry = advance(carry, k, model_params, keys)
+                    carry = advance(carry, k, model_params, keys, labels)
                     return carry, (carry_x(carry).astype(jnp.float32)
                                    if capture else None)
 
@@ -219,7 +269,7 @@ class DiffusionSampler:
             segments = [(bounds[i] + 1, bounds[i + 1] - bounds[i])
                         for i in range(len(saves))]
             # group the equal-length middle run into one scan-of-scans
-            def sample_fn(model_params, noise, keys):
+            def sample_fn(model_params, noise, keys, labels):
                 carry = init_carry(noise.astype(cfg.dtype))
                 frames = []
                 i = 0
@@ -231,11 +281,12 @@ class DiffusionSampler:
                         j += 1
                     n_rep = j - i + 1
                     if n_rep == 1:
-                        carry = run_segment(model_params, carry, keys, start, length)
+                        carry = run_segment(model_params, carry, keys, labels,
+                                            start, length)
                         frames.append(carry_x(carry).astype(jnp.float32)[None])
                     else:
                         def outer(carry, rep):
-                            carry = run_segment(model_params, carry, keys,
+                            carry = run_segment(model_params, carry, keys, labels,
                                                 start + rep * length, length)
                             return carry, carry_x(carry).astype(jnp.float32)
 
@@ -250,7 +301,11 @@ class DiffusionSampler:
         # contract, `image_generator.py:383-389`) — donating would
         # invalidate it before the hash fetch. The buffer is 192 KB/image;
         # the scan's own carry dominates memory either way.
-        return jax.jit(sample_fn)
+        if self.conditional:
+            return jax.jit(sample_fn)
+        # unconditional: keep the historical 3-arg compiled signature
+        return jax.jit(lambda model_params, noise, keys:
+                       sample_fn(model_params, noise, keys, None))
 
     def _get(self, batch: int, capture: bool) -> Callable:
         key = (batch, capture)
@@ -269,15 +324,15 @@ class DiffusionSampler:
             cfg = self.config
             sched = self.params
             step_fn = self._step
-            apply_fn = self.apply_fn
             multistep = self._multistep
             shape = (cfg.image_size, cfg.image_size, cfg.channels)
+            predict = self._make_predict()
 
-            def advance(carry, k, model_params, keys):
+            def advance(carry, k, model_params, keys, labels):
                 x = carry[0] if multistep else carry
                 t = sched.timesteps[k]
-                eps = apply_fn(model_params, x,
-                               jnp.broadcast_to(t, (batch,))).astype(cfg.dtype)
+                eps = predict(model_params, x, jnp.broadcast_to(t, (batch,)),
+                              labels)
                 if cfg.deterministic_posterior:
                     noise = None
                 else:
@@ -289,9 +344,9 @@ class DiffusionSampler:
                     return dpm_solver_step(carry[0], carry[1], eps, k, sched, z)
                 return step_fn(x, eps, k, sched, noise)
 
-            def seg(model_params, carry, keys, start, length: int):
+            def seg(model_params, carry, keys, labels, start, length: int):
                 def body(c, k):
-                    return advance(c, k, model_params, keys), None
+                    return advance(c, k, model_params, keys, labels), None
 
                 carry, _ = jax.lax.scan(body, carry, start + jnp.arange(length))
                 x = carry[0] if multistep else carry
@@ -299,11 +354,19 @@ class DiffusionSampler:
 
             # no donation: the first segment's carry aliases the caller's
             # noise array (astype is a no-op at matching dtype)
-            self._stream_compiled[batch] = jax.jit(seg, static_argnames=("length",))
+            if self.conditional:
+                jitted = jax.jit(seg, static_argnames=("length",))
+            else:
+                jitted = jax.jit(
+                    lambda model_params, carry, keys, start, length:
+                    seg(model_params, carry, keys, None, start, length),
+                    static_argnames=("length",))
+            self._stream_compiled[batch] = jitted
         return self._stream_compiled[batch]
 
     def _sample_streamed(self, model_params, noise, keys, seeds_arr,
-                         noise_for_hash, every: int) -> Dict[str, Any]:
+                         noise_for_hash, every: int,
+                         labels=None) -> Dict[str, Any]:
         cfg = self.config
         saves = save_indices(cfg.num_inference_steps, every, self.timesteps,
                              self.schedule.num_train_timesteps)
@@ -315,7 +378,11 @@ class DiffusionSampler:
                  if self._multistep else noise.astype(cfg.dtype))
         frames = []
         for start, length in segments:
-            carry, frame = seg(model_params, carry, keys, start, length)
+            if self.conditional:
+                carry, frame = seg(model_params, carry, keys, labels,
+                                   start, length)
+            else:
+                carry, frame = seg(model_params, carry, keys, start, length)
             frame.copy_to_host_async()
             frames.append(frame)
         final = carry[0] if self._multistep else carry
@@ -336,7 +403,9 @@ class DiffusionSampler:
     def sample(self, model_params, seeds: Union[int, np.ndarray],
                capture_trajectory: Union[bool, int] = False,
                initial_noise: Optional[jax.Array] = None,
-               stream_to_host: bool = False) -> Dict[str, Any]:
+               stream_to_host: bool = False,
+               class_labels: Optional[Union[int, np.ndarray]] = None
+               ) -> Dict[str, Any]:
         """Denoise from seed(s). Returns final images (B,H,W,C) float32 in
         ~[-1,1], plus the trajectory when requested: `True` captures every
         step ((S,B,H,W,C)); an int n captures only the frames at
@@ -352,9 +421,21 @@ class DiffusionSampler:
 
         `initial_noise` overrides the seed-derived noise (exact-parity mode
         for golden tests with externally generated noise).
+
+        `class_labels` (scalar or (B,) int ids) is REQUIRED for conditional
+        samplers and forbidden otherwise; a scalar broadcasts to the batch.
         """
         seeds_arr = np.atleast_1d(np.asarray(seeds, dtype=np.uint32))
         batch = int(seeds_arr.shape[0])
+        if self.conditional:
+            if class_labels is None:
+                raise ValueError("conditional sampler requires class_labels")
+            labels = jnp.broadcast_to(
+                jnp.asarray(class_labels, jnp.int32).reshape(-1), (batch,))
+        else:
+            if class_labels is not None:
+                raise ValueError("class_labels passed to an unconditional sampler")
+            labels = None
         keys = self.keys_for_seeds(seeds_arr)
         noise = self.initial_noise(seeds_arr) if initial_noise is None else initial_noise
         if getattr(noise, "is_fully_addressable", True):
@@ -376,12 +457,15 @@ class DiffusionSampler:
         if stream_to_host and capture_trajectory:
             every = (1 if capture_trajectory is True else int(capture_trajectory))
             return self._sample_streamed(model_params, noise, keys, seeds_arr,
-                                         noise_for_hash, every)
+                                         noise_for_hash, every, labels=labels)
 
         capture_key = (capture_trajectory if isinstance(capture_trajectory, bool)
                        else int(capture_trajectory))
         fn = self._get(batch, capture_key)
-        final, traj = fn(model_params, noise, keys)   # async dispatch
+        if self.conditional:
+            final, traj = fn(model_params, noise, keys, labels)  # async dispatch
+        else:
+            final, traj = fn(model_params, noise, keys)   # async dispatch
         out: Dict[str, Any] = {
             "images": final,
             "noise_hashes": _hash_batch(noise_for_hash),
@@ -399,9 +483,11 @@ class DiffusionSampler:
         return out
 
     def sample_single(self, model_params, seed: int,
-                      capture_trajectory: bool = False) -> Dict[str, Any]:
+                      capture_trajectory: bool = False,
+                      class_labels: Optional[int] = None) -> Dict[str, Any]:
         return self.sample(model_params, np.asarray([seed], dtype=np.uint32),
-                           capture_trajectory=capture_trajectory)
+                           capture_trajectory=capture_trajectory,
+                           class_labels=class_labels)
 
 
 def to_uint8_images(images) -> np.ndarray:

@@ -64,7 +64,9 @@ class ImageGenerator:
                  device: Optional[jax.Device] = None,
                  compute_dtype=jnp.float32,
                  model_config=None,
-                 model_variant: str = "best"):
+                 model_variant: str = "best",
+                 conditional: bool = False,
+                 guidance_scale: float = 0.0):
         self.config = config
         project_root = config.project_root if config else None
         self.path_manager = PathManager(project_root)
@@ -74,10 +76,17 @@ class ImageGenerator:
         self.cache_manager = CacheManager(cache_dir) if cache_dir else None
         ckpt_dir = checkpoints_dir or (config.get_path("checkpoints") if config
                                        else str(self.path_manager.get_checkpoints_dir()))
+        # class-conditional single-checkpoint mode (+ CFG weight): explicit
+        # ctor args win, else the config's compute section
+        if not conditional and config is not None:
+            conditional = bool(config.get("compute.conditional", False))
+        self.guidance_scale = float(guidance_scale) if guidance_scale else \
+            (float(config.get("compute.guidance_scale", 0.0)) if config else 0.0)
         self.model_manager = ModelManager(
             checkpoints_dir=ckpt_dir, cache_manager=self.cache_manager,
             logger=self.logger, device=device, dtype=compute_dtype,
-            model_config=model_config, variant=model_variant)
+            model_config=model_config, variant=model_variant,
+            conditional=conditional)
 
         self.inference_steps = int(config.get_generation_param("inference_timesteps")) \
             if config else 50
@@ -190,18 +199,39 @@ class ImageGenerator:
     # -- core generation --------------------------------------------------------------------
     def _sample_batch(self, class_name: str, seeds: np.ndarray,
                       capture_trajectory: bool) -> Optional[Dict[str, Any]]:
-        if class_name not in self.model_manager.loaded_params:
-            if not self.model_manager.load_model(class_name):
-                return None
+        return self._sample_block([class_name] * len(seeds), seeds,
+                                  capture_trajectory)
+
+    def _sample_block(self, classes: List[str], seeds: np.ndarray,
+                      capture_trajectory: bool) -> Optional[Dict[str, Any]]:
+        """One device batch; `classes[j]` is image j's class. Per-class
+        models require a single-class block (the batch driver never builds
+        a spanning one); the conditional model takes per-image labels, so
+        a block may mix classes — that is the point of the single
+        class-conditional checkpoint (mixed-class device batches instead of
+        the reference's one-class-at-a-time loop)."""
+        for cls in dict.fromkeys(classes):
+            if cls not in self.model_manager.loaded_params:
+                if not self.model_manager.load_model(cls):
+                    return None
         sampler = self.model_manager.create_sampler(
             self.inference_steps, scheduler=self.scheduler_kind,
-            ddim_eta=self.ddim_eta, timestep_spacing=self.timestep_spacing)
-        params = self.model_manager.loaded_params[class_name]
+            ddim_eta=self.ddim_eta, timestep_spacing=self.timestep_spacing,
+            guidance_scale=self.guidance_scale)
+        params = self.model_manager.loaded_params[classes[0]]
+        labels = None
+        if self.model_manager.conditional:
+            labels = np.asarray([self.model_manager.class_id(c)
+                                 for c in classes], np.int32)
+        elif len(set(classes)) > 1:
+            raise ValueError("mixed-class block requires conditional mode")
         if self.mesh is not None:
             from .parallel.sharded_sampler import ShardedSampler
             return ShardedSampler(sampler, self.mesh).sample(
-                params, seeds, capture_trajectory=capture_trajectory)
-        return sampler.sample(params, seeds, capture_trajectory=capture_trajectory)
+                params, seeds, capture_trajectory=capture_trajectory,
+                class_labels=labels)
+        return sampler.sample(params, seeds, capture_trajectory=capture_trajectory,
+                              class_labels=labels)
 
     def generate_single_image(self, class_name: str, output_path: str,
                               postprocess: bool = True,
@@ -264,6 +294,12 @@ class ImageGenerator:
                 # byte-identical (reproduce rebuilds with the same setting)
                 **({"attention_fast_math": True}
                    if self.model_manager.attention_fast_math else {}),
+                # conditional single-checkpoint mode: reproduce must rebuild
+                # a conditional generator with the same guidance weight
+                # (class id re-derives from class_name + checkpoint metadata)
+                **({"conditional": True,
+                    "guidance_scale": self.guidance_scale}
+                   if self.model_manager.conditional else {}),
             })
 
     def generate_images(self, class_configs: List[Tuple[str, int]],
@@ -288,111 +324,146 @@ class ImageGenerator:
             generated = 0
             self._log(f"starting generation of {total_images} images")
 
-            for class_name, count in class_configs:
-                if self.stop_requested:
-                    break
-                class_dir = output_path / class_name
-                class_dir.mkdir(exist_ok=True)
-                class_image_count = 0
-                self._log(f"generating {count} images for class {class_name}")
+            need_traj = self.save_trajectory and self.xai_analyzer is not None
+            # flat work list: (class, index-within-class-entry). Per-class
+            # models require single-class device blocks (blocks break at
+            # class boundaries — identical batching to the per-class loop
+            # this replaces); the conditional single checkpoint takes
+            # per-image labels, so blocks SPAN classes: a [(MEL,3),(NV,3),
+            # (VASC,2)] request is ONE b8 device batch instead of three
+            # partial ones (per-image step cost is batch-flat through b8,
+            # PERFORMANCE.md — mixed-class batching is the conditional
+            # family's throughput case)
+            items: List[Tuple[str, int]] = [
+                (cls, i) for cls, count in class_configs for i in range(count)]
+            mixed = self.model_manager.conditional
+            class_totals: Dict[str, int] = {}
+            for cls, count in class_configs:
+                class_totals[cls] = class_totals.get(cls, 0) + count
+            class_counts: Dict[str, int] = {}  # ISIC numbering + XAI cadence
+            dead: set = set()       # classes whose model failed to load
+            announced: set = set()
 
-                need_traj = self.save_trajectory and self.xai_analyzer is not None
+            def block_at(start: int):
+                block = min(self.batch_size, len(items) - start)
+                # trajectory capture holds (steps, block, H, W, C) fp32
+                # on device — cap the block so HBM stays bounded
+                if need_traj:
+                    size = self.model_manager.model.config.sample_size
+                    frame_bytes = size * size * 3 * 4  # 192KB at 128²
+                    max_traj_block = max(1, (4 << 30) //
+                                         (self.inference_steps * frame_bytes))
+                    block = min(block, max_traj_block)
+                if not mixed:
+                    cls0 = items[start][0]
+                    run = 1
+                    while run < block and items[start + run][0] == cls0:
+                        run += 1
+                    block = run
+                blk = items[start:start + block]
+                # never batch items of a known-dead class (a later duplicate
+                # entry of a failed class must not poison its block-mates)
+                for k, (cls, _) in enumerate(blk):
+                    if cls in dead:
+                        return blk[:k]
+                return blk
 
-                def dispatch_block(index):
-                    block = min(self.batch_size, count - index)
-                    # trajectory capture holds (steps, block, H, W, C) fp32
-                    # on device — cap the block so HBM stays bounded
-                    if need_traj:
-                        size = self.model_manager.model.config.sample_size
-                        frame_bytes = size * size * 3 * 4  # 192KB at 128²
-                        max_traj_block = max(1, (4 << 30) //
-                                             (self.inference_steps * frame_bytes))
-                        block = min(block, max_traj_block)
-                    seeds = np.asarray(
-                        [self._seed_for(class_name, index + j, offsets)
-                         for j in range(block)], dtype=np.uint32)
-                    return self._sample_batch(class_name, seeds, need_traj), \
-                        seeds, block
+            def dispatch_block(start: int):
+                blk = block_at(start)
+                for cls in dict.fromkeys(c for c, _ in blk):
+                    if cls not in announced:
+                        announced.add(cls)
+                        self._log(f"generating {class_totals[cls]} images "
+                                  f"for class {cls}")
+                        (output_path / cls).mkdir(exist_ok=True)
+                seeds = np.asarray([self._seed_for(cls, i, offsets)
+                                    for cls, i in blk], dtype=np.uint32)
+                return self._sample_block([c for c, _ in blk], seeds,
+                                          need_traj), seeds, blk
 
-                # two-stage software pipeline: the sampler dispatch is async
-                # (jit results are futures), so block k's PNG/sidecar/CSV
-                # writes run WHILE block k+1 computes on the device. Not
-                # used in trajectory mode — two in-flight trajectories
-                # would double the capped HBM footprint.
-                pipeline = not need_traj
-                index = 0
-                pending = None  # (out, seeds, block)
-                while ((index < count or pending is not None)
-                       and not self.stop_requested):
-                    if self.between_blocks_hook is not None:
-                        try:
-                            self.between_blocks_hook()
-                        except Exception as exc:
-                            self._log(f"between-blocks hook failed: {exc}",
-                                      "warning")
-                    nxt = None
-                    if index < count:
-                        out, seeds, block = dispatch_block(index)
-                        if out is None:
-                            self._log(f"model unavailable for {class_name}",
-                                      "error")
-                            count = index  # drain pending, dispatch no more
-                        else:
-                            nxt = (out, seeds, block)
-                            index += block
-                    if not pipeline and nxt is not None:
-                        pending, nxt = nxt, None
-                    if pending is None:
-                        pending = nxt
-                        continue
-                    out, seeds, block = pending
+            # two-stage software pipeline: the sampler dispatch is async
+            # (jit results are futures), so block k's PNG/sidecar/CSV
+            # writes run WHILE block k+1 computes on the device. Not
+            # used in trajectory mode — two in-flight trajectories
+            # would double the capped HBM footprint.
+            pipeline = not need_traj
+            index = 0
+            pending = None  # (out, seeds, blk)
+            while ((index < len(items) or pending is not None)
+                   and not self.stop_requested):
+                if self.between_blocks_hook is not None:
+                    try:
+                        self.between_blocks_hook()
+                    except Exception as exc:
+                        self._log(f"between-blocks hook failed: {exc}",
+                                  "warning")
+                while index < len(items) and items[index][0] in dead:
+                    index += 1
+                nxt = None
+                if index < len(items):
+                    out, seeds, blk = dispatch_block(index)
+                    if out is None:
+                        # model unavailable: drop this block's classes, keep
+                        # going on the rest (reference: per-class continue)
+                        for cls in dict.fromkeys(c for c, _ in blk):
+                            self._log(f"model unavailable for {cls}", "error")
+                            dead.add(cls)
+                    else:
+                        nxt = (out, seeds, blk)
+                        index += len(blk)
+                if not pipeline and nxt is not None:
+                    pending, nxt = nxt, None
+                if pending is None:
                     pending = nxt
-                    # ONE device->host transfer for the whole block — a
-                    # per-image `images[idx]` fetch costs a device slice +
-                    # round-trip each (~100 ms/image through a tunneled
-                    # link, dominating the write loop)
-                    out = dict(out, images=np.asarray(out["images"]))
-                    for j in range(block):
-                        if self.stop_requested:
-                            break
-                        isic_number = class_image_count + 1
-                        filename = self.path_manager.get_isic_filename(isic_number)
-                        file_path = class_dir / filename
-                        self._write_image_artifacts(out, j, class_name,
-                                                    str(file_path), postprocess,
-                                                    int(seeds[j]))
-                        append_synthetic_row(csv_path, {
-                            "filename": filename,
-                            "class": class_name,
-                            "isic_number": isic_number,
-                            "source": "synthetic",
-                            "generated_at": str(file_path.stat().st_mtime),
-                        })
-                        generated += 1
-                        class_image_count += 1
-                        # progress in denoise-step units (reference scale:
-                        # total_images x inference_steps,
-                        # image_generator.py:422-438)
-                        self._progress(generated * self.inference_steps,
-                                       total_images * self.inference_steps,
-                                       f"generated {generated}/{total_images}")
+                    continue
+                out, seeds, blk = pending
+                pending = nxt
+                # ONE device->host transfer for the whole block — a
+                # per-image `images[idx]` fetch costs a device slice +
+                # round-trip each (~100 ms/image through a tunneled
+                # link, dominating the write loop)
+                out = dict(out, images=np.asarray(out["images"]))
+                for j, (class_name, _) in enumerate(blk):
+                    if self.stop_requested:
+                        break
+                    class_counts[class_name] = class_counts.get(class_name, 0) + 1
+                    isic_number = class_counts[class_name]
+                    filename = self.path_manager.get_isic_filename(isic_number)
+                    file_path = output_path / class_name / filename
+                    self._write_image_artifacts(out, j, class_name,
+                                                str(file_path), postprocess,
+                                                int(seeds[j]))
+                    append_synthetic_row(csv_path, {
+                        "filename": filename,
+                        "class": class_name,
+                        "isic_number": isic_number,
+                        "source": "synthetic",
+                        "generated_at": str(file_path.stat().st_mtime),
+                    })
+                    generated += 1
+                    # progress in denoise-step units (reference scale:
+                    # total_images x inference_steps,
+                    # image_generator.py:422-438)
+                    self._progress(generated * self.inference_steps,
+                                   total_images * self.inference_steps,
+                                   f"generated {generated}/{total_images}")
 
-                        if (self.xai_analyzer is not None and need_traj
-                                and class_image_count % self.xai_frequency == 0):
-                            try:
-                                self._log(f"integrated XAI for {class_name} "
-                                          f"(image {class_image_count})")
-                                traj = np.asarray(out["trajectory"][:, j])
-                                xai_results = self.xai_analyzer.analyze_trajectory(
-                                    trajectory=traj, class_name=class_name,
-                                    seed=int(seeds[j]),
-                                    inference_steps=self.inference_steps,
-                                    filename=filename, file_path=str(file_path))
-                                if xai_results:
-                                    self._save_xai_results(xai_results, class_name,
-                                                           filename, str(file_path))
-                            except Exception as exc:
-                                self._log(f"integrated XAI failed: {exc}", "warning")
+                    if (self.xai_analyzer is not None and need_traj
+                            and isic_number % self.xai_frequency == 0):
+                        try:
+                            self._log(f"integrated XAI for {class_name} "
+                                      f"(image {isic_number})")
+                            traj = np.asarray(out["trajectory"][:, j])
+                            xai_results = self.xai_analyzer.analyze_trajectory(
+                                trajectory=traj, class_name=class_name,
+                                seed=int(seeds[j]),
+                                inference_steps=self.inference_steps,
+                                filename=filename, file_path=str(file_path))
+                            if xai_results:
+                                self._save_xai_results(xai_results, class_name,
+                                                       filename, str(file_path))
+                        except Exception as exc:
+                            self._log(f"integrated XAI failed: {exc}", "warning")
 
             elapsed = time.time() - t_start
             result = {

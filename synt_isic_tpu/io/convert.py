@@ -42,8 +42,14 @@ def _flax_path(torch_key: str) -> Tuple[List[str], str]:
     return merged, leaf
 
 
-def _leaf_name_and_value(leaf: str, value: np.ndarray) -> Tuple[str, np.ndarray]:
+def _leaf_name_and_value(leaf: str, value: np.ndarray,
+                         parent: str = "") -> Tuple[str, np.ndarray]:
     if leaf == "weight":
+        # nn.Embedding tables ((N, dim) lookup, e.g. the conditional UNet's
+        # `class_embedding.weight`) are row-indexed, NOT matmul'd — flax
+        # nn.Embed stores them untransposed under 'embedding'
+        if parent.endswith("embedding") and value.ndim == 2:
+            return "embedding", value
         if value.ndim == 4:
             return "kernel", np.transpose(value, (2, 3, 1, 0))  # OIHW -> HWIO
         if value.ndim == 2:
@@ -75,7 +81,8 @@ def torch_to_flax(state: Mapping[str, np.ndarray],
                 key = key[len(prefix):]
                 break
         path, leaf = _flax_path(key)
-        leaf, value = _leaf_name_and_value(leaf, np.asarray(value))
+        leaf, value = _leaf_name_and_value(leaf, np.asarray(value),
+                                           parent=path[-1] if path else "")
         node = tree
         for part in path:
             node = node.setdefault(part, {})
@@ -110,6 +117,8 @@ def flax_to_torch(tree: Mapping[str, Any]) -> Dict[str, np.ndarray]:
                 elif value.ndim == 2:
                     value = np.transpose(value, (1, 0))
                 leaf = "weight"
+            elif name == "embedding":
+                leaf = "weight"  # nn.Embed table — untransposed (see above)
             elif name == "scale":
                 leaf = "weight"
             elif name == "mean":

@@ -83,6 +83,7 @@ def expected_unet2d_state_shapes(
         up_block_types: Sequence[str] = ("UpBlock2D", "AttnUpBlock2D",
                                          "UpBlock2D", "UpBlock2D"),
         add_mid_attention: bool = True,
+        num_class_embeds=None,
         **_ignored) -> Dict[str, Shape]:
     """The exact diffusers UNet2DModel state-dict manifest (see module doc).
 
@@ -105,6 +106,10 @@ def expected_unet2d_state_shapes(
         "conv_out.weight": (out_channels, ch0, 3, 3),
         "conv_out.bias": (out_channels,),
     }
+    if num_class_embeds:
+        # conditional variant: nn.Embedding(num_class_embeds, time_embed_dim)
+        # added to the timestep embedding (diffusers `num_class_embeds`)
+        keys["class_embedding.weight"] = (int(num_class_embeds), temb)
 
     out_ch = ch0
     for i, btype in enumerate(down_block_types):

@@ -65,7 +65,8 @@ class ModelManager:
                  device: Optional[jax.Device] = None,
                  model_config: Optional[UNet2DConfig] = None,
                  dtype: Any = jnp.float32,
-                 variant: str = "best"):
+                 variant: str = "best",
+                 conditional: bool = False):
         self.path_manager = PathManager()
         self.checkpoints_dir = Path(checkpoints_dir) if checkpoints_dir \
             else self.path_manager.get_checkpoints_dir()
@@ -79,6 +80,22 @@ class ModelManager:
         self.logger = logger or Logger("model_manager")
         self.device = device or jax.devices()[0]
         self.dtype = dtype  # compute dtype; recorded in sidecars (reproduce)
+        # Conditional mode: ONE class-conditional checkpoint
+        # (unet_conditional_<variant>.pth + .json metadata listing its
+        # classes, written by train/train_conditional.py) serves every
+        # class — one resident parameter set instead of the reference's
+        # per-class 101 MB files (`core/generator/model_manager.py:89-171`).
+        # load_model(<class>) aliases the shared pytree under each class
+        # key, so the generator/serve surfaces work unchanged.
+        self.conditional = bool(conditional)
+        self._cond_classes: List[str] = []
+        if self.conditional:
+            meta = self._read_conditional_metadata()
+            self._cond_classes = list(meta["classes"])
+            model_config = dataclasses.replace(
+                model_config or UNet2DConfig(),
+                num_class_embeds=int(meta.get("num_class_embeds",
+                                              len(self._cond_classes) + 1)))
         self.model = UNet2D(config=model_config or UNet2DConfig(), dtype=dtype)
         # sampling variant: Pallas fused attention + fast GroupNorm (f32
         # stats, bf16 arithmetic) on TPU — identical param tree, bf16-level
@@ -99,11 +116,46 @@ class ModelManager:
         self.model_metadata: Dict[str, Dict[str, Any]] = {}
         self._samplers: Dict[int, DiffusionSampler] = {}
 
+    # -- conditional-mode helpers ---------------------------------------------------
+    def _conditional_checkpoint_path(self) -> Path:
+        return self.checkpoints_dir / f"unet_conditional_{self.variant}.pth"
+
+    def _read_conditional_metadata(self) -> Dict[str, Any]:
+        """The class list / embedding-table size of the conditional
+        checkpoint, from its sidecar JSON (written next to the .pth by the
+        conditional trainer). Fails loudly — without it class ids are
+        meaningless."""
+        import json
+
+        meta_path = self._conditional_checkpoint_path().with_suffix(".json")
+        if not meta_path.exists():
+            raise FileNotFoundError(
+                f"conditional checkpoint metadata not found: {meta_path} "
+                "(train/train_conditional.py writes it next to the .pth)")
+        with open(meta_path, "r", encoding="utf-8") as f:
+            meta = json.load(f)
+        if not meta.get("classes"):
+            raise ValueError(f"no classes listed in {meta_path}")
+        return meta
+
+    def class_id(self, class_name: str) -> int:
+        """Embedding row for a class (conditional mode)."""
+        return self._cond_classes.index(class_name)
+
+    @property
+    def null_label(self) -> int:
+        """The unconditional/CFG-dropout embedding row (last index)."""
+        return int(self.model.config.num_class_embeds) - 1
+
     # -- discovery ----------------------------------------------------------------
     def get_available_classes(self) -> List[str]:
+        if self.conditional:
+            return list(self._cond_classes)
         return self.path_manager.get_available_classes(str(self.checkpoints_dir))
 
     def checkpoint_path(self, class_name: str) -> Path:
+        if self.conditional:
+            return self._conditional_checkpoint_path()
         return self.checkpoints_dir / f"unet_{class_name}_{self.variant}.pth"
 
     def available_variants(self, class_name: str) -> List[str]:
@@ -118,15 +170,29 @@ class ModelManager:
                    checkpoint_path: Optional[str] = None) -> bool:
         if class_name in self.loaded_params:
             return True
+        if self.conditional:
+            if class_name not in self._cond_classes:
+                self.logger.log_error(
+                    f"class {class_name} not in the conditional checkpoint's "
+                    f"classes {self._cond_classes}")
+                return False
+            # the shared pytree may already be resident under another class
+            # key — alias it (same device arrays, zero extra HBM)
+            for other in list(self.loaded_params):
+                self.loaded_params[class_name] = self.loaded_params[other]
+                self.model_metadata[class_name] = dict(self.model_metadata[other])
+                return True
         path = Path(checkpoint_path) if checkpoint_path else self.checkpoint_path(class_name)
         if not path.exists():
             self.logger.log_error(f"checkpoint not found for {class_name}: {path}")
             return False
+        # one conversion cache entry for the shared conditional checkpoint
+        cache_key = "conditional" if self.conditional else class_name
         try:
             t0 = time.time()
             tree = None
             if self.cache is not None:
-                flat = self.cache.get_converted(class_name, str(path))
+                flat = self.cache.get_converted(cache_key, str(path))
                 if flat is not None:
                     tree = _unflatten(flat)
             if tree is None:
@@ -145,8 +211,8 @@ class ModelManager:
                         f"{preview}{more}")
                 tree = torch_to_flax(state)
                 if self.cache is not None:
-                    self.cache.cache_model(class_name, str(path))
-                    self.cache.cache_converted(class_name, str(path), _flatten(tree))
+                    self.cache.cache_model(cache_key, str(path))
+                    self.cache.cache_converted(cache_key, str(path), _flatten(tree))
             params = jax.device_put(
                 jax.tree_util.tree_map(jnp.asarray, tree), self.device)
             self.loaded_params[class_name] = params
@@ -180,21 +246,37 @@ class ModelManager:
     def create_sampler(self, inference_steps: int = 50,
                        scheduler: str = "ddpm", ddim_eta: float = 0.0,
                        dtype: Any = jnp.float32,
-                       timestep_spacing: str = "leading") -> DiffusionSampler:
+                       timestep_spacing: str = "leading",
+                       guidance_scale: float = 0.0) -> DiffusionSampler:
         """Sampler with the training schedule (T=1000, squaredcos_cap_v2,
         epsilon) and clamped inference steps (reference
-        `model_manager.py:196-209`). Cached per step count."""
+        `model_manager.py:196-209`). Cached per step count.
+
+        In conditional mode the sampler takes per-image `class_labels` and
+        `guidance_scale > 1` enables classifier-free guidance against the
+        checkpoint's null embedding row."""
         steps = max(1, min(1000, int(inference_steps)))
-        key = (steps, scheduler, ddim_eta, str(dtype), timestep_spacing)
+        key = (steps, scheduler, ddim_eta, str(dtype), timestep_spacing,
+               float(guidance_scale) if self.conditional else 0.0)
         if key not in self._samplers:
             cfg = SamplerConfig(num_inference_steps=steps, scheduler=scheduler,
                                 ddim_eta=ddim_eta,
                                 timestep_spacing=timestep_spacing,
                                 image_size=self.model.config.sample_size,
                                 channels=self.model.config.in_channels,
-                                dtype=dtype)
-            apply_fn = lambda params, x, t: self.sample_model.apply({"params": params}, x, t)
-            self._samplers[key] = DiffusionSampler(apply_fn, self.schedule, cfg)
+                                dtype=dtype,
+                                guidance_scale=(float(guidance_scale)
+                                                if self.conditional else 0.0))
+            if self.conditional:
+                apply_fn = lambda params, x, t, y: self.sample_model.apply(
+                    {"params": params}, x, t, y)
+                self._samplers[key] = DiffusionSampler(
+                    apply_fn, self.schedule, cfg, conditional=True,
+                    null_label=self.null_label)
+            else:
+                apply_fn = lambda params, x, t: self.sample_model.apply(
+                    {"params": params}, x, t)
+                self._samplers[key] = DiffusionSampler(apply_fn, self.schedule, cfg)
         return self._samplers[key]
 
     def set_attention_tuning(self, heads_per_program: Optional[int] = None,

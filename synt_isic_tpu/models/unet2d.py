@@ -52,6 +52,17 @@ class UNet2DConfig:
     flip_sin_to_cos: bool = True
     freq_shift: int = 0
     add_mid_attention: bool = True
+    # Class-conditional variant (diffusers UNet2DModel `num_class_embeds`):
+    # an nn.Embed(num_class_embeds, time_embed_dim) table whose row is ADDED
+    # to the timestep embedding. One conditional model then serves every
+    # ISIC class (vs the reference's 7 separate 101 MB checkpoints,
+    # `core/generator/model_manager.py:89-171`) — on TPU that means one
+    # resident parameter set, no per-class HBM swaps, and mixed-class
+    # batches. Convention: the LAST index is the null/unconditional
+    # embedding used for classifier-free-guidance training dropout, so a
+    # 7-class model has num_class_embeds=8. None = unconditional
+    # (reference parity).
+    num_class_embeds: Optional[int] = None
 
     @property
     def time_embed_dim(self) -> int:
@@ -414,6 +425,13 @@ class UNet2D(nn.Module):
         self.conv_in = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                                dtype=self.dtype)
         self.time_embedding = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype)
+        if cfg.num_class_embeds:
+            # torch key `class_embedding.weight` (N, time_embed_dim) —
+            # row added to the timestep embedding (diffusers UNet2DModel
+            # class-conditioning semantics)
+            self.class_embedding = nn.Embed(cfg.num_class_embeds,
+                                            cfg.time_embed_dim,
+                                            dtype=self.dtype)
 
         down_blocks = []
         output_channel = cfg.block_out_channels[0]
@@ -476,8 +494,11 @@ class UNet2D(nn.Module):
         self.conv_out = nn.Conv(cfg.out_channels, (3, 3), padding=1,
                                 dtype=jnp.float32)
 
-    def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray) -> jnp.ndarray:
-        """sample: (B, H, W, C) in [-1, 1]; timesteps: scalar or (B,) ints."""
+    def __call__(self, sample: jnp.ndarray, timesteps: jnp.ndarray,
+                 class_labels: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """sample: (B, H, W, C) in [-1, 1]; timesteps: scalar or (B,) ints;
+        class_labels: (B,) int class ids, REQUIRED iff the config is
+        conditional (`num_class_embeds` set)."""
         cfg = self.config
         if timesteps.ndim == 0:
             timesteps = jnp.broadcast_to(timesteps, (sample.shape[0],))
@@ -485,6 +506,15 @@ class UNet2D(nn.Module):
                                        flip_sin_to_cos=cfg.flip_sin_to_cos,
                                        downscale_freq_shift=float(cfg.freq_shift))
         emb = self.time_embedding(t_emb.astype(self.dtype))
+        if cfg.num_class_embeds:
+            if class_labels is None:
+                raise ValueError(
+                    "conditional UNet2D (num_class_embeds set) requires "
+                    "class_labels")
+            emb = emb + self.class_embedding(class_labels.astype(jnp.int32))
+        elif class_labels is not None:
+            raise ValueError("class_labels passed to an unconditional UNet2D "
+                             "(num_class_embeds is None)")
 
         x = self.conv_in(sample.astype(self.dtype))
         skips = [x]
@@ -515,4 +545,6 @@ def init_unet_params(model: UNet2D, rng: jax.Array,
     size = image_size or model.config.sample_size
     sample = jnp.zeros((1, size, size, model.config.in_channels), jnp.float32)
     t = jnp.zeros((1,), jnp.int32)
+    if model.config.num_class_embeds:
+        return model.init(rng, sample, t, jnp.zeros((1,), jnp.int32))["params"]
     return model.init(rng, sample, t)["params"]

@@ -50,10 +50,19 @@ class ShardedSampler:
                         and mesh.shape[tp_axis] > 1 else None)
 
     def sample(self, model_params, seeds: Union[int, np.ndarray],
-               capture_trajectory: bool = False) -> Dict[str, Any]:
+               capture_trajectory: bool = False,
+               class_labels: Union[int, np.ndarray, None] = None) -> Dict[str, Any]:
         seeds_arr = np.atleast_1d(np.asarray(seeds, dtype=np.uint32))
         n = len(seeds_arr)
         padded = pad_to_multiple(n, self.n_shards)
+        if class_labels is not None:
+            # per-image labels ride with the seeds (conditional sampler);
+            # scalars broadcast, arrays pad cyclically like the seeds so
+            # the pad rows stay (seed, label)-consistent
+            class_labels = np.broadcast_to(
+                np.atleast_1d(np.asarray(class_labels, np.int32)), (n,))
+            if padded != n:
+                class_labels = np.resize(class_labels, padded)
         if padded != n:
             # np.resize tiles cyclically, so the pad reaches `padded` rows
             # even when padded - n > n (e.g. 1 seed on an 8-chip mesh —
@@ -91,7 +100,8 @@ class ShardedSampler:
                 params = jax.device_put(model_params,
                                         replicated_sharding(self.mesh))
         out = self.sampler.sample(params, seeds_arr, capture_trajectory,
-                                  initial_noise=noise)
+                                  initial_noise=noise,
+                                  class_labels=class_labels)
         if padded != n:
             out["images"] = out["images"][:n]
             out["noise_hashes"] = out["noise_hashes"][:n]

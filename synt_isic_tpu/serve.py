@@ -33,7 +33,10 @@ worker coalesces queued requests that share (class, steps, postprocess,
 output_dir) and use server-drawn seeds (seed=None) into a single device
 batch — per-image recorded seeds keep every image reproducible regardless
 of how requests were merged (same guarantee as the reference's random
-mode, `image_generator.py:632-637`).
+mode, `image_generator.py:632-637`). A `--conditional` server coalesces
+ACROSS classes too: the single class-conditional model takes per-image
+labels, so a burst of different-class requests becomes one mixed-class
+MXU batch instead of one dispatch per class.
 
 Multi-chip: `--mesh N|auto` shards every device batch over a data-parallel
 mesh (`ShardedSampler`) — per-seed RNG streams keep each image bit-identical
@@ -94,17 +97,24 @@ def _percentile(sorted_vals: List[float], q: float) -> float:
     return sorted_vals[idx]
 
 
-def _coalesce_key(payload: Dict[str, Any]) -> Optional[Tuple]:
+def _coalesce_key(payload: Dict[str, Any],
+                  ignore_class: bool = False) -> Optional[Tuple]:
     """Requests merge iff they are generates targeting the same sampler
     executable and artifact location AND let the server draw seeds. A fixed
-    client seed pins image indices, so such requests never merge."""
+    client seed pins image indices, so such requests never merge.
+
+    `ignore_class=True` (conditional serving): the single class-conditional
+    model takes per-image labels, so requests for DIFFERENT classes share a
+    device batch too — a burst of per-class requests becomes one mixed
+    MXU batch instead of one dispatch per class."""
     if payload.get("op") != "generate" or payload.get("seed") is not None:
         return None
     if payload.get("fast"):
         # fast-variant previews run one-by-one through the dedicated
         # distilled generator — never merged into a bulk device batch
         return None
-    return (payload["class"], payload.get("steps"),
+    return (None if ignore_class else payload["class"],
+            payload.get("steps"),
             bool(payload.get("postprocess", True)),
             bool(payload.get("xai", False)),
             payload.get("output_dir"))
@@ -114,7 +124,7 @@ def drain_batch(q: "queue.Queue[_Request]", first: _Request,
                 max_batch: int,
                 backlog: Optional["deque[_Request]"] = None,
                 fast: Optional["deque[_Request]"] = None,
-                classify=None) -> List[_Request]:
+                classify=None, ignore_class: bool = False) -> List[_Request]:
     """Greedily pull queued requests coalescible with `first` (no waiting).
 
     Non-matching requests land in `backlog` — a worker-owned deque serviced
@@ -128,7 +138,7 @@ def drain_batch(q: "queue.Queue[_Request]", first: _Request,
     if backlog is None:
         backlog = deque()
     batch = [first]
-    key = _coalesce_key(first.payload)
+    key = _coalesce_key(first.payload, ignore_class)
     if key is None:
         return batch
     total = int(first.payload.get("count", 1))
@@ -143,7 +153,7 @@ def drain_batch(q: "queue.Queue[_Request]", first: _Request,
                 lane.remove(r)
                 continue
             n = int(r.payload.get("count", 1))
-            if _coalesce_key(r.payload) == key and total + n <= max_batch:
+            if _coalesce_key(r.payload, ignore_class) == key and total + n <= max_batch:
                 lane.remove(r)
                 batch.append(r)
                 total += n
@@ -155,7 +165,7 @@ def drain_batch(q: "queue.Queue[_Request]", first: _Request,
         if nxt is None or nxt.cancelled:
             continue
         n = int(nxt.payload.get("count", 1))
-        if _coalesce_key(nxt.payload) == key and total + n <= max_batch:
+        if _coalesce_key(nxt.payload, ignore_class) == key and total + n <= max_batch:
             batch.append(nxt)
             total += n
         elif fast is not None and classify is not None and classify(nxt.payload):
@@ -255,7 +265,11 @@ class GenerationServer:
     def stop(self) -> None:
         self._stop.set()
         self._queue.put(None)  # wake worker
-        self._server.shutdown()
+        # BaseServer.shutdown() BLOCKS until a running serve_forever() loop
+        # exits — on a constructed-but-never-start()ed server (embedded
+        # callers building a server they abandon) it would deadlock forever
+        if self._accept.is_alive():
+            self._server.shutdown()
         self._server.server_close()
         if self._worker.is_alive():
             self._worker.join(timeout=30)
@@ -380,7 +394,12 @@ class GenerationServer:
                     break
                 batch = drain_batch(self._queue, req, self.max_batch,
                                     self._backlog, fast=self._fast,
-                                    classify=self._is_interactive)
+                                    classify=self._is_interactive,
+                                    # conditional serving: one model, per-
+                                    # image labels — different-class
+                                    # requests share the device batch
+                                    ignore_class=self.generator
+                                    .model_manager.conditional)
                 try:
                     self._run_batch(batch)
                 except Exception as exc:  # defensive: a failed batch must not kill the worker
@@ -617,7 +636,6 @@ class GenerationServer:
 
     def _run_batch(self, batch: List[_Request]) -> None:
         head = batch[0].payload
-        cls = head["class"]
         if head.get("op") == "warmup":
             self._finish(batch[0], self._do_warmup(head))
             return
@@ -639,44 +657,51 @@ class GenerationServer:
             self.generator.set_xai_analyzer(None)
         out_dir = Path(head.get("output_dir") or
                        (self.output_root / f"req_{uuid.uuid4().hex[:12]}"))
-        total = sum(int(r.payload.get("count", 1)) for r in batch)
+        # one (class, count) entry per request, FIFO — single-class batches
+        # collapse to the reference shape; conditional serving coalesces
+        # ACROSS classes (one model, per-image labels), so the generator
+        # gets the mixed list and builds mixed-class device blocks from it
+        configs = [(r.payload["class"], int(r.payload.get("count", 1)))
+                   for r in batch]
 
-        class_dir = out_dir / cls
         # generation numbers images from ISIC_0000001 per run (reference
         # semantics) — a reused output_dir would silently overwrite images
         # already served to an earlier client
-        if class_dir.exists() and any(class_dir.glob("ISIC_*.png")):
-            for r in batch:
-                self._finish(r, {"ok": False, "error":
-                                 f"output_dir {out_dir} already holds generated "
-                                 f"{cls} images; use a fresh directory (or omit "
-                                 f"output_dir for an auto-created one)"})
-            return
+        for c in dict.fromkeys(c for c, _ in configs):
+            class_dir = out_dir / c
+            if class_dir.exists() and any(class_dir.glob("ISIC_*.png")):
+                for r in batch:
+                    self._finish(r, {"ok": False, "error":
+                                     f"output_dir {out_dir} already holds generated "
+                                     f"{c} images; use a fresh directory (or omit "
+                                     f"output_dir for an auto-created one)"})
+                return
         t0 = time.time()
         result = self.generator.generate_images(
-            [(cls, total)], str(out_dir),
+            configs, str(out_dir),
             postprocess=bool(head.get("postprocess", True)))
         elapsed = time.time() - t0
         if "error" in result:
             for r in batch:
                 self._finish(r, {"ok": False, "error": result["error"]})
             return
-        # the generator names images ISIC_%07d.png from 1 per run
-        # (reference semantics, image_generator.py:615-619) — the produced
-        # set is deterministic
-        new_files = [str(class_dir / f"ISIC_{i:07d}.png")
-                     for i in range(1, total + 1)
-                     if (class_dir / f"ISIC_{i:07d}.png").exists()]
         self._served += result.get("generated", 0)
-        # split files across the coalesced requests in FIFO order; a
+        # split files across the coalesced requests in FIFO order — the
+        # generator numbers ISIC_%07d.png per class, continuing across
+        # repeated entries, so each request's slice is deterministic; a
         # stopped/partial run short-changes the tail requests, which must
         # see ok:false rather than an empty-but-ok reply
-        offset = 0
+        next_num: Dict[str, int] = {}
         for r in batch:
+            r_cls = r.payload["class"]
             n = int(r.payload.get("count", 1))
-            files = new_files[offset:offset + n]
+            start = next_num.get(r_cls, 1)
+            next_num[r_cls] = start + n
+            files = [str(out_dir / r_cls / f"ISIC_{i:07d}.png")
+                     for i in range(start, start + n)
+                     if (out_dir / r_cls / f"ISIC_{i:07d}.png").exists()]
             complete = len(files) == n
-            response = {"ok": complete, "class": cls,
+            response = {"ok": complete, "class": r_cls,
                         "files": files,
                         "output_dir": str(out_dir),
                         "coalesced": len(batch),
@@ -684,7 +709,7 @@ class GenerationServer:
             if head.get("xai"):
                 # per-image XAI failures are logged-and-continued by the
                 # generator; report honestly when no artifacts materialized
-                xd = out_dir / "xai_results" / cls
+                xd = out_dir / "xai_results" / r_cls
                 if xd.exists():
                     response["xai_dir"] = str(xd)
                 else:
@@ -695,7 +720,6 @@ class GenerationServer:
                 response["error"] = (
                     f"partial generation: {len(files)}/{n} images "
                     f"(stopped={result.get('stopped', False)})")
-            offset += n
             self._finish(r, response)
 
 
@@ -766,6 +790,15 @@ def main(argv=None) -> int:
                    help="main generator's timestep spacing (default: "
                         "leading = reference parity; trailing for distill* "
                         "variants)")
+    p.add_argument("--conditional", action="store_true",
+                   help="serve the single class-conditional checkpoint "
+                        "(unet_conditional_<variant>.pth): one resident "
+                        "parameter set answers every class — no per-class "
+                        "weight swaps between requests")
+    p.add_argument("--guidance-scale", type=float, default=0.0, metavar="S",
+                   help="classifier-free guidance weight with --conditional "
+                        "(0/1 = plain conditional; >1 = guided at 2x UNet "
+                        "cost per step)")
     p.add_argument("--fast-variant", default=None, metavar="V",
                    help="enable the fast-preview lane: requests with "
                         "{'fast': true} sample this distilled variant "
@@ -789,7 +822,9 @@ def main(argv=None) -> int:
     gen = ImageGenerator(
         checkpoints_dir=args.checkpoints,
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
-        model_variant=args.model_variant)
+        model_variant=args.model_variant,
+        conditional=args.conditional,
+        guidance_scale=args.guidance_scale)
     # a distilled student was trained against DDIM steps on a trailing
     # grid — serving it through the reference defaults (ancestral DDPM,
     # leading spacing) would silently degrade every image

@@ -102,6 +102,13 @@ def main(argv=None) -> int:
                         "multiple of the device count")
     p.add_argument("--train-classifier", action="store_true",
                    help="train the ResNet18 lesion classifier instead of DDPMs")
+    p.add_argument("--conditional", action="store_true",
+                   help="train ONE class-conditional model on the selected "
+                        "classes' mixed stream (CFG label dropout; writes "
+                        "unet_conditional_best.pth + .json metadata) instead "
+                        "of per-class models")
+    p.add_argument("--cond-dropout", type=float, default=0.1, metavar="P",
+                   help="CFG label-dropout probability for --conditional")
     p.add_argument("--procedural", type=int, default=0, metavar="N",
                    help="train on N procedural class-conditional images "
                         "instead of the ISIC archive (asset-free; see "
@@ -238,19 +245,40 @@ def main(argv=None) -> int:
                       lr_schedule=args.lr_schedule,
                       warmup_steps=args.warmup_steps,
                       min_snr_gamma=args.min_snr,
-                      eval_every=args.eval_every)
-    for cls in classes:
-        class_id = CLASS_NAMES.index(cls)
+                      eval_every=args.eval_every,
+                      cond_dropout=args.cond_dropout)
+
+    def _dataset_for(cls: str):
         if args.procedural:
             from .procedural import ProceduralDataset
 
-            dataset = ProceduralDataset(cls, args.procedural,
-                                        image_size=args.image_size,
-                                        seed=args.seed)
-        else:
-            dataset = SingleClassDataset(args.data_dir, args.csv, class_id,
-                                         image_size=args.image_size,
-                                         max_samples=args.max_samples)
+            return ProceduralDataset(cls, args.procedural,
+                                     image_size=args.image_size,
+                                     seed=args.seed)
+        return SingleClassDataset(args.data_dir, args.csv,
+                                  CLASS_NAMES.index(cls),
+                                  image_size=args.image_size,
+                                  max_samples=args.max_samples)
+
+    if args.conditional:
+        from .train_conditional import train_conditional
+
+        datasets = {cls: _dataset_for(cls) for cls in classes}
+        datasets = {c: d for c, d in datasets.items() if len(d) > 0}
+        if not datasets:
+            print("no training data found for any selected class")
+            return 1
+        total = sum(len(d) for d in datasets.values())
+        print(f"== training conditional model on {list(datasets)}: "
+              f"{total} images ==")
+        result = train_conditional(datasets, args.checkpoints, cfg,
+                                   resume=args.resume, mesh=mesh)
+        print(f"== conditional done: best_loss={result['best_loss']:.5f} "
+              f"-> {result['checkpoint']} ==")
+        return 0
+
+    for cls in classes:
+        dataset = _dataset_for(cls)
         if len(dataset) == 0:
             print(f"!! no data for {cls}, skipping")
             continue

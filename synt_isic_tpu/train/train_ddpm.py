@@ -81,6 +81,12 @@ class TrainConfig:
     eval_every: int = 0
     eval_probe_images: int = 16
     eval_t_points: int = 8
+    # Class-conditional training (used only when batches carry labels —
+    # see train_conditional.py): probability of dropping an image's label
+    # to the NULL embedding row (num_class_embeds - 1) so the model also
+    # learns the unconditional score, enabling classifier-free guidance at
+    # sampling time (Ho & Salimans 2022; 0.1 is the paper's value).
+    cond_dropout: float = 0.1
     # Offset noise (beyond-reference quality option; 0.0 = off = exact
     # reference behavior): adds `offset_noise * N(0,1)` PER CHANNEL to the
     # training noise. Rationale: with the reference's linear beta schedule,
@@ -164,7 +170,12 @@ def _make_step_core(model: UNet2D, schedule: DiffusionSchedule,
     T = schedule.num_train_timesteps
 
     def loss_fn(params, batch, key):
-        k_t, k_eps, k_off = jax.random.split(key, 3)
+        # labeled batches ((images, labels) pytrees) train the conditional
+        # UNet; plain arrays keep the reference-parity unconditional path
+        labels = None
+        if isinstance(batch, (tuple, list)):
+            batch, labels = batch
+        k_t, k_eps, k_off, k_drop = jax.random.split(key, 4)
         b = batch.shape[0]
         t = jax.random.randint(k_t, (b,), 0, T)
         eps = jax.random.normal(k_eps, batch.shape, jnp.float32)
@@ -175,7 +186,16 @@ def _make_step_core(model: UNet2D, schedule: DiffusionSchedule,
                 k_off, (b, 1, 1, batch.shape[-1]), jnp.float32)
         ab_t = ab[t].reshape(b, 1, 1, 1)
         noisy = jnp.sqrt(ab_t) * batch + jnp.sqrt(1.0 - ab_t) * eps
-        pred = model.apply({"params": params}, noisy, t)
+        if labels is not None:
+            if config.cond_dropout > 0.0:
+                # CFG label dropout: the null row (last index) learns the
+                # unconditional score alongside the per-class ones
+                null = jnp.int32(model.config.num_class_embeds - 1)
+                drop = jax.random.bernoulli(k_drop, config.cond_dropout, (b,))
+                labels = jnp.where(drop, null, labels.astype(jnp.int32))
+            pred = model.apply({"params": params}, noisy, t, labels)
+        else:
+            pred = model.apply({"params": params}, noisy, t)
         err = jnp.mean((pred.astype(jnp.float32) - eps) ** 2,
                        axis=(1, 2, 3))
         if config.min_snr_gamma > 0.0:
@@ -220,7 +240,10 @@ def make_epoch_step(model: UNet2D, schedule: DiffusionSchedule,
     step_core = _make_step_core(model, schedule, tx, config)
 
     def epoch_fn(state, batches, key):
-        keys = jax.random.split(key, batches.shape[0])
+        # batches: (S,B,...) array, or a ((S,B,...), (S,B)) tuple for
+        # labeled (conditional) epochs — count steps from the first leaf
+        n_steps = jax.tree_util.tree_leaves(batches)[0].shape[0]
+        keys = jax.random.split(key, n_steps)
 
         def body(carry, inp):
             batch, k = inp
@@ -238,13 +261,15 @@ train_step = make_train_step
 
 
 def make_eval_fn(model: UNet2D, schedule: DiffusionSchedule,
-                 config: TrainConfig, probe_images: jnp.ndarray) -> Callable:
+                 config: TrainConfig, probe_images: jnp.ndarray,
+                 probe_labels: Optional[jnp.ndarray] = None) -> Callable:
     """Deterministic validation loss: params -> scalar.
 
     Scores UNWEIGHTED epsilon-MSE on a fixed probe — `eval_probe_images`
     images x `eval_t_points` timesteps stratified over [0, T) x noise fixed
     from PRNGKey(seed+0x5eed). Zero sampling variance between calls, so
-    best-checkpoint selection compares models, not timestep luck."""
+    best-checkpoint selection compares models, not timestep luck.
+    `probe_labels` (fixed (n_img,) ids) scores a conditional model."""
     ab = jnp.asarray(schedule.alphas_cumprod, jnp.float32)
     T = schedule.num_train_timesteps
     n_img = probe_images.shape[0]
@@ -260,7 +285,10 @@ def make_eval_fn(model: UNet2D, schedule: DiffusionSchedule,
             ab_t = ab[t_val]
             noisy = jnp.sqrt(ab_t) * probe_images + jnp.sqrt(1.0 - ab_t) * eps_t
             t_b = jnp.full((n_img,), t_val, jnp.int32)
-            pred = model.apply({"params": params}, noisy, t_b)
+            if probe_labels is not None:
+                pred = model.apply({"params": params}, noisy, t_b, probe_labels)
+            else:
+                pred = model.apply({"params": params}, noisy, t_b)
             return carry, jnp.mean((pred.astype(jnp.float32) - eps_t) ** 2)
 
         _, losses = jax.lax.scan(per_t, 0.0, (t_grid, eps))
@@ -379,21 +407,31 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
     eval_fn = None
     if config.eval_every > 0:
         n_probe = config.eval_probe_images
+        probe_labels = None
         imgs = getattr(dataset, "images", None)
         if imgs is not None:
             probe = jnp.asarray(np.asarray(imgs[:n_probe]))
+            labs = getattr(dataset, "labels", None)
+            if labs is not None and model.config.num_class_embeds:
+                probe_labels = jnp.asarray(np.asarray(labs[:n_probe], np.int32))
         else:
             # any dataset: materialize the probe from a dedicated rng stream
             probe_rng = np.random.default_rng(config.seed + 1)
-            chunks, have = [], 0
+            chunks, label_chunks, have = [], [], 0
             for b in dataset.batches(min(n_probe, config.batch_size),
                                      probe_rng):
+                if isinstance(b, (tuple, list)):   # labeled (imgs, labels)
+                    label_chunks.append(np.asarray(b[1], np.int32))
+                    b = b[0]
                 chunks.append(np.asarray(b))
                 have += len(chunks[-1])
                 if have >= n_probe:
                     break
             probe = jnp.asarray(np.concatenate(chunks)[:n_probe])
-        eval_fn = make_eval_fn(model, schedule, config, probe)
+            if label_chunks and model.config.num_class_embeds:
+                probe_labels = jnp.asarray(
+                    np.concatenate(label_chunks)[:n_probe])
+        eval_fn = make_eval_fn(model, schedule, config, probe, probe_labels)
 
     def select_best(epoch, improved_train, export_params):
         """True when export_params should become the best checkpoint."""
@@ -503,13 +541,21 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
                           else dataset.batches(config.batch_size, data_rng))
             for batch in prefetch(batch_iter):
                 key, sub = jax.random.split(key)
+                # labeled batches are (images, labels) tuples (conditional
+                # training) — apply the same placement to every element
+                parts = (tuple(batch) if isinstance(batch, (tuple, list))
+                         else (batch,))
                 if mesh is not None:
-                    batch = np.asarray(batch)
-                    if not dataset_slices and local_bounds is not None:
-                        batch = batch[local_bounds[0]:local_bounds[1]]
-                    batch = _mh.global_batch_array(batch, mesh)
+                    placed = []
+                    for part in parts:
+                        part = np.asarray(part)
+                        if not dataset_slices and local_bounds is not None:
+                            part = part[local_bounds[0]:local_bounds[1]]
+                        placed.append(_mh.global_batch_array(part, mesh))
+                    parts = tuple(placed)
                 else:
-                    batch = jnp.asarray(batch)
+                    parts = tuple(jnp.asarray(p) for p in parts)
+                batch = parts if len(parts) > 1 else parts[0]
                 state, loss = step_fn(state, batch, sub)
                 # keep the DEVICE value — a float() here would sync every step
                 # (one tunnel round-trip per step dominates small-model epochs);

@@ -63,6 +63,11 @@ def default_config() -> Dict[str, Any]:
             "ddim_eta": 0.0,
             "mesh_axes": {"data": -1},   # -1 = all available devices on 'data'
             "donate_sampler_state": True,
+            # class-conditional single-checkpoint mode (one
+            # unet_conditional_<variant>.pth serves every class) + CFG
+            # weight (0/1 = plain conditional; >1 = guided)
+            "conditional": False,
+            "guidance_scale": 0.0,
         },
         # --- XAI flag registry (reference XAI.py:183-272) ---
         "xai": {

@@ -38,7 +38,10 @@ class PathManager:
         classes = []
         for p in sorted(ckpt_dir.iterdir()):
             m = _CKPT_RE.match(p.name)
-            if m:
+            # 'conditional' is the reserved family name of the single
+            # class-conditional checkpoint (unet_conditional_<variant>.pth,
+            # ModelManager(conditional=True)) — never a per-class entry
+            if m and m.group("cls") != "conditional":
                 classes.append(m.group("cls"))
         # de-dup while keeping order (a class may have both .pth and .msgpack)
         seen: set = set()

@@ -4,8 +4,10 @@ This is the rebuild of the reference's XAI-as-a-script mode — `xai/XAI.py`
 executed as a subprocess by the GUI's XAIWorker (`main.py:62-127`), driven
 entirely by environment variables (`XAI_TARGET_CLASS`, `XAI_GENERATION_SEED`,
 `XAI_INFERENCE_STEPS`, `XAI_SAVE_EVERY_N`, `XAI_DDPM_MODEL_PATH`;
-`XAI.py:243-262,588,639`; extension: `XAI_MESH_DEVICES` shards the heavy
-attribution kernels over a device mesh): load the classifier and the
+`XAI.py:243-262,588,639`; extensions: `XAI_MESH_DEVICES` shards the heavy
+attribution kernels over a device mesh; `XAI_CONDITIONAL=1` +
+`XAI_GUIDANCE_SCALE` analyze the single class-conditional checkpoint's
+(optionally CFG-guided) trajectory): load the classifier and the
 target class's DDPM,
 re-denoise from the SAME seed saving every N-th frame (plus always the last
 and the absolute-t mode when save_every >= steps, `XAI.py:750-779`), then
@@ -45,6 +47,8 @@ def run_standalone_xai(target_class: str = "MEL",
                        with_gradcam: bool = True,
                        with_sanity: bool = True,
                        mesh=None,
+                       conditional: bool = False,
+                       guidance_scale: float = 0.0,
                        log=print) -> Optional[dict]:
     """Full standalone analysis; returns the pipeline results dict."""
     ckpt_dir = Path(checkpoints_dir) if checkpoints_dir else Path("checkpoints")
@@ -61,13 +65,19 @@ def run_standalone_xai(target_class: str = "MEL",
         classifier = LesionClassifier.random_init(num_classes=num_classes)
         log("[xai-standalone] classifier checkpoint missing — random init")
 
-    mm = ModelManager(checkpoints_dir=str(ckpt_dir), model_config=model_config)
+    # conditional mode: the single class-conditional checkpoint with an
+    # optional classifier-free-guidance weight (the trajectory then shows
+    # the GUIDED denoising process the production path actually runs)
+    mm = ModelManager(checkpoints_dir=str(ckpt_dir), model_config=model_config,
+                      conditional=conditional)
     ok = mm.load_model(target_class, checkpoint_path=ddpm_model_path)
     if not ok:
         log(f"[xai-standalone] no DDPM checkpoint for {target_class}")
         return None
 
-    sampler = mm.create_sampler(inference_steps)
+    sampler = mm.create_sampler(inference_steps,
+                                guidance_scale=guidance_scale)
+    labels = mm.class_id(target_class) if conditional else None
     if save_every > 0:
         # windowed capture streamed to host: only O(1) frames ever exist
         # on device, each saved frame offloads asynchronously while later
@@ -77,13 +87,15 @@ def run_standalone_xai(target_class: str = "MEL",
         out = sampler.sample(mm.loaded_params[target_class],
                              np.asarray([seed], np.uint32),
                              capture_trajectory=save_every,
-                             stream_to_host=True)
+                             stream_to_host=True,
+                             class_labels=labels)
         frames = np.asarray(out["trajectory"][:, 0])
         idx = out["save_indices"]
     else:
         out = sampler.sample(mm.loaded_params[target_class],
                              np.asarray([seed], np.uint32),
-                             capture_trajectory=True)
+                             capture_trajectory=True,
+                             class_labels=labels)
         idx = list(range(inference_steps))
         frames = np.asarray(out["trajectory"][:, 0])
     frame_ts = [float(out["timesteps"][i]) for i in idx]
@@ -128,9 +140,15 @@ def main() -> int:
         from ..parallel.mesh import create_mesh
 
         mesh = create_mesh({"data": n_mesh})
+    # XAI_CONDITIONAL=1 analyzes the single class-conditional checkpoint;
+    # XAI_GUIDANCE_SCALE>1 captures the CFG-guided trajectory
+    conditional = os.environ.get("XAI_CONDITIONAL", "") in ("1", "true", "yes")
+    guidance = float(os.environ.get("XAI_GUIDANCE_SCALE", "0") or 0.0)
     results = run_standalone_xai(target_class=target, seed=seed,
                                  inference_steps=steps, save_every=save_every,
-                                 ddpm_model_path=ddpm_path, mesh=mesh)
+                                 ddpm_model_path=ddpm_path, mesh=mesh,
+                                 conditional=conditional,
+                                 guidance_scale=guidance)
     return 0 if results is not None else 1
 
 

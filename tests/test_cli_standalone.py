@@ -108,3 +108,38 @@ def test_console_generator_dp_mesh_layout_independent(tmp_path):
         assert len(outs[tag]) == 8
     for a, b in zip(outs["single"], outs["mesh"]):
         assert a.read_bytes() == b.read_bytes(), a.name
+
+
+def test_standalone_xai_conditional(tmp_path):
+    """Conditional-family standalone XAI: the env-var subprocess protocol's
+    XAI_CONDITIONAL/XAI_GUIDANCE_SCALE path — analyze the single
+    class-conditional checkpoint's CFG-guided trajectory."""
+    import dataclasses
+
+    import jax
+
+    from synt_isic_tpu.io.convert import flax_to_torch
+    from synt_isic_tpu.io.pth import save_pth
+    from synt_isic_tpu.models.unet2d import UNet2D, init_unet_params
+
+    classes = ["MEL", "NV", "VASC"]
+    ckpt = tmp_path / "checkpoints"
+    ckpt.mkdir()
+    cond_cfg = dataclasses.replace(TINY_JAX, num_class_embeds=len(classes) + 1)
+    params = init_unet_params(UNet2D(config=cond_cfg), jax.random.PRNGKey(2))
+    host = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), params)
+    save_pth(flax_to_torch(host), str(ckpt / "unet_conditional_best.pth"))
+    (ckpt / "unet_conditional_best.json").write_text(json.dumps({
+        "classes": classes, "num_class_embeds": len(classes) + 1,
+        "null_label": len(classes)}))
+
+    results = run_standalone_xai(
+        target_class="NV", seed=5, inference_steps=4, save_every=2,
+        checkpoints_dir=str(ckpt), results_dir=str(tmp_path / "xai_out"),
+        model_config=TINY_JAX, ig_n_steps=2, shap_n_samples=4,
+        n_bootstrap=20, n_permutations=50, with_gradcam=False,
+        with_sanity=False, conditional=True, guidance_scale=2.0,
+        log=lambda *a: None)
+    assert results is not None
+    assert results["metadata"]["n_timesteps"] == 3
+    assert (tmp_path / "xai_out" / "analysis_results.json").exists()

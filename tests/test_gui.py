@@ -271,3 +271,134 @@ def test_variant_reset_when_checkpoints_vanish(window):
     assert mm.variant == "best"
     assert mm.checkpoint_path("MEL").name == "unet_MEL_best.pth"
     assert win.class_rows["NV"][0].isEnabled()
+
+# -- model-family selector (beyond-reference: conditional family) ---------------
+
+COND_CLASSES = ["MEL", "NV", "VASC"]
+
+
+def _write_conditional_checkpoint(ckpt_dir: Path, variant: str = "best",
+                                  seed: int = 0):
+    """Fabricate a tiny conditional checkpoint + its class metadata."""
+    import dataclasses
+
+    import jax
+    import numpy as np
+
+    from synt_isic_tpu.io.convert import flax_to_torch
+    from synt_isic_tpu.io.pth import save_pth
+    from synt_isic_tpu.models.unet2d import UNet2D, init_unet_params
+
+    cond_cfg = dataclasses.replace(TINY_JAX,
+                                   num_class_embeds=len(COND_CLASSES) + 1)
+    params = init_unet_params(UNet2D(config=cond_cfg),
+                              jax.random.PRNGKey(seed))
+    host = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), params)
+    save_pth(flax_to_torch(host), str(ckpt_dir / f"unet_conditional_{variant}.pth"))
+    (ckpt_dir / f"unet_conditional_{variant}.json").write_text(json.dumps({
+        "classes": COND_CLASSES,
+        "num_class_embeds": len(COND_CLASSES) + 1,
+        "null_label": len(COND_CLASSES)}))
+
+
+@pytest.fixture(scope="module")
+def cond_window(tmp_path_factory):
+    """Window over a checkpoints dir holding BOTH families: per-class
+    MEL/NV checkpoints and the single conditional checkpoint."""
+    base = tmp_path_factory.mktemp("gui_cond")
+    ckpt = base / "checkpoints"
+    ckpt.mkdir()
+    torch.manual_seed(1)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_MEL_best.pth")
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+    _write_conditional_checkpoint(ckpt)
+    from synt_isic_tpu.generator import ImageGenerator
+    cfg = ConfigManager(config_file=str(base / "config.json"),
+                        project_root=str(base))
+    gen = ImageGenerator(config=cfg, checkpoints_dir=str(ckpt),
+                         model_config=TINY_JAX)
+    win = SyntheticDataGeneratorWindow(
+        config=cfg, generator=gen, checkpoints_dir=str(ckpt),
+        output_dir=str(base / "generated"),
+        xai_results_dir=str(base / "xai_results"))
+    return win, base
+
+
+def _combo_items(combo):
+    if qt_compat.QT_BACKEND == "stub":
+        return list(combo._items)
+    return [combo.itemText(i) for i in range(combo.count())]
+
+
+def test_family_combo_offers_conditional_when_present(cond_window, window):
+    win, _ = cond_window
+    assert _combo_items(win.family_combo) == ["per-class", "conditional"]
+    assert win.family_combo.currentText() == "per-class"
+    assert not win.guidance_spin.isEnabled()
+    # the conditional checkpoint is NOT a per-class entry named 'conditional'
+    assert "conditional" not in win.generator.get_available_classes()
+    # a dir without a conditional checkpoint offers only the per-class family
+    plain_win, _ = window
+    assert _combo_items(plain_win.family_combo) == ["per-class"]
+
+
+def test_family_switch_to_conditional(cond_window):
+    win, _ = cond_window
+    win.guidance_spin.setValue(2.0)
+    win.family_combo.setCurrentText("conditional")
+    win._on_family_changed(1)
+    mm = win.generator.model_manager
+    assert mm.conditional
+    assert win.generator.guidance_scale == 2.0
+    assert win.guidance_spin.isEnabled()
+    # class availability follows the conditional checkpoint's metadata
+    for cls in COND_CLASSES:
+        assert win.class_rows[cls][0].isEnabled()
+    assert not win.class_rows["BCC"][0].isEnabled()
+    assert "Available models: 3" in win.available_models_label.text()
+
+
+@needs_stub
+def test_conditional_generation_mixed_classes(cond_window):
+    """End-to-end through the GUI worker: one conditional model, two
+    classes in one run (the per-class family would need two checkpoints)."""
+    win, base = cond_window
+    if not win.generator.model_manager.conditional:
+        win.family_combo.setCurrentText("conditional")
+        win._on_family_changed(1)
+    win.class_rows["MEL"][0].setChecked(True)
+    win.class_rows["MEL"][1].setValue(1)
+    win.class_rows["VASC"][0].setChecked(True)
+    win.class_rows["VASC"][1].setValue(1)
+    win.steps_spin.setValue(2)
+    win.seed_mode.setCurrentText("fixed")
+    win.seed_spin.setValue(3)
+    win.start_btn.click()
+    assert (base / "generated" / "MEL" / "ISIC_0000001.png").exists()
+    assert (base / "generated" / "VASC" / "ISIC_0000001.png").exists()
+    assert win.status_label.text().startswith("done:")
+
+
+def test_guidance_spin_live_updates_generator(cond_window):
+    win, _ = cond_window
+    if not win.generator.model_manager.conditional:
+        win.family_combo.setCurrentText("conditional")
+        win._on_family_changed(1)
+    win.guidance_spin.setValue(3.5)
+    assert win.generator.guidance_scale == 3.5
+
+
+def test_family_switch_back_to_per_class(cond_window):
+    win, _ = cond_window
+    if not win.generator.model_manager.conditional:
+        win.family_combo.setCurrentText("conditional")
+        win._on_family_changed(1)
+    win.family_combo.setCurrentText("per-class")
+    win._on_family_changed(0)
+    mm = win.generator.model_manager
+    assert not mm.conditional
+    assert not win.guidance_spin.isEnabled()
+    # per-class availability again: MEL/NV have checkpoints, VASC does not
+    assert win.class_rows["MEL"][0].isEnabled()
+    assert win.class_rows["NV"][0].isEnabled()
+    assert not win.class_rows["VASC"][0].isEnabled()

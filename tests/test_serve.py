@@ -221,6 +221,76 @@ def test_xai_requests_do_not_coalesce_with_plain():
     assert len(batch) == 1 and len(backlog) == 1
 
 
+def test_drain_batch_cross_class_only_when_conditional():
+    """Per-class serving never merges different classes (separate models);
+    conditional serving (ignore_class=True) merges them — one model,
+    per-image labels, one mixed device batch."""
+    q = queue.Queue()
+    backlog = deque()
+    q.put(_req(**{"class": "MEL", "count": 2}))
+    batch = drain_batch(q, _req(count=1), max_batch=64, backlog=backlog)
+    assert len(batch) == 1 and len(backlog) == 1  # default: no cross-class
+
+    q = queue.Queue()
+    backlog = deque()
+    q.put(_req(**{"class": "MEL", "count": 2}))
+    q.put(_req(**{"class": "VASC", "count": 1, "steps": 7}))  # other steps
+    batch = drain_batch(q, _req(count=1), max_batch=64, backlog=backlog,
+                        ignore_class=True)
+    assert [r.payload["class"] for r in batch] == ["NV", "MEL"]
+    assert len(backlog) == 1  # differing steps still never merge
+
+
+def test_conditional_server_coalesces_across_classes(tmp_path_factory):
+    """Live conditional server: concurrent seedless requests for DIFFERENT
+    classes run as ONE mixed-class device batch (coalesced=2) and each
+    client gets its own class's files."""
+    import dataclasses
+
+    import jax
+    from synt_isic_tpu.io.convert import flax_to_torch
+    from synt_isic_tpu.io.pth import save_pth
+    from synt_isic_tpu.models.unet2d import UNet2D, init_unet_params
+
+    classes = ["MEL", "NV"]
+    cond_cfg = dataclasses.replace(TINY_JAX, num_class_embeds=len(classes) + 1)
+    model = UNet2D(config=cond_cfg)
+    params = init_unet_params(model, jax.random.PRNGKey(0))
+    ckpt = tmp_path_factory.mktemp("cond_serve_ckpt")
+    host = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), params)
+    save_pth(flax_to_torch(host), str(ckpt / "unet_conditional_best.pth"))
+    (ckpt / "unet_conditional_best.json").write_text(json.dumps({
+        "classes": classes, "num_class_embeds": len(classes) + 1,
+        "null_label": len(classes)}))
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX,
+                         conditional=True)
+    gen.set_inference_steps(3)
+    out_root = tmp_path_factory.mktemp("cond_serve_out")
+    srv = GenerationServer(gen, port=0, output_root=str(out_root))
+    # drive the worker path directly (no TCP/thread races): both requests
+    # are pending before the drain, exactly the burst scenario
+    out_dir = str(out_root / "mixed_run")
+    r_mel = _Request({"op": "generate", "class": "MEL", "count": 1,
+                      "output_dir": out_dir, "postprocess": False})
+    r_nv = _Request({"op": "generate", "class": "NV", "count": 2,
+                     "output_dir": out_dir, "postprocess": False})
+    srv._queue.put(r_nv)
+    batch = drain_batch(srv._queue, r_mel, srv.max_batch,
+                        ignore_class=gen.model_manager.conditional)
+    assert [r.payload["class"] for r in batch] == ["MEL", "NV"]
+    srv._run_batch(batch)
+    assert r_mel.response["ok"] and r_mel.response["coalesced"] == 2
+    assert r_nv.response["ok"] and r_nv.response["coalesced"] == 2
+    assert [Path(f).name for f in r_mel.response["files"]] == ["ISIC_0000001.png"]
+    assert [Path(f).name for f in r_nv.response["files"]] == [
+        "ISIC_0000001.png", "ISIC_0000002.png"]
+    for r, cls in [(r_mel, "MEL"), (r_nv, "NV")]:
+        assert r.response["class"] == cls
+        for f in r.response["files"]:
+            assert f"/{cls}/" in f and Path(f).exists()
+
+
 def _lite_server(tmp_path_factory, name="ckpt_lane", **kwargs):
     ckpt = tmp_path_factory.mktemp(name)
     torch.manual_seed(0)
