@@ -47,6 +47,10 @@ DISTILLED = dict(scheduler="ddim", steps=8, batch=128, spacing="trailing")
 # cost of guided sampling (throughput is weight-independent; the quality
 # evidence is scripts/e2e_conditional.py -> artifacts/e2e_conditional/)
 CONDITIONAL = dict(scheduler="ddim", steps=50, batch=128, guidance=2.0)
+# UniPC predictor-corrector at T=20 trailing: measured on the e2e-r5
+# checkpoint at near-DDIM-50 quality (Frechet 2.62 vs 2.48) — the
+# quality-matched fast production rung (artifacts/sampler_ladder_unipc.json)
+UNIPC = dict(scheduler="unipc", steps=20, batch=128, spacing="trailing")
 
 
 def bench_tpu(scheduler: str, steps: int, batch: int,
@@ -218,6 +222,10 @@ def main() -> None:
     except Exception:
         conditional_ips = float("nan")
     try:
+        unipc_ips = bench_tpu(**UNIPC)
+    except Exception:
+        unipc_ips = float("nan")
+    try:
         per_step = torch_cpu_per_step_seconds()
         base_headline = 1.0 / (per_step * HEADLINE["steps"])  # b=1, like the ref
         base_research = 1.0 / (per_step * RESEARCH["steps"])
@@ -251,6 +259,10 @@ def main() -> None:
             "ddim_T8_note": "progressive-distillation student config "
                             "(train/distill.py); quality evidence: "
                             "scripts/distill_ladder.py",
+            "unipc_T20_trailing_b128_images_per_sec": round(unipc_ips, 4),
+            "unipc_note": "predictor-corrector at near-DDIM-50 quality "
+                          "(Frechet 2.62 vs 2.48 on the e2e checkpoint, "
+                          "artifacts/sampler_ladder_unipc.json)",
             "ddim_T50_b128_cfg2_images_per_sec": round(conditional_ips, 4),
             "cfg2_note": "class-conditional model, classifier-free guidance "
                          "g=2 (cond+null as ONE 2B-batched forward); quality "

@@ -45,6 +45,13 @@ DEFAULT_GRID = (
     ("dpm_solver", 20, "trailing"),
     ("dpm_solver", 10),
     ("dpm_solver", 10, "trailing"),
+    # predictor-corrector: higher oracle accuracy than DPM-Solver++(2M)
+    # at equal model evals on the trailing grid (tests/test_unipc.py);
+    # built for trailing — skip leading rungs below ~20 steps (unipc.py)
+    ("unipc", 50, "trailing"),
+    ("unipc", 20, "trailing"),
+    ("unipc", 10, "trailing"),
+    ("unipc", 8, "trailing"),
     # stochastic multistep: targets the ancestral rung's texture quality
     # (DDPM-250 wins the deterministic ladder outright) at few-step cost
     ("dpm_solver_sde", 50, "trailing"),
@@ -147,6 +154,10 @@ def main() -> int:
     p.add_argument("--heldout", type=int, default=128)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--configs", default=None, metavar="SPEC",
+                   help="comma-separated subset grid 'scheduler:steps"
+                        "[:spacing]' (e.g. 'ddim:50:trailing,unipc:8:"
+                        "trailing') instead of the full default ladder")
     args = p.parse_args()
     if args.cpu:
         import jax
@@ -154,9 +165,16 @@ def main() -> int:
     else:
         from synt_isic_tpu.utils.compute import enable_compilation_cache
         enable_compilation_cache()
+    grid = DEFAULT_GRID
+    if args.configs:
+        grid = []
+        for spec in args.configs.split(","):
+            parts = spec.strip().split(":")
+            grid.append((parts[0], int(parts[1])) if len(parts) == 2
+                        else (parts[0], int(parts[1]), parts[2]))
     run_ladder(args.checkpoints, args.out, class_name=args.class_name,
                size=args.size, count=args.count, heldout=args.heldout,
-               seed=args.seed)
+               seed=args.seed, grid=grid)
     return 0
 
 

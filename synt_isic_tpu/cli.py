@@ -185,7 +185,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="inference steps (1-1000)")
     p.add_argument("--batch", type=int, default=8, help="device batch size")
     p.add_argument("--scheduler",
-                   choices=["ddpm", "ddim", "dpm_solver", "dpm_solver_sde"],
+                   choices=["ddpm", "ddim", "dpm_solver", "dpm_solver_sde", "unipc"],
                    default="ddpm")
     p.add_argument("--timestep-spacing", choices=["leading", "trailing"],
                    default="leading",

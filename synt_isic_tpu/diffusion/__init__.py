@@ -9,6 +9,7 @@ from .schedules import (
 from .ddpm import DDPMParams, ddpm_step, add_noise
 from .ddim import ddim_step
 from .dpm import DPMSolverParams, dpm_solver_step
+from .unipc import UniPCParams, unipc_step
 from .sampler import DiffusionSampler, SamplerConfig
 
 __all__ = [
@@ -24,6 +25,8 @@ __all__ = [
     "ddim_step",
     "DPMSolverParams",
     "dpm_solver_step",
+    "UniPCParams",
+    "unipc_step",
     "DiffusionSampler",
     "SamplerConfig",
 ]

@@ -34,12 +34,13 @@ from .ddim import DDIMParams, ddim_step
 from .ddpm import DDPMParams, ddpm_step
 from .dpm import DPMSolverParams, dpm_solver_step
 from .schedules import DiffusionSchedule
+from .unipc import UniPCParams, unipc_step
 
 
 @dataclasses.dataclass(frozen=True)
 class SamplerConfig:
     num_inference_steps: int = 50
-    scheduler: str = "ddpm"   # ddpm | ddim | dpm_solver | dpm_solver_sde
+    scheduler: str = "ddpm"   # ddpm | ddim | dpm_solver | dpm_solver_sde | unipc
     ddim_eta: float = 0.0
     image_size: int = 128
     channels: int = 3
@@ -59,7 +60,8 @@ class SamplerConfig:
     guidance_scale: float = 0.0
 
     def __post_init__(self):
-        if self.scheduler not in ("ddpm", "ddim", "dpm_solver", "dpm_solver_sde"):
+        if self.scheduler not in ("ddpm", "ddim", "dpm_solver",
+                                  "dpm_solver_sde", "unipc"):
             raise ValueError(f"unknown scheduler: {self.scheduler}")
         if self.timestep_spacing not in ("leading", "trailing"):
             raise ValueError(f"unknown timestep_spacing: {self.timestep_spacing!r}")
@@ -145,6 +147,11 @@ class DiffusionSampler:
                                                  timestep_spacing=config.timestep_spacing,
                                                  sde=config.scheduler == "dpm_solver_sde")
             self._step = None  # multistep: stepped via dpm_solver_step in _build
+        elif config.scheduler == "unipc":
+            self.params = UniPCParams.create(schedule, config.num_inference_steps,
+                                             clip_sample=config.clip_sample,
+                                             timestep_spacing=config.timestep_spacing)
+            self._step = None  # multistep: stepped via unipc_step in _build
         else:
             self.params = DDIMParams.create(schedule, config.num_inference_steps,
                                             eta=config.ddim_eta,
@@ -152,7 +159,12 @@ class DiffusionSampler:
                                             timestep_spacing=config.timestep_spacing)
             self._step = ddim_step
         self.timesteps = np.asarray(self.params.timesteps)
-        self._multistep = config.scheduler.startswith("dpm_solver")
+        # scan-carry family: 'simple' carries x; 'dpm' carries (x, x0_prev);
+        # 'unipc' carries (x_pred, x_prev_corrected, x0_prev)
+        self._family = ("unipc" if config.scheduler == "unipc"
+                        else "dpm" if config.scheduler.startswith("dpm_solver")
+                        else "simple")
+        self._multistep = self._family != "simple"
         self._compiled: Dict[Tuple[int, bool], Callable] = {}
         self._stream_compiled: Dict[int, Callable] = {}
 
@@ -209,17 +221,22 @@ class DiffusionSampler:
         shape = (cfg.image_size, cfg.image_size, cfg.channels)
 
         # dpm_solver threads the previous x0 prediction through the scan
-        # carry (second-order multistep); ddpm/ddim carry only x. The SDE
-        # variant additionally draws per-step noise from the same
-        # fold_in(seed, k+1) streams as ancestral DDPM, so batching and
+        # carry (second-order multistep); unipc additionally threads the
+        # corrected previous sample (predictor-corrector); ddpm/ddim carry
+        # only x. The SDE variant additionally draws per-step noise from the
+        # same fold_in(seed, k+1) streams as ancestral DDPM, so batching and
         # sharding never change results.
-        multistep = cfg.scheduler.startswith("dpm_solver")
+        family = self._family
 
         def init_carry(x):
-            return (x, jnp.zeros_like(x)) if multistep else x
+            if family == "dpm":
+                return (x, jnp.zeros_like(x))
+            if family == "unipc":
+                return (x, x, jnp.zeros_like(x))
+            return x
 
         def carry_x(carry):
-            return carry[0] if multistep else carry
+            return carry[0] if family != "simple" else carry
 
         def posterior_noise(keys, k):
             if cfg.deterministic_posterior:
@@ -234,7 +251,9 @@ class DiffusionSampler:
             x = carry_x(carry)
             t = sched.timesteps[k]
             eps = predict(model_params, x, jnp.broadcast_to(t, (batch,)), labels)
-            if multistep:
+            if family == "unipc":
+                return unipc_step(carry[0], carry[1], carry[2], eps, k, sched)
+            if family == "dpm":
                 z = posterior_noise(keys, k) if sched.sde else None
                 return dpm_solver_step(carry[0], carry[1], eps, k, sched, z)
             return step_fn(x, eps, k, sched, posterior_noise(keys, k))
@@ -324,12 +343,12 @@ class DiffusionSampler:
             cfg = self.config
             sched = self.params
             step_fn = self._step
-            multistep = self._multistep
+            family = self._family
             shape = (cfg.image_size, cfg.image_size, cfg.channels)
             predict = self._make_predict()
 
             def advance(carry, k, model_params, keys, labels):
-                x = carry[0] if multistep else carry
+                x = carry[0] if family != "simple" else carry
                 t = sched.timesteps[k]
                 eps = predict(model_params, x, jnp.broadcast_to(t, (batch,)),
                               labels)
@@ -339,7 +358,9 @@ class DiffusionSampler:
                     noise = jax.vmap(
                         lambda key: jax.random.normal(jax.random.fold_in(key, k + 1),
                                                       shape, cfg.dtype))(keys)
-                if multistep:
+                if family == "unipc":
+                    return unipc_step(carry[0], carry[1], carry[2], eps, k, sched)
+                if family == "dpm":
                     z = noise if sched.sde else None
                     return dpm_solver_step(carry[0], carry[1], eps, k, sched, z)
                 return step_fn(x, eps, k, sched, noise)
@@ -349,7 +370,7 @@ class DiffusionSampler:
                     return advance(c, k, model_params, keys, labels), None
 
                 carry, _ = jax.lax.scan(body, carry, start + jnp.arange(length))
-                x = carry[0] if multistep else carry
+                x = carry[0] if family != "simple" else carry
                 return carry, x.astype(jnp.float32)
 
             # no donation: the first segment's carry aliases the caller's
@@ -374,8 +395,10 @@ class DiffusionSampler:
         segments = [(bounds[i] + 1, bounds[i + 1] - bounds[i])
                     for i in range(len(saves))]
         seg = self._get_stream(int(seeds_arr.shape[0]))
-        carry = ((noise.astype(cfg.dtype), jnp.zeros_like(noise, cfg.dtype))
-                 if self._multistep else noise.astype(cfg.dtype))
+        xi = noise.astype(cfg.dtype)
+        carry = ((xi, jnp.zeros_like(xi)) if self._family == "dpm"
+                 else (xi, xi, jnp.zeros_like(xi)) if self._family == "unipc"
+                 else xi)
         frames = []
         for start, length in segments:
             if self.conditional:

@@ -781,7 +781,7 @@ def main(argv=None) -> int:
                         "the sampler to ddim/trailing (their training grid) "
                         "unless --scheduler/--timestep-spacing say otherwise")
     p.add_argument("--scheduler",
-                   choices=("ddpm", "ddim", "dpm_solver", "dpm_solver_sde"),
+                   choices=("ddpm", "ddim", "dpm_solver", "dpm_solver_sde", "unipc"),
                    default=None,
                    help="sampler for the main generator (default: ddpm = "
                         "reference parity; ddim for distill* variants)")

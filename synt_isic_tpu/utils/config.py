@@ -59,7 +59,7 @@ def default_config() -> Dict[str, Any]:
         # --- TPU-native additions (not in reference) ---
         "compute": {
             "dtype": "float32",          # sampler compute dtype: float32 | bfloat16
-            "scheduler": "ddpm",   # ddpm | ddim | dpm_solver | dpm_solver_sde
+            "scheduler": "ddpm",   # ddpm | ddim | dpm_solver | dpm_solver_sde | unipc
             "ddim_eta": 0.0,
             "mesh_axes": {"data": -1},   # -1 = all available devices on 'data'
             "donate_sampler_state": True,

@@ -31,9 +31,10 @@ def test_sampler_ladder_smoke(tmp_path):
 
     report = run_ladder(str(ckpt_dir), str(tmp_path / "ladder.json"),
                         size=32, count=2, heldout=8, seed=3,
-                        grid=(("ddim", 3), ("dpm_solver", 2)),
+                        grid=(("ddim", 3), ("dpm_solver", 2),
+                              ("unipc", 3, "trailing")),
                         model_config=TINY32, log=lambda *a: None)
-    assert len(report["rungs"]) == 2
+    assert len(report["rungs"]) == 3
     for r in report["rungs"]:
         assert np.isfinite(r["frechet_vs_heldout"])
         assert r["img_per_s"] > 0
