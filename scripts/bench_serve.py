@@ -135,6 +135,17 @@ def main() -> int:
                         "per class). Fabricated mode writes a random-weight "
                         "conditional checkpoint")
     p.add_argument("--guidance-scale", type=float, default=0.0)
+    p.add_argument("--spread-classes", type=int, default=1, metavar="N",
+                   help="per-class BASELINE for the conditional comparison: "
+                        "fabricate N per-class checkpoints (same weights) "
+                        "and spread clients across them — different-class "
+                        "requests then hit separate models and cannot "
+                        "coalesce (measures what the conditional server's "
+                        "mixed-class batching buys)")
+    p.add_argument("--warm-rounds", type=int, default=0, metavar="N",
+                   help="fire the identical client burst N times untimed "
+                        "first, so the measured round is free of first-jit "
+                        "for the coalesced block shapes")
     args = p.parse_args()
 
     import jax
@@ -180,6 +191,12 @@ def main() -> int:
                                       jax.random.PRNGKey(0))
             save_checkpoint_torch_format(params,
                                          str(ckpt_dir / "unet_NV_best.pth"))
+            # per-class baseline for the conditional comparison: the same
+            # weights under several class names — different-class requests
+            # then hit SEPARATE models and can never share a device batch
+            for extra in ("MEL", "VASC")[:max(0, args.spread_classes - 1)]:
+                save_checkpoint_torch_format(
+                    params, str(ckpt_dir / f"unet_{extra}_best.pth"))
             if args.fast_variant:
                 save_checkpoint_torch_format(
                     params, str(ckpt_dir / f"unet_NV_{args.fast_variant}.pth"))
@@ -236,7 +253,8 @@ def main() -> int:
     # conditional serving: every client asks for a different class — the
     # server coalesces them into mixed-label device batches (one dispatch);
     # a per-class server would need one dispatch per class
-    all_classes = (gen.get_available_classes() if args.conditional else [cls])
+    all_classes = (gen.get_available_classes()
+                   if args.conditional or args.spread_classes > 1 else [cls])
 
     def go(i=0):
         results.append(request(
@@ -245,17 +263,31 @@ def main() -> int:
                          "count": args.count, "postprocess": False},
             timeout=3600))
 
-    threads = [threading.Thread(target=go, args=(i,))
-               for i in range(args.clients)]
-    t0 = time.time()
-    for t in threads:
-        t.start()
-    for t in threads:
-        t.join()
-    dt = time.time() - t0
+    def burst():
+        threads = [threading.Thread(target=go, args=(i,))
+                   for i in range(args.clients)]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        return time.time() - t0
+
+    if args.warm_rounds:
+        # fire the identical burst first so the timed round measures the
+        # serving path, not first-jit of whatever block shapes the
+        # coalescer produced (coalesced sizes depend on arrival order, so
+        # a plain per-class warmup op cannot pre-build them)
+        for _ in range(args.warm_rounds):
+            burst()
+            print(f"warm round done ({len(results)} replies)", flush=True)
+            results.clear()
+    dt = burst()
     n = sum(len(r.get("files", [])) for r in results)
     ok = all(r.get("ok") for r in results)
-    kind = "conditional mixed-class" if args.conditional else "single-class"
+    kind = ("conditional mixed-class" if args.conditional
+            else "per-class spread" if args.spread_classes > 1
+            else "single-class")
     print(f"served {n} images in {dt:.1f}s = {n / dt:.2f} img/s "
           f"(ok={ok}, coalesced={sorted(r.get('coalesced', 0) for r in results)}, "
           f"{args.clients} clients x {args.count} [{kind}], "
@@ -265,7 +297,9 @@ def main() -> int:
     print(json.dumps({
         "metric": f"served_images_per_sec_{args.scheduler}_T{args.steps}"
                   f"_c{args.clients}x{args.count}"
-                  + ("_conditional_mixed" if args.conditional else ""),
+                  + ("_conditional_mixed" if args.conditional
+                     else "_perclass_spread" if args.spread_classes > 1
+                     else ""),
         "value": round(n / dt, 3), "unit": "images/sec", "ok": ok,
         "coalesced": sorted(r.get("coalesced", 0) for r in results)}))
     srv.stop()

@@ -194,6 +194,18 @@ class SyntheticDataGeneratorWindow(QMainWindow):
         self.guidance_spin.setValue(float(self.generator.guidance_scale))
         self.guidance_spin.setEnabled(False)
         self.guidance_spin.valueChanged.connect(self._on_guidance_changed)
+        # beyond-reference: sampler selector (the reference is DDPM-only) —
+        # measured recommendations per rung in BENCHMARKS.md; pair the
+        # multistep solvers' few-step configs with trailing spacing
+        self.sampler_combo = QComboBox()
+        self.sampler_combo.addItems(["ddpm", "ddim", "dpm_solver",
+                                     "dpm_solver_sde", "unipc"])
+        self.sampler_combo.setCurrentText(self.generator.scheduler_kind)
+        self.sampler_combo.currentIndexChanged.connect(self._on_sampler_changed)
+        self.spacing_combo = QComboBox()
+        self.spacing_combo.addItems(["leading", "trailing"])
+        self.spacing_combo.setCurrentText(self.generator.timestep_spacing)
+        self.spacing_combo.currentIndexChanged.connect(self._on_sampler_changed)
         grid.addWidget(QLabel("Checkpoints:"), 0, 0)
         grid.addWidget(self.ckpt_edit, 0, 1)
         grid.addWidget(ckpt_btn, 0, 2)
@@ -221,6 +233,13 @@ class SyntheticDataGeneratorWindow(QMainWindow):
         grid.addWidget(self.family_combo, 3, 1)
         grid.addWidget(QLabel("CFG scale:"), 3, 2)
         grid.addWidget(self.guidance_spin, 3, 3)
+        grid.addWidget(QLabel("Sampler:"), 3, 4)
+        sampler_row = QHBoxLayout()
+        sampler_row.addWidget(self.sampler_combo)
+        sampler_row.addWidget(self.spacing_combo)
+        sampler_holder = QWidget()
+        sampler_holder.setLayout(sampler_row)
+        grid.addWidget(sampler_holder, 3, 5)
         root.addWidget(top)
 
         split = QSplitter(Qt.Horizontal)
@@ -494,6 +513,13 @@ class SyntheticDataGeneratorWindow(QMainWindow):
         if self.generator.model_manager.conditional:
             self.generator.guidance_scale = float(value)
 
+    def _on_sampler_changed(self, idx: int):
+        # scheduler kind + spacing are read per sampling call (cached
+        # per-key executables), so live updates are safe mid-session
+        self.generator.scheduler_kind = self.sampler_combo.currentText() or "ddpm"
+        self.generator.timestep_spacing = (self.spacing_combo.currentText()
+                                           or "leading")
+
     def _rebuild_generator(self, conditional: bool, variant: str = "best"):
         """Swap the backing ImageGenerator (family or conditional-variant
         switch). Settings that live on the window (steps, seed, XAI) are
@@ -519,8 +545,10 @@ class SyntheticDataGeneratorWindow(QMainWindow):
             f"model family -> {'conditional' if conditional else 'per-class'}"
             + (f" (CFG scale {self.guidance_spin.value():g})"
                if conditional else ""))
-        # re-apply the device/mesh selection to the fresh generator
+        # re-apply the device/mesh selection and the window's sampler
+        # choice to the fresh generator (it booted on the config default)
         self._on_device_changed(self.device_combo.currentIndex())
+        self._on_sampler_changed(0)
         self._refresh_classes()
         self._update_config_info()
 

@@ -402,3 +402,40 @@ def test_family_switch_back_to_per_class(cond_window):
     assert win.class_rows["MEL"][0].isEnabled()
     assert win.class_rows["NV"][0].isEnabled()
     assert not win.class_rows["VASC"][0].isEnabled()
+
+
+def test_sampler_selector_live_and_survives_family_switch(cond_window):
+    """Beyond-reference sampler selector: the combo updates the generator's
+    scheduler kind + timestep spacing live, generation runs with a
+    non-default sampler, and the choice survives a family switch (the
+    rebuilt generator boots on the config default)."""
+    win, base = cond_window
+    win.sampler_combo.setCurrentText("unipc")
+    win.spacing_combo.setCurrentText("trailing")
+    win._on_sampler_changed(0)
+    assert win.generator.scheduler_kind == "unipc"
+    assert win.generator.timestep_spacing == "trailing"
+
+    # a family switch rebuilds the generator — the window's sampler choice
+    # must be re-applied, not silently reset to the config default
+    want = "per-class" if win.generator.model_manager.conditional else "conditional"
+    win.family_combo.setCurrentText(want)
+    win._on_family_changed(0)
+    assert win.generator.scheduler_kind == "unipc"
+    assert win.generator.timestep_spacing == "trailing"
+
+    # and a generation actually samples through the selected scheduler
+    win.class_rows["MEL"][0].setChecked(True)
+    win.class_rows["MEL"][1].setValue(1)
+    for other in ("NV", "VASC"):
+        win.class_rows[other][0].setChecked(False)
+    win.out_edit.setText(str(base / "gen_unipc"))
+    win.steps_spin.setValue(3)
+    win.seed_mode.setCurrentText("fixed")
+    win.seed_spin.setValue(9)
+    win.start_btn.click()
+    assert (base / "gen_unipc" / "MEL" / "ISIC_0000001.png").exists()
+    sidecar = json.loads(
+        (base / "gen_unipc" / "MEL" / "ISIC_0000001.json").read_text())
+    assert sidecar["scheduler"]["kind"] == "unipc"
+    assert sidecar["scheduler"]["timestep_spacing"] == "trailing"
