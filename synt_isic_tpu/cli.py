@@ -291,6 +291,10 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
             # the original sampled with bf16-exponential attention — bytes
             # only match when the regeneration does too
             gen.model_manager.set_attention_tuning(fast_math=True)
+        if sched.get("png_compress_level") is not None:
+            # PNG bytes depend on the zlib level the original was encoded
+            # with (pixels are identical either way)
+            gen.png_compress_level = int(sched["png_compress_level"])
         ok, _ = gen.generate_single_image(cls, out_path,
                                           postprocess=postprocess,
                                           seed=int(seed))

@@ -87,6 +87,13 @@ class ImageGenerator:
             logger=self.logger, device=device, dtype=compute_dtype,
             model_config=model_config, variant=model_variant,
             conditional=conditional)
+        # PNG encode speed knob (None = PIL default = reference parity).
+        # Level 1 is ~3x faster on lesion-like images — the write stage
+        # bounds few-step production throughput on a 1-core host. Changes
+        # PNG bytes, so it is recorded in sidecars and honored by
+        # --reproduce (same contract pattern as dtype / fast_math).
+        self.png_compress_level: Optional[int] = (
+            config.get("compute.png_compress_level", None) if config else None)
 
         self.inference_steps = int(config.get_generation_param("inference_timesteps")) \
             if config else 50
@@ -266,7 +273,8 @@ class ImageGenerator:
             arr = apply_color_postprocessing(
                 arr, self.color_statistics.get(class_name))
         from PIL import Image as PILImage
-        save_image(PILImage.fromarray(arr), output_path)
+        save_image(PILImage.fromarray(arr), output_path,
+                   png_compress_level=self.png_compress_level)
         write_sidecar_metadata(
             output_path, class_name=class_name, seed=seed,
             inference_steps=self.inference_steps,
@@ -300,6 +308,11 @@ class ImageGenerator:
                 **({"conditional": True,
                     "guidance_scale": self.guidance_scale}
                    if self.model_manager.conditional else {}),
+                # non-default PNG encoder settings change output BYTES —
+                # recorded ONLY when set so pre-existing sidecars stay
+                # byte-identical (reproduce rebuilds with the same level)
+                **({"png_compress_level": int(self.png_compress_level)}
+                   if self.png_compress_level is not None else {}),
             })
 
     def generate_images(self, class_configs: List[Tuple[str, int]],

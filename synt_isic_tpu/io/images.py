@@ -27,11 +27,20 @@ def tensor_to_pil(image: np.ndarray) -> Image.Image:
     return Image.fromarray((arr * 255.0).astype(np.uint8))
 
 
-def save_image(image: np.ndarray, path: str, quality: int = 95) -> None:
+def save_image(image: np.ndarray, path: str, quality: int = 95,
+               png_compress_level: Optional[int] = None) -> None:
+    """`png_compress_level` (0-9, None = PIL default 6) trades PNG size for
+    encode speed: level 1 measures ~3x faster on lesion-like images on this
+    host and the write stage bounds production throughput at few-step
+    sampler configs. It changes the PNG's BYTES (not pixels), so callers
+    that set it must record it for the byte-identity reproduce contract
+    (ImageGenerator writes it into the sidecar scheduler block)."""
     pil = tensor_to_pil(image) if not isinstance(image, Image.Image) else image
     path = str(path)
     if path.lower().endswith((".jpg", ".jpeg")):
         pil.save(path, quality=quality)
+    elif png_compress_level is not None:
+        pil.save(path, compress_level=int(png_compress_level))
     else:
         pil.save(path)
 

@@ -780,6 +780,12 @@ def main(argv=None) -> int:
                         "recorded in sidecars). Distilled variants default "
                         "the sampler to ddim/trailing (their training grid) "
                         "unless --scheduler/--timestep-spacing say otherwise")
+    p.add_argument("--png-compress-level", type=int, default=None,
+                   metavar="0-9", choices=range(10),
+                   help="zlib level for PNG artifacts (default: PIL's 6). "
+                        "Level 1 encodes ~3x faster — the write stage "
+                        "bounds few-step throughput on 1-core hosts. "
+                        "Recorded in sidecars; --reproduce honors it")
     p.add_argument("--scheduler",
                    choices=("ddpm", "ddim", "dpm_solver", "dpm_solver_sde", "unipc"),
                    default=None,
@@ -833,6 +839,8 @@ def main(argv=None) -> int:
                                             else gen.scheduler_kind)
     gen.timestep_spacing = args.timestep_spacing or (
         "trailing" if is_distilled else gen.timestep_spacing)
+    if args.png_compress_level is not None:
+        gen.png_compress_level = args.png_compress_level
     if is_distilled and (args.scheduler is None
                          or args.timestep_spacing is None):
         print(f"model variant {args.model_variant}: sampler defaults set "

@@ -214,3 +214,45 @@ def test_reproduce_honors_model_variant(tmp_path):
         "NV", str(tmp_path / "best.png"), postprocess=False, seed=meta["seed"])
     assert ok
     assert (tmp_path / "best.png").read_bytes() != img_path.read_bytes()
+
+
+def test_reproduce_honors_png_compress_level(tmp_path):
+    """A non-default PNG zlib level changes the file's BYTES (not pixels);
+    the sidecar records it and reproduce re-encodes with the same level so
+    byte-identity holds. Default-level sidecars carry no such field
+    (pre-existing sidecars stay byte-identical)."""
+    from PIL import Image
+
+    from synt_isic_tpu.cli import reproduce_from_sidecar
+
+    ckpt = tmp_path / "checkpoints"
+    ckpt.mkdir()
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen.set_inference_steps(3)
+    gen.set_generation_seed(41)
+    gen.png_compress_level = 1
+    gen.generate_images([("NV", 1)], str(tmp_path / "fast"), postprocess=False)
+    fast_png = tmp_path / "fast" / "NV" / "ISIC_0000001.png"
+    meta = json.loads(fast_png.with_suffix(".json").read_text())
+    assert meta["scheduler"]["png_compress_level"] == 1
+
+    # same image at the default level: identical pixels, different bytes
+    gen2 = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen2.set_inference_steps(3)
+    gen2.set_generation_seed(41)
+    gen2.generate_images([("NV", 1)], str(tmp_path / "dflt"), postprocess=False)
+    dflt_png = tmp_path / "dflt" / "NV" / "ISIC_0000001.png"
+    dflt_meta = json.loads(dflt_png.with_suffix(".json").read_text())
+    assert "png_compress_level" not in dflt_meta["scheduler"]
+    np.testing.assert_array_equal(np.asarray(Image.open(fast_png)),
+                                  np.asarray(Image.open(dflt_png)))
+    assert fast_png.read_bytes() != dflt_png.read_bytes()
+
+    # reproduce rebuilds with the recorded level -> byte-identity
+    rc = reproduce_from_sidecar(str(fast_png.with_suffix(".json")), str(ckpt),
+                                output=str(tmp_path / "redo.png"),
+                                postprocess=False, model_config=TINY_JAX)
+    assert rc == 0
