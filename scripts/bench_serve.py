@@ -194,7 +194,12 @@ def main() -> int:
             # per-class baseline for the conditional comparison: the same
             # weights under several class names — different-class requests
             # then hit SEPARATE models and can never share a device batch
-            for extra in ("MEL", "VASC")[:max(0, args.spread_classes - 1)]:
+            from synt_isic_tpu.train.data import CLASS_NAMES
+            extras = [c for c in CLASS_NAMES if c != "NV"]
+            if args.spread_classes - 1 > len(extras):
+                print(f"--spread-classes capped at {len(extras) + 1} "
+                      f"(the {len(CLASS_NAMES)} ISIC classes)", flush=True)
+            for extra in extras[:max(0, args.spread_classes - 1)]:
                 save_checkpoint_torch_format(
                     params, str(ckpt_dir / f"unet_{extra}_best.pth"))
             if args.fast_variant:

@@ -65,8 +65,8 @@ class ImageGenerator:
                  compute_dtype=jnp.float32,
                  model_config=None,
                  model_variant: str = "best",
-                 conditional: bool = False,
-                 guidance_scale: float = 0.0):
+                 conditional: Optional[bool] = None,
+                 guidance_scale: Optional[float] = None):
         self.config = config
         project_root = config.project_root if config else None
         self.path_manager = PathManager(project_root)
@@ -76,12 +76,18 @@ class ImageGenerator:
         self.cache_manager = CacheManager(cache_dir) if cache_dir else None
         ckpt_dir = checkpoints_dir or (config.get_path("checkpoints") if config
                                        else str(self.path_manager.get_checkpoints_dir()))
-        # class-conditional single-checkpoint mode (+ CFG weight): explicit
-        # ctor args win, else the config's compute section
-        if not conditional and config is not None:
-            conditional = bool(config.get("compute.conditional", False))
-        self.guidance_scale = float(guidance_scale) if guidance_scale else \
-            (float(config.get("compute.guidance_scale", 0.0)) if config else 0.0)
+        # class-conditional single-checkpoint mode (+ CFG weight): an
+        # EXPLICIT ctor arg wins — including explicit False/0.0 (the GUI's
+        # family switch back to per-class must override a conditional-
+        # enabled config); None means "defer to the config's compute
+        # section" (the reference-parity default is off)
+        if conditional is None:
+            conditional = bool(config.get("compute.conditional", False)) \
+                if config is not None else False
+        if guidance_scale is None:
+            guidance_scale = float(config.get("compute.guidance_scale", 0.0)) \
+                if config is not None else 0.0
+        self.guidance_scale = float(guidance_scale)
         self.model_manager = ModelManager(
             checkpoints_dir=ckpt_dir, cache_manager=self.cache_manager,
             logger=self.logger, device=device, dtype=compute_dtype,
@@ -338,7 +344,7 @@ class ImageGenerator:
             self._log(f"starting generation of {total_images} images")
 
             need_traj = self.save_trajectory and self.xai_analyzer is not None
-            # flat work list: (class, index-within-class-entry). Per-class
+            # flat work list: (class, per-class image index). Per-class
             # models require single-class device blocks (blocks break at
             # class boundaries — identical batching to the per-class loop
             # this replaces); the conditional single checkpoint takes
@@ -346,9 +352,17 @@ class ImageGenerator:
             # (VASC,2)] request is ONE b8 device batch instead of three
             # partial ones (per-image step cost is batch-flat through b8,
             # PERFORMANCE.md — mixed-class batching is the conditional
-            # family's throughput case)
-            items: List[Tuple[str, int]] = [
-                (cls, i) for cls, count in class_configs for i in range(count)]
+            # family's throughput case). The index CONTINUES across
+            # duplicate entries of the same class (serve routinely builds
+            # one entry per coalesced request): restarting it would hand a
+            # fixed base seed the same seed+index pairs twice, producing
+            # byte-identical images recorded as distinct samples.
+            items: List[Tuple[str, int]] = []
+            _next_idx: Dict[str, int] = {}
+            for cls, count in class_configs:
+                start = _next_idx.get(cls, 0)
+                items.extend((cls, start + i) for i in range(count))
+                _next_idx[cls] = start + count
             mixed = self.model_manager.conditional
             class_totals: Dict[str, int] = {}
             for cls, count in class_configs:
@@ -416,11 +430,26 @@ class ImageGenerator:
                 if index < len(items):
                     out, seeds, blk = dispatch_block(index)
                     if out is None:
-                        # model unavailable: drop this block's classes, keep
-                        # going on the rest (reference: per-class continue)
+                        # a model in the block is unavailable: probe each
+                        # class individually and drop ONLY the failures —
+                        # in a conditional mixed-class block one unknown
+                        # class must not poison its block-mates (the loop
+                        # re-attempts the block with the survivors; the
+                        # reference semantics is per-class continue)
                         for cls in dict.fromkeys(c for c, _ in blk):
-                            self._log(f"model unavailable for {cls}", "error")
-                            dead.add(cls)
+                            if (cls not in self.model_manager.loaded_params
+                                    and not self.model_manager.load_model(cls)):
+                                self._log(f"model unavailable for {cls}",
+                                          "error")
+                                dead.add(cls)
+                        if not any(c in dead for c, _ in blk):
+                            # every class loads individually yet the block
+                            # failed — a sampling error, not a missing
+                            # model; drop the block to avoid spinning
+                            for cls in dict.fromkeys(c for c, _ in blk):
+                                self._log(f"sampling failed for {cls}",
+                                          "error")
+                                dead.add(cls)
                     else:
                         nxt = (out, seeds, blk)
                         index += len(blk)

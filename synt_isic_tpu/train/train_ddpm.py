@@ -171,11 +171,17 @@ def _make_step_core(model: UNet2D, schedule: DiffusionSchedule,
 
     def loss_fn(params, batch, key):
         # labeled batches ((images, labels) pytrees) train the conditional
-        # UNet; plain arrays keep the reference-parity unconditional path
+        # UNet; plain arrays keep the reference-parity unconditional path.
+        # The unconditional stream stays split(key, 3) — widening the split
+        # for everyone would silently change every (t, eps, offset) draw
+        # and break seed-pinned reproduction of earlier training runs.
         labels = None
         if isinstance(batch, (tuple, list)):
             batch, labels = batch
-        k_t, k_eps, k_off, k_drop = jax.random.split(key, 4)
+            k_t, k_eps, k_off, k_drop = jax.random.split(key, 4)
+        else:
+            k_t, k_eps, k_off = jax.random.split(key, 3)
+            k_drop = None
         b = batch.shape[0]
         t = jax.random.randint(k_t, (b,), 0, T)
         eps = jax.random.normal(k_eps, batch.shape, jnp.float32)
@@ -410,10 +416,19 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
         probe_labels = None
         imgs = getattr(dataset, "images", None)
         if imgs is not None:
-            probe = jnp.asarray(np.asarray(imgs[:n_probe]))
             labs = getattr(dataset, "labels", None)
             if labs is not None and model.config.num_class_embeds:
-                probe_labels = jnp.asarray(np.asarray(labs[:n_probe], np.int32))
+                # labeled pools are class-concatenated (LabeledMixtureDataset)
+                # — a [:n_probe] prefix would probe ONLY the first class and
+                # best-checkpoint selection would ignore the rest. Evenly
+                # spaced indices cover every class proportionally, still
+                # fully deterministic.
+                idx = np.linspace(0, len(np.asarray(labs)) - 1, n_probe)
+                idx = np.unique(idx.astype(np.int64))
+                probe = jnp.asarray(np.asarray(imgs)[idx])
+                probe_labels = jnp.asarray(np.asarray(labs, np.int32)[idx])
+            else:
+                probe = jnp.asarray(np.asarray(imgs[:n_probe]))
         else:
             # any dataset: materialize the probe from a dedicated rng stream
             probe_rng = np.random.default_rng(config.seed + 1)

@@ -396,3 +396,157 @@ def test_train_conditional_end_to_end(tmp_path):
     out = mm.create_sampler(2, scheduler="ddim").sample(
         mm.loaded_params["VASC"], [3], class_labels=mm.class_id("VASC"))
     assert np.isfinite(np.asarray(out["images"])).all()
+
+
+def test_mixed_block_unknown_class_does_not_poison_blockmates(ckpt_dir,
+                                                              tmp_path):
+    """A conditional mixed-class device block containing an unknown class
+    must drop ONLY that class and still generate its block-mates' images
+    (one typo'd serve request must not fail every coalesced peer)."""
+    from synt_isic_tpu.generator import ImageGenerator
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt_dir), model_config=BASE,
+                         conditional=True)
+    gen.set_inference_steps(2)
+    gen.set_save_trajectory(False)
+    gen.set_generation_seed(321)
+    gen.batch_size = 8
+    out = gen.generate_images([("MEL", 2), ("BOGUS", 2), ("NV", 1)],
+                              str(tmp_path / "mixed_poison"),
+                              postprocess=False)
+    assert out["generated"] == 3
+    assert (tmp_path / "mixed_poison" / "MEL" / "ISIC_0000002.png").exists()
+    assert (tmp_path / "mixed_poison" / "NV" / "ISIC_0000001.png").exists()
+    assert not list((tmp_path / "mixed_poison" / "BOGUS").glob("*.png"))
+
+
+def test_duplicate_class_entries_continue_seed_index(ckpt_dir, tmp_path):
+    """Duplicate entries of the same class (serve builds one entry per
+    coalesced request) must CONTINUE the per-class seed index: with a
+    fixed base seed, restarting it would silently emit byte-identical
+    images recorded as distinct samples."""
+    from synt_isic_tpu.generator import ImageGenerator
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt_dir),
+                         model_config=BASE, conditional=True)
+    gen.set_inference_steps(2)
+    gen.set_generation_seed(42)
+    gen.batch_size = 8
+    out = gen.generate_images([("MEL", 2), ("MEL", 2)],
+                              str(tmp_path / "dups"), postprocess=False)
+    assert out["generated"] == 4
+    d = tmp_path / "dups" / "MEL"
+    files = sorted(d.glob("ISIC_*.png"))
+    assert len(files) == 4
+    blobs = [f.read_bytes() for f in files]
+    assert len({hash(b) for b in blobs}) == 4, "duplicate images emitted"
+    seeds = [json.loads(f.with_suffix(".json").read_text())["seed"]
+             for f in files]
+    assert seeds == [seeds[0] + i for i in range(4)], seeds
+
+
+def test_explicit_per_class_overrides_conditional_config(ckpt_dir, tmp_path):
+    """conditional=False passed explicitly must win over a config with
+    compute.conditional=true (the GUI's family switch back to per-class);
+    None defers to the config."""
+    import torch
+
+    from synt_isic_tpu.generator import ImageGenerator
+    from synt_isic_tpu.utils.config import ConfigManager
+    from tests.torch_oracle.unet2d_torch import UNet2DTorch, tiny_config
+
+    # the per-class fallback needs a per-class checkpoint to be loadable
+    torch.manual_seed(1)
+    torch.save(UNet2DTorch(**tiny_config()).state_dict(),
+               ckpt_dir / "unet_NV_best.pth")
+    cfg = ConfigManager(config_file=str(tmp_path / "config.json"),
+                        project_root=str(tmp_path))
+    cfg.set("compute.conditional", True, persist=False)
+    cfg.set("compute.guidance_scale", 2.5, persist=False)
+    cfg.set("paths.checkpoints", str(ckpt_dir), persist=False)
+
+    deferred = ImageGenerator(config=cfg, checkpoints_dir=str(ckpt_dir),
+                              model_config=BASE)
+    assert deferred.model_manager.conditional
+    assert deferred.guidance_scale == 2.5
+
+    forced = ImageGenerator(config=cfg, checkpoints_dir=str(ckpt_dir),
+                            model_config=BASE,
+                            conditional=False, guidance_scale=0.0)
+    assert not forced.model_manager.conditional
+    assert forced.guidance_scale == 0.0
+
+
+def test_conditional_eval_probe_is_stratified(tmp_path, monkeypatch):
+    """Best-checkpoint eval on the class-concatenated mixture pool must
+    probe EVERY class, not a first-class prefix."""
+    import numpy as np
+
+    import synt_isic_tpu.train.train_ddpm as T
+    from synt_isic_tpu.train.procedural import ProceduralDataset
+    from synt_isic_tpu.train.train_conditional import train_conditional
+    from synt_isic_tpu.train.train_ddpm import TrainConfig
+
+    captured = {}
+    orig = T.make_eval_fn
+
+    def spy(model, schedule, config, probe, probe_labels=None):
+        captured["labels"] = (None if probe_labels is None
+                              else np.asarray(probe_labels))
+        return orig(model, schedule, config, probe, probe_labels)
+
+    monkeypatch.setattr(T, "make_eval_fn", spy)
+    datasets = {c: ProceduralDataset(c, n_images=8, image_size=16, seed=0)
+                for c in ("MEL", "NV")}
+    cfg = TrainConfig(image_size=16, batch_size=4, epochs=1, eval_every=1,
+                      eval_probe_images=6, eval_t_points=2, seed=0,
+                      bf16_compute=False, snapshot_every=100)
+    from synt_isic_tpu.models.unet2d import UNet2D
+    import dataclasses as _dc
+    model = UNet2D(config=_dc.replace(COND, num_class_embeds=3))
+    train_conditional(datasets, str(tmp_path / "ckpt"), cfg, model=model,
+                      log=lambda *a: None)
+    labels = captured["labels"]
+    assert labels is not None
+    assert set(np.unique(labels)) == {0, 1}, labels
+
+
+def test_unconditional_rng_stream_is_split3():
+    """The unconditional training loss must keep drawing (t, eps, offset)
+    from split(key, 3) — the historical stream — so seed-pinned runs from
+    before the conditional feature still reproduce. Pinned by reproducing
+    the loss externally with a split-3 key layout."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from synt_isic_tpu.diffusion import DiffusionSchedule
+    from synt_isic_tpu.models.unet2d import UNet2D, init_unet_params
+    from synt_isic_tpu.train.train_ddpm import TrainConfig, create_train_state, \
+        make_train_step
+    import dataclasses as _dc
+
+    cfg16 = BASE  # already a 16px tiny config
+    model = UNet2D(config=cfg16)
+    schedule = DiffusionSchedule.create()
+    tcfg = TrainConfig(image_size=16, batch_size=2, epochs=1,
+                       bf16_compute=False, cond_dropout=0.5)
+    state, tx = create_train_state(model, tcfg)
+    step = make_train_step(model, schedule, tx, tcfg)
+    key = jax.random.PRNGKey(7)
+    batch = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (2, 16, 16, 3)), jnp.float32)
+
+    # external reproduction with the split-3 layout — computed BEFORE the
+    # step call (the jitted step donates the train state)
+    k_t, k_eps, _k_off = jax.random.split(key, 3)
+    T_train = schedule.num_train_timesteps
+    t = jax.random.randint(k_t, (2,), 0, T_train)
+    eps = jax.random.normal(k_eps, batch.shape, jnp.float32)
+    ab = jnp.asarray(schedule.alphas_cumprod, jnp.float32)[t].reshape(2, 1, 1, 1)
+    noisy = jnp.sqrt(ab) * batch + jnp.sqrt(1.0 - ab) * eps
+    pred = model.apply({"params": state.params}, noisy, t)
+    want = float(jnp.mean((pred.astype(jnp.float32) - eps) ** 2))
+
+    _, loss = step(state, batch, key)
+    np.testing.assert_allclose(float(loss), want, rtol=1e-5)
