@@ -167,6 +167,7 @@ class DiffusionSampler:
         self._multistep = self._family != "simple"
         self._compiled: Dict[Tuple[int, bool], Callable] = {}
         self._stream_compiled: Dict[int, Callable] = {}
+        self._i2i_compiled: Dict[Tuple[int, bool, int, bool], Callable] = {}
 
     # -- seed plumbing ------------------------------------------------------------
     @staticmethod
@@ -503,6 +504,170 @@ class DiffusionSampler:
                                                int(capture_trajectory),
                                                self.timesteps,
                                                self.schedule.num_train_timesteps)
+        return out
+
+    # -- img2img / inpainting (beyond-reference augmentation path) -----------------
+    def _build_img2img(self, batch: int, capture: bool, start_k: int,
+                       masked: bool) -> Callable:
+        """Compiled partial reverse walk from step index `start_k`, optionally
+        re-imposing the known region after every step (RePaint-style
+        inpainting, Lugmayr et al. 2022, single forward pass — no resampling
+        loops). Simple-carry schedulers only (ddpm/ddim): the multistep
+        solvers' history carries would need re-priming at `start_k`."""
+        cfg = self.config
+        sched = self.params
+        step_fn = self._step
+        num_steps = cfg.num_inference_steps
+        shape = (cfg.image_size, cfg.image_size, cfg.channels)
+        predict = self._make_predict()
+        # noise level the latent sits at AFTER step k: ab of the next (lower)
+        # timestep on the grid; clean (ab = 1) after the final step
+        ab_np = np.asarray(self.schedule.alphas_cumprod, dtype=np.float32)
+        ab_after = jnp.asarray(
+            np.append(ab_np[self.timesteps[1:]], np.float32(1.0)))
+
+        def sample_fn(model_params, x_start, keys, labels, init_img, mask):
+            def body(x, k):
+                t = sched.timesteps[k]
+                eps = predict(model_params, x, jnp.broadcast_to(t, (batch,)),
+                              labels)
+                if cfg.deterministic_posterior:
+                    pn = None
+                else:
+                    pn = jax.vmap(
+                        lambda key: jax.random.normal(
+                            jax.random.fold_in(key, k + 1), shape,
+                            cfg.dtype))(keys)
+                x = step_fn(x, eps, k, sched, pn)
+                if masked:
+                    # known-region noise from a stream disjoint from the
+                    # posterior's fold_in(key, k+1), k+1 in [1, num_steps]
+                    z = jax.vmap(
+                        lambda key: jax.random.normal(
+                            jax.random.fold_in(key, num_steps + 1 + k), shape,
+                            cfg.dtype))(keys)
+                    ab = ab_after[k].astype(cfg.dtype)
+                    known = (jnp.sqrt(ab) * init_img.astype(cfg.dtype)
+                             + jnp.sqrt(1.0 - ab) * z)
+                    x = mask.astype(cfg.dtype) * x + (1.0 - mask.astype(cfg.dtype)) * known
+                return x, (x.astype(jnp.float32) if capture else None)
+
+            x, traj = jax.lax.scan(body, x_start.astype(cfg.dtype),
+                                   start_k + jnp.arange(num_steps - start_k))
+            return x.astype(jnp.float32), traj
+
+        if masked and self.conditional:
+            return jax.jit(sample_fn)
+        if masked:
+            return jax.jit(lambda mp, x, keys, init_img, mask:
+                           sample_fn(mp, x, keys, None, init_img, mask))
+        if self.conditional:
+            return jax.jit(lambda mp, x, keys, labels:
+                           sample_fn(mp, x, keys, labels, None, None))
+        return jax.jit(lambda mp, x, keys:
+                       sample_fn(mp, x, keys, None, None, None))
+
+    def img2img(self, model_params, seeds: Union[int, np.ndarray],
+                init_image, strength: float = 0.6, mask=None,
+                capture_trajectory: bool = False,
+                class_labels: Optional[Union[int, np.ndarray]] = None
+                ) -> Dict[str, Any]:
+        """SDEdit-style image-to-image (Meng et al. 2022) with optional
+        RePaint-style inpainting — the augmentation path the reference lacks
+        (its generator is noise-only, `image_generator.py:395-438`).
+
+        `init_image`: (H,W,C) or (B,H,W,C) float32 in [-1,1]. It is
+        forward-noised to the grid timestep closest to `strength` of the
+        walk (x = sqrt(ab)*init + sqrt(1-ab)*noise, noise from the SAME
+        per-seed streams as `sample` — so the sidecar `noise_hashes`
+        contract carries over verbatim) and denoised for the remaining
+        `round(strength * num_inference_steps)` steps.
+
+        `mask`: optional (H,W) / (H,W,1) / (B,H,W,1) float, 1 = regenerate,
+        0 = keep `init_image`. After every step the known region is
+        re-imposed at the step's noise level, so the final image equals
+        `init_image` exactly where mask == 0.
+
+        Single-step-state schedulers only (ddpm/ddim); raises for the
+        multistep solvers (their carries would need history re-priming).
+        Returns the `sample()` dict plus `strength`, `start_index`, and
+        `t_start`; a captured trajectory holds the executed steps only.
+        """
+        if self._multistep:
+            raise NotImplementedError(
+                "img2img/inpainting requires a single-step-state scheduler "
+                "(ddpm or ddim); multistep solver histories cannot start "
+                "mid-walk")
+        cfg = self.config
+        s = float(strength)
+        if not 0.0 < s <= 1.0:
+            raise ValueError(f"strength must be in (0, 1], got {strength}")
+        seeds_arr = np.atleast_1d(np.asarray(seeds, dtype=np.uint32))
+        batch = int(seeds_arr.shape[0])
+        if self.conditional:
+            if class_labels is None:
+                raise ValueError("conditional sampler requires class_labels")
+            labels = jnp.broadcast_to(
+                jnp.asarray(class_labels, jnp.int32).reshape(-1), (batch,))
+        else:
+            if class_labels is not None:
+                raise ValueError("class_labels passed to an unconditional sampler")
+            labels = None
+        shape = (cfg.image_size, cfg.image_size, cfg.channels)
+        init = jnp.asarray(init_image, jnp.float32)
+        if init.ndim == 3:
+            init = init[None]
+        if init.shape != (batch,) + shape and init.shape != (1,) + shape:
+            raise ValueError(f"init_image shape {init.shape} incompatible "
+                             f"with batch {batch} and image shape {shape}")
+        init = jnp.broadcast_to(init, (batch,) + shape)
+        m = None
+        if mask is not None:
+            m = jnp.asarray(mask, jnp.float32)
+            if m.ndim == 2:
+                m = m[None, :, :, None]
+            elif m.ndim == 3:
+                m = m[None]
+            if m.shape[1:3] != shape[:2] or m.shape[-1] not in (1, cfg.channels):
+                raise ValueError(f"mask shape {m.shape} incompatible with "
+                                 f"image shape {shape}")
+
+        steps_to_run = max(1, int(round(s * cfg.num_inference_steps)))
+        k0 = cfg.num_inference_steps - steps_to_run
+        t_start = int(self.timesteps[k0])
+        ab0 = float(np.asarray(self.schedule.alphas_cumprod,
+                               dtype=np.float64)[t_start])
+
+        keys = self.keys_for_seeds(seeds_arr)
+        noise = self.initial_noise(seeds_arr)
+        if hasattr(noise, "copy_to_host_async"):
+            noise.copy_to_host_async()  # same async-hash path as sample()
+        x_start = (np.sqrt(ab0).astype(np.float32) * init
+                   + np.sqrt(1.0 - ab0).astype(np.float32) * noise)
+
+        fn = self._i2i_compiled.setdefault(
+            (batch, bool(capture_trajectory), k0, m is not None),
+            self._build_img2img(batch, bool(capture_trajectory), k0,
+                                m is not None))
+        if m is not None and self.conditional:
+            final, traj = fn(model_params, x_start, keys, labels, init, m)
+        elif m is not None:
+            final, traj = fn(model_params, x_start, keys, init, m)
+        elif self.conditional:
+            final, traj = fn(model_params, x_start, keys, labels)
+        else:
+            final, traj = fn(model_params, x_start, keys)
+        out: Dict[str, Any] = {
+            "images": final,
+            "noise_hashes": _hash_batch(noise),
+            "timesteps": self.timesteps.copy(),
+            "seeds": seeds_arr.copy(),
+            "strength": s,
+            "start_index": k0,
+            "t_start": t_start,
+        }
+        if capture_trajectory:
+            out["trajectory"] = traj  # (steps_to_run, B, H, W, C)
         return out
 
     def sample_single(self, model_params, seed: int,
