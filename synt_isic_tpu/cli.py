@@ -213,6 +213,19 @@ def build_parser() -> argparse.ArgumentParser:
                         "mesh (-1 = all local devices; 0 = single device). "
                         "Per-seed RNG streams keep images identical to the "
                         "single-device run")
+    p.add_argument("--augment-source", type=str, metavar="IMAGE",
+                   help="img2img mode (beyond reference): forward-noise this "
+                        "image to --augment-strength of the walk and denoise "
+                        "with the configured sampler (ddpm/ddim only). "
+                        "Requires exactly one class via --classes; writes "
+                        "--count variants to --output with full sidecars "
+                        "(reproducible via --reproduce + the source file)")
+    p.add_argument("--augment-strength", type=float, default=0.6, metavar="S",
+                   help="fraction of the reverse walk to run on the source "
+                        "(0<S<=1; lower = closer to the source)")
+    p.add_argument("--augment-mask", type=str, metavar="MASK",
+                   help="optional grayscale mask PNG for inpainting: white "
+                        "(1) = regenerate, black (0) = keep the source pixel")
     p.add_argument("--reproduce", type=str, metavar="SIDECAR_JSON",
                    help="regenerate the exact image recorded by a per-image "
                         "sidecar JSON (seed + steps + scheduler config; "
@@ -295,9 +308,57 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
             # PNG bytes depend on the zlib level the original was encoded
             # with (pixels are identical either way)
             gen.png_compress_level = int(sched["png_compress_level"])
-        ok, _ = gen.generate_single_image(cls, out_path,
-                                          postprocess=postprocess,
-                                          seed=int(seed))
+        i2i = meta.get("img2img")
+        if i2i:
+            # augmented image: rebuild needs the ORIGINAL source file (and
+            # mask) next to the sidecar, verified by recorded SHA-256
+            import hashlib as _hashlib
+
+            def _resolve(kind: str):
+                name = i2i.get(kind)
+                if not name:
+                    print(f"sidecar records an img2img run from an in-memory "
+                          f"{kind} array — cannot reproduce without the "
+                          f"original file", file=sys.stderr)
+                    return None, 2
+                # next-to-sidecar wins (portable runs); fall back to the
+                # recorded absolute path
+                candidates_p = [Path(sidecar_path).with_name(name)]
+                if i2i.get(f"{kind}_path"):
+                    candidates_p.append(Path(i2i[f"{kind}_path"]))
+                p = next((c for c in candidates_p if c.exists()), None)
+                if p is None:
+                    print(f"img2img {kind} file {name} not found next to the "
+                          f"sidecar or at its recorded path — cannot "
+                          f"reproduce", file=sys.stderr)
+                    return None, 1
+                digest = _hashlib.sha256(p.read_bytes()).hexdigest()
+                if digest != i2i.get(f"{kind}_sha256"):
+                    print(f"img2img {kind} file {p} CHANGED since the run "
+                          f"(sha256 mismatch)", file=sys.stderr)
+                    return None, 1
+                return p, 0
+
+            src, rc = _resolve("source")
+            if src is None:
+                return rc
+            mask_p = None
+            if i2i.get("mask_sha256"):
+                mask_p, rc = _resolve("mask")
+                if mask_p is None:
+                    return rc
+            ok, _ = gen.augment_single_image(
+                cls, str(src), out_path,
+                strength=float(i2i["strength"]),
+                mask=(str(mask_p) if mask_p else None),
+                # the img2img block records its own postprocess setting —
+                # no --no-postprocess guesswork needed for augmented runs
+                postprocess=bool(i2i.get("postprocess", False)),
+                seed=int(seed))
+        else:
+            ok, _ = gen.generate_single_image(cls, out_path,
+                                              postprocess=postprocess,
+                                              seed=int(seed))
         if not ok:
             print(f"generation failed for class {cls}", file=sys.stderr)
             return 1
@@ -351,6 +412,47 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
     return 1
 
 
+def augment_from_cli(args, model_config=None) -> int:
+    """--augment-source driver: N img2img/inpainting variants of one source
+    image through the production artifact path (sidecars + reproduce)."""
+    from .generator import ImageGenerator
+
+    if not args.classes or len(args.classes) != 1:
+        print("--augment-source requires exactly one class via --classes",
+              file=sys.stderr)
+        return 1
+    if args.scheduler not in ("ddpm", "ddim"):
+        print(f"--augment-source supports ddpm/ddim only (multistep solver "
+              f"histories cannot start mid-walk); got {args.scheduler}",
+              file=sys.stderr)
+        return 1
+    cls = args.classes[0]
+    out_dir = Path(args.output) if args.output else Path.cwd() / "augmented"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    gen = ImageGenerator(checkpoints_dir=args.checkpoints,
+                         model_config=model_config,
+                         model_variant=args.model_variant,
+                         conditional=args.conditional,
+                         guidance_scale=args.guidance_scale)
+    gen.set_inference_steps(args.steps)
+    gen.scheduler_kind = args.scheduler
+    gen.timestep_spacing = args.timestep_spacing
+    stem = Path(args.augment_source).stem
+    n_ok = 0
+    for i in range(max(1, args.count)):
+        seed = (int(args.seed) + i) if args.seed is not None else None
+        out_path = str(out_dir / f"{stem}_aug_{i:04d}.png")
+        ok, _ = gen.augment_single_image(
+            cls, args.augment_source, out_path,
+            strength=args.augment_strength, mask=args.augment_mask,
+            # postprocess stays OFF for augmentation: the per-class
+            # mean-shift would recolor the preserved source region
+            postprocess=False, seed=seed)
+        n_ok += int(ok)
+    print(f"augmented {n_ok}/{max(1, args.count)} -> {out_dir}")
+    return 0 if n_ok else 1
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     from .utils.compute import enable_compilation_cache
 
@@ -360,6 +462,8 @@ def main(argv: Optional[List[str]] = None) -> int:
         return reproduce_from_sidecar(args.reproduce, args.checkpoints,
                                       output=args.output,
                                       postprocess=not args.no_postprocess)
+    if args.augment_source:
+        return augment_from_cli(args)
     mesh = None
     if args.dp_mesh:
         from .parallel.mesh import create_mesh

@@ -270,9 +270,120 @@ class ImageGenerator:
             self._log(f"generation failed for {class_name}: {exc}", "error")
             return False, None
 
+    # -- img2img / inpainting augmentation (beyond reference) -------------------------
+    @staticmethod
+    def _load_source_image(source, image_size: int):
+        """Path or array -> ((H,W,C) float32 in [-1,1], name, sha256).
+
+        A path is hashed over its FILE BYTES (the reproduce contract pins
+        the exact input file); an array over its float32 pixel bytes."""
+        from PIL import Image as PILImage
+
+        if isinstance(source, (str, Path)):
+            data = Path(source).read_bytes()
+            digest = hashlib.sha256(data).hexdigest()
+            pil = PILImage.open(Path(source)).convert("RGB")
+            if pil.size != (image_size, image_size):
+                pil = pil.resize((image_size, image_size), PILImage.BILINEAR)
+            arr = np.asarray(pil, np.float32) / 127.5 - 1.0
+            return arr, Path(source).name, digest
+        arr = np.asarray(source, np.float32)
+        if arr.ndim == 4:
+            arr = arr[0]
+        if arr.max() > 1.5:  # uint8-range array
+            arr = arr / 127.5 - 1.0
+        digest = hashlib.sha256(
+            np.ascontiguousarray(arr, np.float32).tobytes()).hexdigest()
+        return arr, None, digest
+
+    @staticmethod
+    def _load_mask(mask, image_size: int):
+        """Path or array -> ((H,W) float32 in [0,1], name, sha256) or
+        (None, None, None). 1 = regenerate, 0 = keep the source pixel."""
+        from PIL import Image as PILImage
+
+        if mask is None:
+            return None, None, None
+        if isinstance(mask, (str, Path)):
+            data = Path(mask).read_bytes()
+            digest = hashlib.sha256(data).hexdigest()
+            pil = PILImage.open(Path(mask)).convert("L")
+            if pil.size != (image_size, image_size):
+                pil = pil.resize((image_size, image_size), PILImage.NEAREST)
+            return np.asarray(pil, np.float32) / 255.0, Path(mask).name, digest
+        arr = np.asarray(mask, np.float32)
+        digest = hashlib.sha256(
+            np.ascontiguousarray(arr, np.float32).tobytes()).hexdigest()
+        return arr, None, digest
+
+    def augment_single_image(self, class_name: str, source_image,
+                             output_path: str, strength: float = 0.6,
+                             mask=None, postprocess: bool = False,
+                             seed: Optional[int] = None
+                             ) -> Tuple[bool, Optional[np.ndarray]]:
+        """img2img / inpainting through the production artifact path — the
+        augmentation surface the reference lacks (its generator is
+        noise-only, `core/generator/image_generator.py:395-438`).
+
+        `source_image` (path or array, any range) is forward-noised to
+        `strength` of the walk and denoised with the generator's configured
+        sampler (ddpm/ddim only); `mask` (path or array; 1 = regenerate,
+        0 = keep) turns it into inpainting. Artifacts match
+        `generate_single_image` plus an `img2img` sidecar block recording
+        strength + source/mask SHA-256 (and filenames when given as paths),
+        so `cli --reproduce` can rebuild the exact bytes from the sidecar
+        plus the original source file. Postprocess defaults OFF here: the
+        mean-shift would recolor the preserved source region.
+        """
+        if self.stop_requested:
+            return False, None
+        try:
+            seed = int(seed) if seed is not None else secrets.randbelow(0x7FFFFFFF)
+            if not self.model_manager.load_model(class_name):
+                return False, None
+            size = self.model_manager.model.config.sample_size
+            init, src_name, src_sha = self._load_source_image(source_image, size)
+            m, mask_name, mask_sha = self._load_mask(mask, size)
+            sampler = self.model_manager.create_sampler(
+                self.inference_steps, scheduler=self.scheduler_kind,
+                ddim_eta=self.ddim_eta, timestep_spacing=self.timestep_spacing,
+                guidance_scale=self.guidance_scale)
+            labels = (self.model_manager.class_id(class_name)
+                      if self.model_manager.conditional else None)
+            out = sampler.img2img(
+                self.model_manager.loaded_params[class_name],
+                np.asarray([seed], np.uint32), init, strength=float(strength),
+                mask=m, capture_trajectory=self.save_trajectory,
+                class_labels=labels)
+            extra = {"img2img": {
+                "strength": float(strength),
+                "t_start": int(out["t_start"]),
+                # recorded so --reproduce needs no postprocess guesswork
+                "postprocess": bool(postprocess),
+                "source_sha256": src_sha,
+                **({"source": src_name,
+                    "source_path": str(Path(source_image).resolve())}
+                   if src_name else {}),
+                **({"mask_sha256": mask_sha} if mask_sha else {}),
+                **({"mask": mask_name,
+                    "mask_path": str(Path(mask).resolve())}
+                   if mask_name else {}),
+            }}
+            self._write_image_artifacts(out, 0, class_name, output_path,
+                                        postprocess, seed, extra=extra)
+            traj = (np.asarray(out["trajectory"][:, 0])
+                    if self.save_trajectory else None)
+            self._log(f"augmented image for class {class_name} "
+                      f"(strength={strength}): {output_path}")
+            return True, traj
+        except Exception as exc:
+            self._log(f"augmentation failed for {class_name}: {exc}", "error")
+            return False, None
+
     def _write_image_artifacts(self, sample_out: Dict[str, Any], idx: int,
                                class_name: str, output_path: str,
-                               postprocess: bool, seed: int) -> None:
+                               postprocess: bool, seed: int,
+                               extra: Optional[Dict[str, Any]] = None) -> None:
         img = np.asarray(sample_out["images"][idx])
         arr = to_uint8_images(img[None])[0]
         if postprocess:
@@ -319,7 +430,8 @@ class ImageGenerator:
                 # byte-identical (reproduce rebuilds with the same level)
                 **({"png_compress_level": int(self.png_compress_level)}
                    if self.png_compress_level is not None else {}),
-            })
+            },
+            extra=extra)
 
     def generate_images(self, class_configs: List[Tuple[str, int]],
                         output_dir: str, postprocess: bool = True) -> Dict[str, Any]:

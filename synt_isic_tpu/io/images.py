@@ -50,7 +50,8 @@ def write_sidecar_metadata(image_path: str, *, class_name: str,
                            model_metadata: Optional[Dict[str, Any]] = None,
                            device: str = "tpu",
                            noise_hash: Optional[str] = None,
-                           scheduler: Optional[Dict[str, Any]] = None) -> Path:
+                           scheduler: Optional[Dict[str, Any]] = None,
+                           extra: Optional[Dict[str, Any]] = None) -> Path:
     """Writes `<image>.json` next to the image (reference
     `image_generator.py:456-474` field set)."""
     meta = {
@@ -67,6 +68,10 @@ def write_sidecar_metadata(image_path: str, *, class_name: str,
         "device": device,
         "noise_hash": noise_hash,
     }
+    if extra:
+        # additive top-level fields (e.g. the img2img provenance block) —
+        # only written when present so noise-only sidecars stay unchanged
+        meta.update(extra)
     meta_path = Path(image_path).with_suffix(".json")
     with open(meta_path, "w", encoding="utf-8") as f:
         json.dump(meta, f, indent=2, ensure_ascii=False)
