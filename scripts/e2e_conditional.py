@@ -27,7 +27,7 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-CLASSES = ["MEL", "NV", "VASC"]
+DEFAULT_CLASSES = ["MEL", "NV", "VASC"]
 
 
 def run(out_dir: str, size: int = 128, train_images: int = 256,
@@ -35,7 +35,9 @@ def run(out_dir: str, size: int = 128, train_images: int = 256,
         sample_count: int = 64, ddim_steps: int = 50,
         guidance_scales=(1.0, 2.0, 3.0), cond_dropout: float = 0.1,
         clf_per_class: int = 64, clf_epochs: int = 8, seed: int = 0,
-        skip_train: bool = False, log=print) -> dict:
+        skip_train: bool = False, classes=None, width: str = "quarter",
+        clf_hard: float = 0.0, log=print) -> dict:
+    CLASSES = list(classes) if classes else list(DEFAULT_CLASSES)
     import dataclasses
 
     import jax
@@ -55,12 +57,13 @@ def run(out_dir: str, size: int = 128, train_images: int = 256,
     from synt_isic_tpu.train.train_ddpm import TrainConfig
 
     sys.path.insert(0, str(Path(__file__).resolve().parent))
-    from e2e_loop import small_unet_config
+    from e2e_loop import unet_config
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     ckpt_dir = out / "checkpoints"
-    report: dict = {"classes": CLASSES, "size": size, "epochs": epochs,
+    report: dict = {"classes": CLASSES, "size": size, "width": width,
+                    "clf_hard": clf_hard, "epochs": epochs,
                     "train_images_per_class": train_images,
                     "guidance_scales": list(guidance_scales)}
 
@@ -74,7 +77,7 @@ def run(out_dir: str, size: int = 128, train_images: int = 256,
         f"held-out per class ({time.time() - t0:.1f}s)")
 
     # --- train the conditional model ---------------------------------------
-    cfg = dataclasses.replace(small_unet_config(size),
+    cfg = dataclasses.replace(unet_config(size, width),
                               num_class_embeds=len(CLASSES) + 1)
     model = UNet2D(config=cfg, dtype=jnp.bfloat16)
     tcfg = TrainConfig(image_size=size, batch_size=batch_size, epochs=epochs,
@@ -106,7 +109,8 @@ def run(out_dir: str, size: int = 128, train_images: int = 256,
     # --- independent classifier (class-consistency judge) ------------------
     clf_imgs = np.concatenate([procedural_images(c, clf_per_class, size,
                                                  seed=seed,
-                                                 start_index=20_000_000)
+                                                 start_index=20_000_000,
+                                                 hard=clf_hard)
                                for c in CLASSES])
     clf_labels = np.asarray(sum(([CLASS_NAMES.index(c)] * clf_per_class
                                  for c in CLASSES), []), np.int32)
@@ -230,6 +234,11 @@ def main() -> int:
     p.add_argument("--cond-dropout", type=float, default=0.1)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--skip-train", action="store_true")
+    p.add_argument("--classes", type=str, default=",".join(DEFAULT_CLASSES),
+                   help="comma-separated class list (any subset of the "
+                        "7-class ISIC taxonomy)")
+    p.add_argument("--width", choices=("quarter", "full"), default="quarter")
+    p.add_argument("--clf-hard", type=float, default=0.0)
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke mode)")
     args = p.parse_args()
@@ -242,7 +251,9 @@ def main() -> int:
         sample_count=args.sample_count, ddim_steps=args.ddim_steps,
         guidance_scales=[float(x) for x in args.guidance.split(",")],
         cond_dropout=args.cond_dropout, seed=args.seed,
-        skip_train=args.skip_train)
+        skip_train=args.skip_train,
+        classes=[c.strip() for c in args.classes.split(",") if c.strip()],
+        width=args.width, clf_hard=args.clf_hard)
     return 0
 
 

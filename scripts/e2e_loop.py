@@ -56,6 +56,20 @@ def small_unet_config(size: int):
         up_block_types=("UpBlock2D", "AttnUpBlock2D", "UpBlock2D"))
 
 
+def unet_config(size: int, width: str = "quarter"):
+    """'full' = the flagship ~25M topology that matches the reference
+    checkpoints exactly (`/root/reference/core/generator/model_manager.py:
+    173-194` — UNet2DConfig defaults); 'quarter' = the fast evidence
+    topology used for CPU seam tests and round-2/3 chip loops."""
+    if width == "full":
+        from synt_isic_tpu.models.unet2d import UNet2DConfig
+
+        return UNet2DConfig(sample_size=size)
+    if width != "quarter":
+        raise ValueError(f"unknown width {width!r} (quarter|full)")
+    return small_unet_config(size)
+
+
 def load_generated_images(class_dir: Path, limit: int) -> "np.ndarray":
     import numpy as np
     from PIL import Image
@@ -74,6 +88,8 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
              seed: int = 0, skip_train: bool = False,
              offset_noise: float = 0.05, with_classifier: bool = True,
              clf_per_class: int = 64, clf_epochs: int = 8,
+             clf_hard: float = 0.0, clf_label_noise: float = 0.0,
+             width: str = "quarter",
              timestep_spacing: str = "trailing", log=print) -> dict:
     import numpy as np
     import jax.numpy as jnp
@@ -87,7 +103,7 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     ckpt_dir = out / "checkpoints"
-    report: dict = {"class": class_name, "size": size,
+    report: dict = {"class": class_name, "size": size, "width": width,
                     "train_images": train_images, "epochs": epochs}
 
     # --- 1. data -----------------------------------------------------------
@@ -104,7 +120,7 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
         f"{size}x{size} ({time.time() - t0:.1f}s)")
 
     # --- 2. train ----------------------------------------------------------
-    cfg = small_unet_config(size)
+    cfg = unet_config(size, width)
     from synt_isic_tpu.models.unet2d import UNet2D
 
     model = UNet2D(config=cfg, dtype=jnp.bfloat16)
@@ -183,12 +199,21 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
                                       if c != class_name][:2]
         labels_all, imgs_all = [], []
         for cname in clf_classes:
+            # clf_hard>0: parameter-blended confusable stream (VERDICT r3
+            # #5) so the probe operates at non-saturated accuracy
             imgs_all.append(procedural_images(cname, clf_per_class, size,
-                                              seed=seed, start_index=20_000_000))
+                                              seed=seed, start_index=20_000_000,
+                                              hard=clf_hard))
             labels_all += [CLASS_NAMES.index(cname)] * clf_per_class
         clf_imgs = np.concatenate(imgs_all)
         clf_labels = np.asarray(labels_all, np.int32)
         clf_rng = np.random.default_rng(seed + 7)
+        if clf_label_noise > 0.0:
+            flip = clf_rng.random(len(clf_labels)) < clf_label_noise
+            wrong = clf_rng.integers(0, len(CLASS_NAMES), len(clf_labels))
+            clf_labels = np.where(flip, wrong, clf_labels).astype(np.int32)
+            log(f"[e2e] classifier label noise: flipped {int(flip.sum())}"
+                f"/{len(clf_labels)} training labels")
         clf_bs = min(32, len(clf_imgs))
 
         def clf_batches(epoch):
@@ -205,13 +230,21 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
             checkpoint_path=str(clf_path), log=log)
         # reload through the production checkpoint path (partial-merge load)
         trained_clf, counts = LesionClassifier.from_checkpoint(str(clf_path))
-        held_clf = procedural_images(class_name, min(64, heldout), size,
-                                     seed=seed, start_index=30_000_000)
-        pred = np.asarray(trained_clf.predict(
-            jnp.asarray(held_clf)))
-        heldout_acc = float(np.mean(pred == CLASS_NAMES.index(class_name)))
+        # held-out eval at the SAME hardness and over ALL probe classes —
+        # the saturation verdict must reflect the problem the classifier
+        # actually faces, not an easier single-class slice
+        held_imgs, held_lbls = [], []
+        for cname in clf_classes:
+            held_imgs.append(procedural_images(
+                cname, min(64, heldout), size, seed=seed,
+                start_index=30_000_000, hard=clf_hard))
+            held_lbls += [CLASS_NAMES.index(cname)] * len(held_imgs[-1])
+        held_clf = np.concatenate(held_imgs)
+        pred = np.asarray(trained_clf.predict(jnp.asarray(held_clf)))
+        heldout_acc = float(np.mean(pred == np.asarray(held_lbls)))
         report["classifier"] = {
             "classes": clf_classes, "train_acc": clf_result["best_acc"],
+            "hard": clf_hard, "label_noise": clf_label_noise,
             "heldout_acc_target_class": heldout_acc,
             "loaded_tensors": counts["loaded"], "skipped": counts["skipped"],
             "seconds": round(time.time() - t0, 1)}
@@ -272,7 +305,9 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
         classifier=trained_clf,        # trained on the procedural classes
         verbose=False, ig_n_steps=xai_ig, shap_n_samples=xai_shap,
         n_bootstrap=200, n_permutations=500, save_figures=True,
-        with_gradcam=with_gradcam, with_sanity=False)
+        with_gradcam=with_gradcam, with_sanity=False,
+        # axiom-faithful Time-SHAP stage in the real run's artifacts
+        coalitional_shap=True, coalitional_permutations=256)
     gen.set_xai_analyzer(analyzer)
     gen.set_xai_frequency(1)
     xai_dir = out / "xai_run"
@@ -399,6 +434,17 @@ def main() -> int:
     p.add_argument("--ddim-steps", type=int, default=50)
     p.add_argument("--dpm-steps", type=int, default=20)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--width", choices=("quarter", "full"), default="quarter",
+                   help="'full' = flagship ~25M topology (reference "
+                        "checkpoint architecture); 'quarter' = fast "
+                        "evidence topology")
+    p.add_argument("--clf-hard", type=float, default=0.0,
+                   help="classifier-probe confusability in [0,1] — blends "
+                        "class parameters toward random confusers so the "
+                        "probe does not saturate at 100%% accuracy")
+    p.add_argument("--clf-label-noise", type=float, default=0.0,
+                   help="fraction of classifier training labels flipped "
+                        "to a random class")
     p.add_argument("--timestep-spacing", choices=("leading", "trailing"),
                    default="trailing",
                    help="'trailing' (default) = few-step quality fix; "
@@ -426,7 +472,9 @@ def main() -> int:
                       sample_count=args.sample_count,
                       ddim_steps=args.ddim_steps, dpm_steps=args.dpm_steps,
                       seed=args.seed, skip_train=args.skip_train,
-                      offset_noise=args.offset_noise,
+                      offset_noise=args.offset_noise, width=args.width,
+                      clf_hard=args.clf_hard,
+                      clf_label_noise=args.clf_label_noise,
                       timestep_spacing=args.timestep_spacing)
     print(json.dumps({"e2e_loop": "ok", "converged": report["converged"],
                       "model_converged": report["model_converged"],

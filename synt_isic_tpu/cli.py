@@ -322,22 +322,27 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
                           f"original file", file=sys.stderr)
                     return None, 2
                 # next-to-sidecar wins (portable runs); fall back to the
-                # recorded absolute path
+                # recorded absolute path. Accept the FIRST candidate whose
+                # sha256 matches — a stale same-named neighbor must not
+                # block reproduction while the pristine original still
+                # exists at the recorded path
                 candidates_p = [Path(sidecar_path).with_name(name)]
                 if i2i.get(f"{kind}_path"):
                     candidates_p.append(Path(i2i[f"{kind}_path"]))
-                p = next((c for c in candidates_p if c.exists()), None)
-                if p is None:
+                existing = [c for c in candidates_p if c.exists()]
+                if not existing:
                     print(f"img2img {kind} file {name} not found next to the "
                           f"sidecar or at its recorded path — cannot "
                           f"reproduce", file=sys.stderr)
                     return None, 1
-                digest = _hashlib.sha256(p.read_bytes()).hexdigest()
-                if digest != i2i.get(f"{kind}_sha256"):
-                    print(f"img2img {kind} file {p} CHANGED since the run "
-                          f"(sha256 mismatch)", file=sys.stderr)
-                    return None, 1
-                return p, 0
+                for p in existing:
+                    digest = _hashlib.sha256(p.read_bytes()).hexdigest()
+                    if digest == i2i.get(f"{kind}_sha256"):
+                        return p, 0
+                print(f"img2img {kind} file(s) "
+                      f"{', '.join(str(p) for p in existing)} CHANGED since "
+                      f"the run (sha256 mismatch)", file=sys.stderr)
+                return None, 1
 
             src, rc = _resolve("source")
             if src is None:
@@ -450,7 +455,9 @@ def augment_from_cli(args, model_config=None) -> int:
             postprocess=False, seed=seed)
         n_ok += int(ok)
     print(f"augmented {n_ok}/{max(1, args.count)} -> {out_dir}")
-    return 0 if n_ok else 1
+    # partial success is a failure for scripted callers: anything short of
+    # the requested count must be visible in the exit code, not just the log
+    return 0 if n_ok == max(1, args.count) else 1
 
 
 def main(argv: Optional[List[str]] = None) -> int:

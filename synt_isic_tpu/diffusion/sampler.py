@@ -628,9 +628,11 @@ class DiffusionSampler:
                 m = m[None, :, :, None]
             elif m.ndim == 3:
                 m = m[None]
-            if m.shape[1:3] != shape[:2] or m.shape[-1] not in (1, cfg.channels):
+            if (m.shape[1:3] != shape[:2]
+                    or m.shape[-1] not in (1, cfg.channels)
+                    or m.shape[0] not in (1, batch)):
                 raise ValueError(f"mask shape {m.shape} incompatible with "
-                                 f"image shape {shape}")
+                                 f"image shape {shape} and batch {batch}")
 
         steps_to_run = max(1, int(round(s * cfg.num_inference_steps)))
         k0 = cfg.num_inference_steps - steps_to_run

@@ -287,10 +287,15 @@ class ImageGenerator:
                 pil = pil.resize((image_size, image_size), PILImage.BILINEAR)
             arr = np.asarray(pil, np.float32) / 127.5 - 1.0
             return arr, Path(source).name, digest
-        arr = np.asarray(source, np.float32)
+        raw = np.asarray(source)
+        # rescale decision comes from the ORIGINAL dtype: a very dark uint8
+        # image (all pixels <= 1) must still be treated as 0-255 range; the
+        # value heuristic only remains for float inputs of unknown range
+        is_int = np.issubdtype(raw.dtype, np.integer)
+        arr = raw.astype(np.float32)
         if arr.ndim == 4:
             arr = arr[0]
-        if arr.max() > 1.5:  # uint8-range array
+        if is_int or arr.max() > 1.5:
             arr = arr / 127.5 - 1.0
         digest = hashlib.sha256(
             np.ascontiguousarray(arr, np.float32).tobytes()).hexdigest()

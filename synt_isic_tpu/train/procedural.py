@@ -59,16 +59,44 @@ def _low_freq_noise(rng: np.random.Generator, size: int, cells: int = 8,
     return amp * cols
 
 
+def _blend_params(p: Dict, q: Dict, w: float) -> Dict:
+    """Interpolate two class-parameter dicts: scalars and colors lerp;
+    the boolean `ring` crosses over at w=0.5 (so heavily blended images
+    genuinely take the confuser's topology, not just its palette)."""
+    out = {}
+    for k in ("radius", "wobble", "speckle"):
+        out[k] = (1.0 - w) * p[k] + w * q[k]
+    out["color"] = tuple((1.0 - w) * np.asarray(p["color"])
+                         + w * np.asarray(q["color"]))
+    out["ring"] = q["ring"] if w > 0.5 else p["ring"]
+    return out
+
+
 def procedural_image(class_name: str, index: int, size: int = 128,
-                     seed: int = 0) -> np.ndarray:
+                     seed: int = 0, hard: float = 0.0) -> np.ndarray:
     """One (size,size,3) float32 image in [-1,1], fully determined by
-    (class_name, index, seed, size)."""
+    (class_name, index, seed, size, hard).
+
+    `hard` in [0,1] controls class confusability (VERDICT r3 #5: the
+    default classes are so well separated that a classifier saturates at
+    100% held-out accuracy, which degenerates every downstream CFI/stats
+    distribution). With hard>0 each image's parameters are blended toward
+    a per-index-random confuser class by w ~ U(0, hard): a share of
+    images land near the decision boundary, so a classifier trained on
+    the hard stream operates at realistic (non-saturated) accuracy with
+    soft probability vectors — mirroring the reference's confusable
+    7-class ISIC problem (`/root/reference/xai/XAI.py:357-471`)."""
     p = _CLASS_PARAMS.get(class_name, _CLASS_PARAMS["NV"])
     # stable across processes (Python's str hash is salted per run)
     import hashlib
     digest = hashlib.md5(
         f"{class_name}:{int(index)}:{int(seed)}".encode()).hexdigest()
     rng = np.random.default_rng(int(digest[:8], 16))
+    if hard > 0.0:
+        others = [c for c in _CLASS_PARAMS if c != class_name]
+        confuser = others[int(rng.integers(len(others)))]
+        w = float(rng.uniform(0.0, min(max(hard, 0.0), 1.0)))
+        p = _blend_params(p, _CLASS_PARAMS[confuser], w)
 
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size - 0.5
     # skin background with gentle texture
@@ -104,8 +132,10 @@ def procedural_image(class_name: str, index: int, size: int = 128,
 
 
 def procedural_images(class_name: str, n: int, size: int = 128,
-                      seed: int = 0, start_index: int = 0) -> np.ndarray:
-    return np.stack([procedural_image(class_name, start_index + i, size, seed)
+                      seed: int = 0, start_index: int = 0,
+                      hard: float = 0.0) -> np.ndarray:
+    return np.stack([procedural_image(class_name, start_index + i, size,
+                                      seed, hard=hard)
                      for i in range(n)])
 
 

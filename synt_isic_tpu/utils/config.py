@@ -85,6 +85,10 @@ def default_config() -> Dict[str, Any]:
             "alpha_level": 0.1,
             "n_bootstrap": 1000,
             "n_permutations": 10000,
+            # opt-in axiom-faithful Time-SHAP stage (permutation-sampled
+            # Shapley values over timesteps — reference README.md:198-207)
+            "coalitional_shap": False,
+            "coalitional_permutations": 256,
         },
     }
 
@@ -139,6 +143,12 @@ def apply_env_overrides(config: Dict[str, Any], env: Optional[Dict[str, str]] = 
         config["xai"]["ddpm_model_path"] = env["XAI_DDPM_MODEL_PATH"]
     if env.get("XAI_IMAGE_PATH"):
         config["xai"]["image_path"] = env["XAI_IMAGE_PATH"]
+    if env.get("XAI_COALITIONAL_SHAP"):
+        config["xai"]["coalitional_shap"] = (
+            env["XAI_COALITIONAL_SHAP"] in ("1", "true", "yes"))
+    v = _int("XAI_COALITIONAL_PERMUTATIONS")
+    if v is not None and v > 0:
+        config["xai"]["coalitional_permutations"] = v
 
 
 class ConfigManager:

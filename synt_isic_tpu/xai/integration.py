@@ -45,6 +45,8 @@ class IntegratedXAIAnalyzer:
                  save_figures: bool = True,
                  n_bootstrap: int = 1000,
                  n_permutations: int = 10000,
+                 coalitional_shap: bool = False,
+                 coalitional_permutations: int = 256,
                  seed: int = 0,
                  mesh=None,
                  mesh_axis: str = "data"):
@@ -74,6 +76,8 @@ class IntegratedXAIAnalyzer:
         self.save_figures = save_figures
         self.n_bootstrap = n_bootstrap
         self.n_permutations = n_permutations
+        self.coalitional_shap = coalitional_shap
+        self.coalitional_permutations = coalitional_permutations
         self.verbose = verbose
 
     def analyze_trajectory(self, trajectory, class_name: str,
@@ -104,6 +108,8 @@ class IntegratedXAIAnalyzer:
             intervention_types=self.intervention_types,
             with_gradcam=self.with_gradcam, with_sanity=self.with_sanity,
             n_bootstrap=self.n_bootstrap, n_permutations=self.n_permutations,
+            coalitional_shap=self.coalitional_shap,
+            coalitional_permutations=self.coalitional_permutations,
             mesh=self.mesh, mesh_axis=self.mesh_axis,
             log=print if self.verbose else (lambda *_: None))
 

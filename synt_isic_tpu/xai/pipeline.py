@@ -76,6 +76,8 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
                                    n_permutations: int = 10000,
                                    with_gradcam: bool = True,
                                    with_sanity: bool = True,
+                                   coalitional_shap: bool = False,
+                                   coalitional_permutations: int = 256,
                                    mesh=None,
                                    mesh_axis: str = "data",
                                    progress_cb=None,
@@ -114,6 +116,9 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
                 "shap_n_samples": xai_analyzer.shap_n_samples,
                 "intervention_types": list(intervention_types),
                 "alpha_level": alpha_level,
+                "coalitional_shap": bool(coalitional_shap),
+                "coalitional_permutations": (int(coalitional_permutations)
+                                             if coalitional_shap else None),
             },
         },
         "xai_maps": {},
@@ -269,6 +274,34 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
     except Exception as exc:
         log(f"[xai] Time-SHAP failed: {exc}")
         results["time_shap"] = {"error": str(exc)}
+    if coalitional_shap:
+        # opt-in axiom-faithful stage (VERDICT r3 #4): permutation-sampled
+        # Shapley values over timesteps — the README-described formulation
+        # (reference `README.md:198-207`) the min-max proxy above
+        # approximates. Costs zero extra classifier passes (frame scores
+        # are reused; the estimator is one fused vmapped XLA launch).
+        try:
+            coal = xai_analyzer.compute_time_shap_coalitional(
+                frames, timesteps, target_class_id,
+                n_permutations=int(coalitional_permutations))
+            results["time_shap"]["coalitional"] = {
+                "shapley_values": coal["shapley_values"],
+                "efficiency_gap": coal["efficiency_gap"],
+                "frame_scores": coal["frame_scores"],
+                "n_permutations": coal["n_permutations"],
+                "most_important_index": int(np.argmax(
+                    np.abs(np.asarray(coal["shapley_values"])))),
+            }
+            if save_results and save_figures:
+                p = results_dir / "time_shap_coalitional.png"
+                viz.plot_time_shap_coalitional(
+                    timesteps, coal["shapley_values"], coal["frame_scores"],
+                    coal["efficiency_gap"], target_class_name,
+                    save_path=str(p))
+                results["visualizations"].append(str(p))
+        except Exception as exc:
+            log(f"[xai] coalitional Time-SHAP failed: {exc}")
+            results["time_shap"]["coalitional"] = {"error": str(exc)}
     _mark("stage3_time_shap")
 
     # === Grad-CAM block =================================================================

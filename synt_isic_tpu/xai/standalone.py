@@ -46,6 +46,8 @@ def run_standalone_xai(target_class: str = "MEL",
                        n_permutations: int = 10000,
                        with_gradcam: bool = True,
                        with_sanity: bool = True,
+                       coalitional_shap: bool = False,
+                       coalitional_permutations: int = 256,
                        mesh=None,
                        conditional: bool = False,
                        guidance_scale: float = 0.0,
@@ -116,7 +118,8 @@ def run_standalone_xai(target_class: str = "MEL",
         target_class_name=target_class, save_results=True,
         results_dir=results_dir, n_bootstrap=n_bootstrap,
         n_permutations=n_permutations, with_gradcam=with_gradcam,
-        with_sanity=with_sanity, log=log)
+        with_sanity=with_sanity, coalitional_shap=coalitional_shap,
+        coalitional_permutations=coalitional_permutations, log=log)
 
 
 def main() -> int:
@@ -144,11 +147,19 @@ def main() -> int:
     # XAI_GUIDANCE_SCALE>1 captures the CFG-guided trajectory
     conditional = os.environ.get("XAI_CONDITIONAL", "") in ("1", "true", "yes")
     guidance = float(os.environ.get("XAI_GUIDANCE_SCALE", "0") or 0.0)
+    # XAI_COALITIONAL_SHAP=1 adds the axiom-faithful permutation-Shapley
+    # Time-SHAP stage (φ-values + efficiency gap in analysis_results.json,
+    # time_shap_coalitional.png artifact)
+    coalitional = os.environ.get("XAI_COALITIONAL_SHAP", "") in ("1", "true",
+                                                                 "yes")
+    coal_perms = int(os.environ.get("XAI_COALITIONAL_PERMUTATIONS", "256"))
     results = run_standalone_xai(target_class=target, seed=seed,
                                  inference_steps=steps, save_every=save_every,
                                  ddpm_model_path=ddpm_path, mesh=mesh,
                                  conditional=conditional,
-                                 guidance_scale=guidance)
+                                 guidance_scale=guidance,
+                                 coalitional_shap=coalitional,
+                                 coalitional_permutations=coal_perms)
     return 0 if results is not None else 1
 
 

@@ -197,6 +197,44 @@ def plot_time_shap_comprehensive(timesteps: Sequence[float], importance,
     plt.close(fig)
 
 
+def plot_time_shap_coalitional(timesteps: Sequence[float], shapley_values,
+                               frame_scores, efficiency_gap: float,
+                               class_name: str,
+                               save_path: Optional[str] = None) -> None:
+    """Axiom-faithful Time-SHAP (permutation-sampled Shapley values over
+    timesteps — the README-described formulation, reference
+    `README.md:198-207`): φ per frame plus the value curve they decompose.
+    The efficiency axiom Σφ = v(full) − v(∅) holds by construction; the
+    plotted gap is the estimator's numerical residual."""
+    ts = np.asarray(list(timesteps), dtype=np.float64)
+    phi = np.asarray(shapley_values, dtype=np.float64)
+    scores = np.asarray(frame_scores, dtype=np.float64)
+    x = np.arange(len(ts))
+
+    fig, axes = plt.subplots(1, 2, figsize=(14, 5))
+    colors = ["#d62728" if v < 0 else "#1f77b4" for v in phi]
+    axes[0].bar(x, phi, color=colors)
+    axes[0].axhline(0, color="gray", lw=0.8)
+    best = int(np.argmax(np.abs(phi)))
+    axes[0].axvline(best, color="red", ls="--", alpha=0.5,
+                    label=f"max |φ| @ t={ts[best]:.0f}")
+    axes[0].set_title(f"Shapley φ per frame (Σφ={phi.sum():.4f}, "
+                      f"efficiency gap={efficiency_gap:.2e})")
+    axes[0].set_xlabel("frame index")
+    axes[0].legend()
+
+    axes[1].plot(x, scores, marker=".", color="#2ca02c")
+    axes[1].set_title("coalition value v: per-class log-prob of the "
+                      "latest revealed frame")
+    axes[1].set_xlabel("frame index")
+
+    fig.suptitle(f"Coalitional Time-SHAP — {class_name}")
+    fig.tight_layout()
+    if save_path:
+        fig.savefig(save_path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+
+
 def plot_statistical_analysis_modern(stats_results: Dict[str, Any],
                                      class_name: str,
                                      top_k_shifts: Optional[Sequence[float]] = None,

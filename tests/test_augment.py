@@ -205,3 +205,67 @@ def test_augment_multistep_scheduler_fails_loudly(ckpt_dir, tmp_path):
                                      seed=1)
     assert not ok  # logged error, no artifact
     assert not (tmp_path / "a.png").exists()
+
+
+def test_reproduce_survives_stale_same_named_neighbor(ckpt_dir, tmp_path):
+    """ADVICE r3: a stale same-named file next to the sidecar must not
+    block reproduction when the pristine original still exists at the
+    recorded absolute path — the first sha-matching candidate wins."""
+    from synt_isic_tpu.cli import reproduce_from_sidecar
+
+    src = tmp_path / "elsewhere" / "s.png"
+    src.parent.mkdir()
+    _write_source(src, 6)
+    gen = _gen(ckpt_dir)
+    out = tmp_path / "out" / "aug.png"
+    out.parent.mkdir()
+    assert gen.augment_single_image("NV", str(src), str(out), strength=0.4,
+                                    seed=3)[0]
+    # plant a DIFFERENT image under the same name next to the sidecar
+    _write_source(out.parent / "s.png", 99)
+    rc = reproduce_from_sidecar(str(out.with_suffix(".json")), str(ckpt_dir),
+                                output=str(tmp_path / "redo.png"),
+                                model_config=TINY_JAX)
+    assert rc == 0
+    assert (tmp_path / "redo.png").read_bytes() == out.read_bytes()
+
+
+def test_dark_uint8_array_source_rescaled_by_dtype(ckpt_dir):
+    """ADVICE r3: an all-dark uint8 array (max <= 1) is still 0-255 range —
+    the rescale decision must come from the dtype, not the values."""
+    dark = np.zeros((SIZE, SIZE, 3), np.uint8)
+    dark[0, 0] = 1
+    arr, name, digest = ImageGenerator._load_source_image(dark, SIZE)
+    assert name is None and len(digest) == 64
+    assert arr.min() >= -1.0 and arr.max() <= -0.99  # 0-1 uint8 -> ~-1.0
+    # float input in [-1,1] passes through unscaled
+    f = np.full((SIZE, SIZE, 3), 0.5, np.float32)
+    arr2, _, _ = ImageGenerator._load_source_image(f, SIZE)
+    assert np.allclose(arr2, 0.5)
+
+
+def test_augment_cli_partial_failure_exits_nonzero(ckpt_dir, tmp_path,
+                                                   monkeypatch):
+    """ADVICE r3: fewer successes than requested must be a nonzero exit."""
+    from synt_isic_tpu.cli import augment_from_cli
+
+    src = tmp_path / "s.png"
+    _write_source(src, 7)
+    real = ImageGenerator.augment_single_image
+    calls = {"n": 0}
+
+    def flaky(self, *a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            return False, None
+        return real(self, *a, **kw)
+
+    monkeypatch.setattr(ImageGenerator, "augment_single_image", flaky,
+                        raising=True)
+    args = SimpleNamespace(
+        classes=["NV"], augment_source=str(src), augment_strength=0.5,
+        augment_mask=None, count=3, seed=9, output=str(tmp_path / "out"),
+        checkpoints=str(ckpt_dir), steps=4, scheduler="ddim",
+        timestep_spacing="leading", model_variant="best", conditional=False,
+        guidance_scale=0.0, no_postprocess=False)
+    assert augment_from_cli(args, model_config=TINY_JAX) == 1  # 2/3 succeeded

@@ -130,6 +130,11 @@ def test_img2img_rejects_multistep_and_bad_args(setup):
     with pytest.raises(ValueError):
         s.img2img(params, 1, _init_image(), mask=np.ones((8, 8), np.float32))
     with pytest.raises(ValueError):
+        # leading dim neither 1 nor the seed batch: must fail with the
+        # descriptive error, not an opaque broadcast error inside the scan
+        s.img2img(params, 1, _init_image(),
+                  mask=np.ones((3, 16, 16, 1), np.float32))
+    with pytest.raises(ValueError):
         s.img2img(params, 1, _init_image(), class_labels=2)
 
 

@@ -283,3 +283,29 @@ def test_gui_module_importable_headless():
     from synt_isic_tpu.app import gui
     if not gui.PYQT_AVAILABLE:
         assert gui.main() == 1
+
+
+def test_procedural_hard_mode_confusable_but_deterministic():
+    """VERDICT r3 #5: hard>0 blends class parameters toward random
+    confusers. Contract: deterministic per (class,index,seed,hard),
+    hard=0 identical to the pre-hard default stream, and hard images
+    measurably closer to other classes' prototypes."""
+    from synt_isic_tpu.train.procedural import procedural_image, procedural_images
+
+    base = procedural_image("MEL", 3, 32, seed=0)
+    np.testing.assert_array_equal(base, procedural_image("MEL", 3, 32, seed=0,
+                                                         hard=0.0))
+    h1 = procedural_image("MEL", 3, 32, seed=0, hard=0.9)
+    h2 = procedural_image("MEL", 3, 32, seed=0, hard=0.9)
+    np.testing.assert_array_equal(h1, h2)       # deterministic
+    assert not np.array_equal(base, h1)          # blending changed the image
+    assert h1.min() >= -1.0 and h1.max() <= 1.0
+
+    # population check: mean distance between MEL and NV image sets shrinks
+    # as hardness rises (classes become confusable)
+    def gap(hard):
+        a = procedural_images("MEL", 12, 32, seed=0, hard=hard)
+        b = procedural_images("NV", 12, 32, seed=0, hard=hard)
+        return float(np.abs(a.mean(axis=0) - b.mean(axis=0)).mean())
+
+    assert gap(0.9) < gap(0.0)

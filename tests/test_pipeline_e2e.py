@@ -117,3 +117,48 @@ def test_run_xai_analysis_preview(clf, tmp_path):
     Image.new("RGB", (8, 8)).save(art)
     img, path = run_xai_analysis(str(img_path))
     assert path == str(art)
+
+
+def test_pipeline_coalitional_time_shap_stage(clf, tmp_path):
+    """Opt-in coalitional Time-SHAP stage (VERDICT r3 #4): φ-values +
+    efficiency gap land in analysis_results.json and the plot artifact is
+    emitted; default-off keeps reference-parity output."""
+    rng = np.random.default_rng(1)
+    frames = jnp.asarray(np.clip(rng.normal(size=(4, 64, 64, 3)) * 0.4, -1, 1)
+                         .astype(np.float32))
+    timesteps = [900.0, 600.0, 300.0, 0.0]
+    analyzer = XAIAnalyzer(clf, ig_n_steps=2, shap_n_samples=4,
+                           shap_patch_size=32, seed=0)
+    out_dir = tmp_path / "coal"
+    results = run_comprehensive_xai_pipeline(
+        trajectory=frames, timesteps=timesteps, xai_analyzer=analyzer,
+        classifier=clf, target_class_id=1, target_class_name="NV",
+        save_results=True, results_dir=out_dir,
+        n_bootstrap=20, n_permutations=30,
+        with_gradcam=False, with_sanity=False,
+        coalitional_shap=True, coalitional_permutations=64,
+        log=lambda *a: None)
+
+    coal = results["time_shap"]["coalitional"]
+    phi = np.asarray(coal["shapley_values"])
+    assert phi.shape == (4,)
+    # efficiency axiom: Σφ = v(full) − v(∅) up to estimator fp error
+    scores = np.asarray(coal["frame_scores"])
+    assert abs(phi.sum() - (scores[-1] - scores[0])) < 1e-4
+    assert abs(coal["efficiency_gap"]) < 1e-4
+    assert (out_dir / "time_shap_coalitional.png").exists()
+    js = json.loads((out_dir / "analysis_results.json").read_text())
+    assert "coalitional" in js["time_shap"]
+    assert len(js["time_shap"]["coalitional"]["shapley_values"]) == 4
+    assert js["metadata"]["parameters"]["coalitional_shap"] is True
+
+    # default-off: no coalitional block, no artifact
+    out2 = tmp_path / "nocoal"
+    r2 = run_comprehensive_xai_pipeline(
+        trajectory=frames, timesteps=timesteps, xai_analyzer=analyzer,
+        classifier=clf, target_class_id=1, target_class_name="NV",
+        save_results=True, results_dir=out2,
+        n_bootstrap=20, n_permutations=30,
+        with_gradcam=False, with_sanity=False, log=lambda *a: None)
+    assert "coalitional" not in r2["time_shap"]
+    assert not (out2 / "time_shap_coalitional.png").exists()
