@@ -98,27 +98,23 @@ def bench_tpu(scheduler: str, steps: int, batch: int,
     return (batch * n_runs) / dt
 
 
-def mfu_estimate(images_per_sec: float, steps: int):
-    """Live MFU for the headline config: achieved FLOP/s over the chip's
-    dense-bf16 peak, with per-image FLOPs from XLA's own cost analysis of
-    one UNet forward (methodology identical to scripts/profile_mfu.py;
-    peaks table kept in sync with it). None when the chip is unknown or
-    the cost analysis is unavailable."""
+_FLOPS_CACHE = {}
+
+
+def _flops_per_eval():
+    """FLOPs of ONE UNet forward per image, from XLA's own cost analysis of
+    the HLO actually benchmarked (fused attention, fast_norm) — methodology
+    identical to scripts/profile_mfu.py. Cached; None when unavailable."""
+    if "v" in _FLOPS_CACHE:
+        return _FLOPS_CACHE["v"]
     import jax
     import jax.numpy as jnp
 
     from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig, init_unet_params
-    from synt_isic_tpu.utils.compute import TPU_PEAKS
 
-    entry = TPU_PEAKS.get(jax.devices()[0].device_kind)
-    if entry is None:
-        return None
-    peak = entry[0]
     try:
         b = 8  # cost scales linearly in batch; small shape compiles fast
         on_tpu = jax.devices()[0].platform == "tpu"
-        # SAME build flags as bench_tpu/profile_mfu — the cost analysis must
-        # describe the HLO actually benchmarked (fused attention, fast_norm)
         model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16,
                        use_fused_attention=on_tpu, fast_norm=on_tpu)
         params = init_unet_params(
@@ -130,10 +126,28 @@ def mfu_estimate(images_per_sec: float, steps: int):
                 .lower(params, x, t).compile().cost_analysis())
         if isinstance(cost, list):
             cost = cost[0]
-        flops_per_image = float(cost["flops"]) / b * steps
-        return round(images_per_sec * flops_per_image / peak * 100, 1)
+        _FLOPS_CACHE["v"] = float(cost["flops"]) / b
     except Exception:
+        _FLOPS_CACHE["v"] = None
+    return _FLOPS_CACHE["v"]
+
+
+def mfu_estimate(images_per_sec: float, steps: int, evals_per_step: int = 1):
+    """Live MFU for one rung: achieved FLOP/s over the chip's dense-bf16
+    peak. `evals_per_step`=2 for the CFG rung (cond+null run as one
+    2B-batched forward, so every image costs two UNet evals per step; the
+    class-embedding add is FLOP-negligible). None when the chip is unknown
+    or the cost analysis is unavailable."""
+    import jax
+
+    from synt_isic_tpu.utils.compute import TPU_PEAKS
+
+    entry = TPU_PEAKS.get(jax.devices()[0].device_kind)
+    fpe = _flops_per_eval()
+    if entry is None or fpe is None or images_per_sec != images_per_sec:
         return None
+    peak = entry[0]
+    return round(images_per_sec * fpe * steps * evals_per_step / peak * 100, 1)
 
 
 def torch_cpu_per_step_seconds() -> float:
@@ -254,16 +268,25 @@ def main() -> None:
         "extra": {
             "ddpm_T1000_b8_images_per_sec": round(research_ips, 4),
             "ddpm_T1000_vs_baseline": ratio(research_ips, base_research),
+            "ddpm_T1000_mfu_pct": mfu_estimate(research_ips,
+                                               RESEARCH["steps"]),
             "dpm_solver_T20_b128_images_per_sec": round(fast_ips, 4),
+            "dpm_solver_T20_mfu_pct": mfu_estimate(fast_ips, FAST["steps"]),
             "ddim_T8_b128_images_per_sec": round(distilled_ips, 4),
+            "ddim_T8_mfu_pct": mfu_estimate(distilled_ips,
+                                            DISTILLED["steps"]),
             "ddim_T8_note": "progressive-distillation student config "
                             "(train/distill.py); quality evidence: "
                             "scripts/distill_ladder.py",
             "unipc_T20_trailing_b128_images_per_sec": round(unipc_ips, 4),
+            "unipc_T20_mfu_pct": mfu_estimate(unipc_ips, UNIPC["steps"]),
             "unipc_note": "predictor-corrector at near-DDIM-50 quality "
                           "(Frechet 2.62 vs 2.48 on the e2e checkpoint, "
                           "artifacts/sampler_ladder_unipc.json)",
             "ddim_T50_b128_cfg2_images_per_sec": round(conditional_ips, 4),
+            "ddim_T50_cfg2_mfu_pct": mfu_estimate(conditional_ips,
+                                                  CONDITIONAL["steps"],
+                                                  evals_per_step=2),
             "cfg2_note": "class-conditional model, classifier-free guidance "
                          "g=2 (cond+null as ONE 2B-batched forward); quality "
                          "evidence: scripts/e2e_conditional.py",

@@ -164,11 +164,16 @@ def main() -> int:
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--timestep-spacing", choices=("leading", "trailing"),
                    default="trailing")
+    p.add_argument("--width", choices=("quarter", "full"), default="quarter",
+                   help="'full' = flagship ~25M topology")
     args = p.parse_args()
+    from e2e_loop import unet_config
+
     run_eval(args.checkpoints, args.out, class_name=args.class_name,
              size=args.size, count=args.count, heldout=args.heldout,
              steps=args.steps, seed=args.seed,
-             spacing=args.timestep_spacing)
+             spacing=args.timestep_spacing,
+             model_config=unet_config(args.size, args.width))
     return 0
 
 

@@ -169,6 +169,8 @@ def main() -> int:
     p.add_argument("--heldout", type=int, default=128)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--width", choices=("quarter", "full"), default="quarter",
+                   help="'full' = flagship ~25M topology")
     args = p.parse_args()
     if args.cpu:
         import jax
@@ -176,13 +178,16 @@ def main() -> int:
     else:
         from synt_isic_tpu.utils.compute import enable_compilation_cache
         enable_compilation_cache()
+    from e2e_loop import unet_config
+
     run_distill_ladder(args.checkpoints, args.out,
                        class_name=args.class_name, size=args.size,
                        start_steps=args.start, end_steps=args.end,
                        steps_per_phase=args.steps_per_phase,
                        batch_size=args.batch,
                        train_images=args.train_images, count=args.count,
-                       heldout=args.heldout, seed=args.seed)
+                       heldout=args.heldout, seed=args.seed,
+                       model_config=unet_config(args.size, args.width))
     return 0
 
 

@@ -36,7 +36,7 @@ def run(out_dir: str, size: int = 128, train_images: int = 256,
         guidance_scales=(1.0, 2.0, 3.0), cond_dropout: float = 0.1,
         clf_per_class: int = 64, clf_epochs: int = 8, seed: int = 0,
         skip_train: bool = False, classes=None, width: str = "quarter",
-        clf_hard: float = 0.0, log=print) -> dict:
+        clf_hard: float = 0.0, remat: bool = False, log=print) -> dict:
     CLASSES = list(classes) if classes else list(DEFAULT_CLASSES)
     import dataclasses
 
@@ -79,7 +79,7 @@ def run(out_dir: str, size: int = 128, train_images: int = 256,
     # --- train the conditional model ---------------------------------------
     cfg = dataclasses.replace(unet_config(size, width),
                               num_class_embeds=len(CLASSES) + 1)
-    model = UNet2D(config=cfg, dtype=jnp.bfloat16)
+    model = UNet2D(config=cfg, dtype=jnp.bfloat16, remat=remat)
     tcfg = TrainConfig(image_size=size, batch_size=batch_size, epochs=epochs,
                        ema_decay=0.9995, seed=seed, learning_rate=2e-4,
                        lr_schedule="cosine", warmup_steps=500,
@@ -239,6 +239,7 @@ def main() -> int:
                         "7-class ISIC taxonomy)")
     p.add_argument("--width", choices=("quarter", "full"), default="quarter")
     p.add_argument("--clf-hard", type=float, default=0.0)
+    p.add_argument("--remat", action="store_true")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke mode)")
     args = p.parse_args()
@@ -253,7 +254,7 @@ def main() -> int:
         cond_dropout=args.cond_dropout, seed=args.seed,
         skip_train=args.skip_train,
         classes=[c.strip() for c in args.classes.split(",") if c.strip()],
-        width=args.width, clf_hard=args.clf_hard)
+        width=args.width, clf_hard=args.clf_hard, remat=args.remat)
     return 0
 
 

@@ -89,7 +89,7 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
              offset_noise: float = 0.05, with_classifier: bool = True,
              clf_per_class: int = 64, clf_epochs: int = 8,
              clf_hard: float = 0.0, clf_label_noise: float = 0.0,
-             width: str = "quarter",
+             width: str = "quarter", remat: bool = False,
              timestep_spacing: str = "trailing", log=print) -> dict:
     import numpy as np
     import jax.numpy as jnp
@@ -123,7 +123,9 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
     cfg = unet_config(size, width)
     from synt_isic_tpu.models.unet2d import UNet2D
 
-    model = UNet2D(config=cfg, dtype=jnp.bfloat16)
+    # remat: rematerialize UNet blocks in the backward pass — activation
+    # memory drops enough to double the training batch on a 16G chip
+    model = UNet2D(config=cfg, dtype=jnp.bfloat16, remat=remat)
     # snapshot sparingly: each snapshot round pulls ~100 MB of params +
     # optimizer state device->host, which on a throttled link costs more
     # than many epochs of compute
@@ -445,6 +447,9 @@ def main() -> int:
     p.add_argument("--clf-label-noise", type=float, default=0.0,
                    help="fraction of classifier training labels flipped "
                         "to a random class")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize UNet blocks in training backward "
+                        "(fits larger batches on a 16G chip)")
     p.add_argument("--timestep-spacing", choices=("leading", "trailing"),
                    default="trailing",
                    help="'trailing' (default) = few-step quality fix; "
@@ -473,6 +478,7 @@ def main() -> int:
                       ddim_steps=args.ddim_steps, dpm_steps=args.dpm_steps,
                       seed=args.seed, skip_train=args.skip_train,
                       offset_noise=args.offset_noise, width=args.width,
+                      remat=args.remat,
                       clf_hard=args.clf_hard,
                       clf_label_noise=args.clf_label_noise,
                       timestep_spacing=args.timestep_spacing)

@@ -85,6 +85,13 @@ def main() -> int:
                         "giving curated group membership per image, in the "
                         "sorted image order; without it the luminance "
                         "HEURISTIC stands in and the report is marked so")
+    p.add_argument("--phototype-sim", type=float, default=None, metavar="F",
+                   help="CURATED-LABELS validation mode: darken a seeded "
+                        "fraction F of the corpus (synthetic dark-phototype "
+                        "rendering, tone scale 0.45) and audit with the "
+                        "ground-truth membership as curated labels; the "
+                        "report additionally scores the luminance "
+                        "heuristic's agreement against those labels")
     p.add_argument("--out", default="fairness_report.json")
     args = p.parse_args()
 
@@ -97,6 +104,25 @@ def main() -> int:
         raise SystemExit("provide --images or --generate")
     print(f"auditing {len(images)} images")
 
+    sim_mask = None
+    if args.phototype_sim is not None:
+        # synthetic phototype rendering: scale a seeded subset's tones
+        # toward dark skin (multiplicative in [0,1] space — shadows and
+        # lesion pigment keep their relative contrast)
+        rng = np.random.default_rng(args.seed + 99)
+        sim_mask = rng.random(len(images)) < args.phototype_sim
+        f32 = images.dtype != np.uint8
+        imgs = images.astype(np.float32)
+        if f32:   # [-1,1] -> [0,1]
+            imgs = (imgs + 1.0) / 2.0
+        else:
+            imgs = imgs / 255.0
+        imgs[sim_mask] *= 0.45
+        images = ((imgs * 2.0 - 1.0).astype(np.float32) if f32
+                  else np.round(imgs * 255.0).astype(np.uint8))
+        print(f"phototype-sim: darkened {int(sim_mask.sum())}/{len(images)} "
+              f"images (curated ground-truth labels)")
+
     clf_path = args.classifier or str(Path(args.checkpoints) / "classifier.pth")
     if Path(clf_path).exists():
         clf, counts = LesionClassifier.from_checkpoint(clf_path)
@@ -105,6 +131,7 @@ def main() -> int:
         clf = LesionClassifier.random_init()
         print("classifier: random init (scores are structural only)")
 
+    heuristic_validation = None
     if args.group_labels:
         lp = Path(args.group_labels)
         if lp.suffix == ".npy":
@@ -116,17 +143,36 @@ def main() -> int:
             raise SystemExit(f"--group-labels has {len(mask)} entries for "
                              f"{len(images)} images")
         group_source = f"labels_file:{lp.name}"
+    elif sim_mask is not None:
+        mask = sim_mask
+        group_source = "synthetic_phototype_rendering"
     else:
         mask = estimate_phototype_mask(images, args.luminance_threshold)
         group_source = "luminance_heuristic"
         print("NOTE: group mask is the luminance HEURISTIC, not curated "
               "phototype labels — conclusions are indicative only "
               "(pass --group-labels for a real audit)")
+    if group_source != "luminance_heuristic":
+        # curated labels available: validate the heuristic against them
+        # (this is the only place the heuristic's accuracy is measurable)
+        h = estimate_phototype_mask(images, args.luminance_threshold)
+        tp = int((h & mask).sum())
+        heuristic_validation = {
+            "threshold": args.luminance_threshold,
+            "accuracy": float((h == mask).mean()),
+            "precision": float(tp / max(1, int(h.sum()))),
+            "recall": float(tp / max(1, int(mask.sum()))),
+            "heuristic_positives": int(h.sum()),
+            "curated_positives": int(mask.sum()),
+        }
+        print(f"luminance-heuristic vs curated labels: {heuristic_validation}")
     print(f"dark-phototype group: {int(mask.sum())}/{len(mask)}")
     auditor = FairnessAuditor(clf, batch_size=args.batch)
     target = CLASS_NAMES.index(args.target_class) if args.target_class else None
     report = auditor.audit(images, mask, target_class=target,
                            group_source=group_source)
+    if heuristic_validation is not None:
+        report["luminance_heuristic_validation"] = heuristic_validation
 
     from synt_isic_tpu.xai.pipeline import json_safe
     Path(args.out).write_text(json.dumps(json_safe(report), indent=2))

@@ -154,6 +154,8 @@ def main() -> int:
     p.add_argument("--heldout", type=int, default=128)
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--width", choices=("quarter", "full"), default="quarter",
+                   help="'full' = flagship ~25M topology")
     p.add_argument("--configs", default=None, metavar="SPEC",
                    help="comma-separated subset grid 'scheduler:steps"
                         "[:spacing]' (e.g. 'ddim:50:trailing,unipc:8:"
@@ -172,9 +174,12 @@ def main() -> int:
             parts = spec.strip().split(":")
             grid.append((parts[0], int(parts[1])) if len(parts) == 2
                         else (parts[0], int(parts[1]), parts[2]))
+    from e2e_loop import unet_config
+
     run_ladder(args.checkpoints, args.out, class_name=args.class_name,
                size=args.size, count=args.count, heldout=args.heldout,
-               seed=args.seed, grid=grid)
+               seed=args.seed, grid=grid,
+               model_config=unet_config(args.size, args.width))
     return 0
 
 

@@ -806,17 +806,30 @@ def main(argv=None) -> int:
                         "(0/1 = plain conditional; >1 = guided at 2x UNet "
                         "cost per step)")
     p.add_argument("--fast-variant", default=None, metavar="V",
-                   help="enable the fast-preview lane: requests with "
-                        "{'fast': true} sample this distilled variant "
-                        "(e.g. distill8) at --fast-steps on the priority "
-                        "lane; other requests are untouched")
+                   help="fast-preview lane on a separate checkpoint variant "
+                        "(e.g. a distillation student, distill8) at "
+                        "--fast-steps. EXPERIMENTAL: on the measured ladder "
+                        "(artifacts/distill_ladder) distilled students lose "
+                        "to --fast-scheduler unipc at the same step count — "
+                        "gate any student on scripts/distill_ladder.py")
+    p.add_argument("--fast-scheduler", default=None,
+                   choices=("ddpm", "ddim", "dpm_solver", "dpm_solver_sde",
+                            "unipc"),
+                   help="fast-preview lane on the SAME weights with a "
+                        "few-step scheduler override. RECOMMENDED: "
+                        "--fast-scheduler unipc --fast-steps 8 — measured "
+                        "Pareto-best preview config (Frechet 5.59 vs the "
+                        "distill8 student's 9.94 and teacher-DDIM-8's 7.16 "
+                        "on the same battery, zero extra training)")
     p.add_argument("--fast-steps", type=int, default=None,
-                   help="steps for the fast variant (default: the trailing "
-                        "integer in its name, e.g. distill8 -> 8)")
+                   help="steps for the fast lane (default: the trailing "
+                        "integer in the variant name, e.g. distill8 -> 8; "
+                        "or 8 for a scheduler-only fast lane)")
     p.add_argument("--fast-spacing", choices=("leading", "trailing"),
                    default="trailing",
-                   help="timestep spacing of the fast variant (distilled "
-                        "students are trained on trailing grids)")
+                   help="timestep spacing of the fast lane (few-step "
+                        "quality needs trailing; distilled students are "
+                        "trained on trailing grids)")
     args = p.parse_args(argv)
 
     import jax.numpy as jnp
@@ -860,22 +873,36 @@ def main(argv=None) -> int:
         print(f"serving over a {dict(mesh.shape)} mesh "
               f"(device batch {gen.batch_size})", flush=True)
     fast_gen = None
-    if args.fast_variant:
+    if args.fast_variant or args.fast_scheduler:
         import re
 
-        m = re.search(r"(\d+)$", args.fast_variant)
-        fast_steps = args.fast_steps or (int(m.group(1)) if m else None)
-        if not fast_steps:
-            p.error("--fast-steps required (variant name has no trailing "
-                    "integer to infer it from)")
+        if args.fast_variant:
+            m = re.search(r"(\d+)$", args.fast_variant)
+            fast_steps = args.fast_steps or (int(m.group(1)) if m else None)
+            if not fast_steps:
+                p.error("--fast-steps required (variant name has no "
+                        "trailing integer to infer it from)")
+        else:
+            # scheduler-only fast lane: same weights/variant as the main
+            # generator, few-step solver override (recommended: unipc 8)
+            fast_steps = args.fast_steps or 8
+        fast_variant = args.fast_variant or args.model_variant
         fast_gen = ImageGenerator(
             checkpoints_dir=args.checkpoints,
             compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
-            model_variant=args.fast_variant)
+            model_variant=fast_variant,
+            conditional=args.conditional,
+            guidance_scale=args.guidance_scale)
         fast_gen.set_inference_steps(fast_steps)
         fast_gen.timestep_spacing = args.fast_spacing
-        fast_gen.scheduler_kind = "ddim"   # distillation targets DDIM steps
+        # distillation students target DDIM steps; a scheduler-only lane
+        # defaults to the measured Pareto-best few-step solver (UniPC)
+        fast_gen.scheduler_kind = args.fast_scheduler or (
+            "ddim" if args.fast_variant else "unipc")
         fast_gen.save_trajectory = False
+        print(f"fast lane: variant={fast_variant} "
+              f"{fast_gen.scheduler_kind}-{fast_steps} "
+              f"({args.fast_spacing})", flush=True)
     server = GenerationServer(gen, host=args.host, port=args.port,
                               output_root=args.output_root,
                               # gen.batch_size, not args.batch: --mesh may

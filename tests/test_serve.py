@@ -657,3 +657,42 @@ def test_mesh_server_threads_mesh_into_xai_analyzer(tmp_path_factory):
         assert analyzer.mesh is mesh
     finally:
         srv.stop()
+
+
+def test_fast_lane_scheduler_only_same_weights(tmp_path_factory):
+    """Fast lane on the SAME checkpoint with a few-step solver override
+    (the measured Pareto-best preview config — `serve --fast-scheduler
+    unipc --fast-steps N`): replies and sidecars record the solver, and
+    the preview pixels come from the same weights as bulk."""
+    ckpt = tmp_path_factory.mktemp("ckpt_fast_sched")
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen.set_inference_steps(6)
+    fast = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    fast.set_inference_steps(2)
+    fast.scheduler_kind = "unipc"
+    fast.timestep_spacing = "trailing"
+    fast.save_trajectory = False
+    out_root = tmp_path_factory.mktemp("out_fast_sched")
+    srv = GenerationServer(gen, port=0, output_root=str(out_root),
+                           fast_generator=fast).start()
+    try:
+        st = _rpc(srv, {"op": "status"})
+        assert st["fast_variant"] == {"variant": "best", "steps": 2,
+                                      "timestep_spacing": "trailing"}
+        r = _rpc(srv, {"op": "generate", "class": "NV", "count": 1,
+                       "seed": 5, "fast": True, "postprocess": False})
+        assert r["ok"], r
+        assert r["fast_variant"] == "best" and r["fast_steps"] == 2
+        meta = json.loads(Path(r["files"][0]).with_suffix(".json")
+                          .read_text())
+        assert meta["scheduler"]["kind"] == "unipc"
+        assert meta["scheduler"]["timestep_spacing"] == "trailing"
+        assert meta["inference_steps"] == 2
+        # same weights as bulk: the preview sidecar records the MAIN
+        # variant ('best'), not a separate student checkpoint
+        assert meta["scheduler"]["model_variant"] == "best"
+    finally:
+        srv.stop()
