@@ -36,7 +36,8 @@ def run(out_dir: str, size: int = 128, train_images: int = 256,
         guidance_scales=(1.0, 2.0, 3.0), cond_dropout: float = 0.1,
         clf_per_class: int = 64, clf_epochs: int = 8, seed: int = 0,
         skip_train: bool = False, classes=None, width: str = "quarter",
-        clf_hard: float = 0.0, remat: bool = False, log=print) -> dict:
+        clf_hard: float = 0.0, remat: bool = False,
+        train_fused: bool = True, log=print) -> dict:
     CLASSES = list(classes) if classes else list(DEFAULT_CLASSES)
     import dataclasses
 
@@ -79,7 +80,10 @@ def run(out_dir: str, size: int = 128, train_images: int = 256,
     # --- train the conditional model ---------------------------------------
     cfg = dataclasses.replace(unet_config(size, width),
                               num_class_embeds=len(CLASSES) + 1)
-    model = UNet2D(config=cfg, dtype=jnp.bfloat16, remat=remat)
+    fused = bool(train_fused and on_accel)   # see e2e_loop.py rationale
+    model = UNet2D(config=cfg, dtype=jnp.bfloat16, remat=remat,
+                   use_fused_attention=fused, fast_norm=fused)
+    report["train_fused"] = fused
     tcfg = TrainConfig(image_size=size, batch_size=batch_size, epochs=epochs,
                        ema_decay=0.9995, seed=seed, learning_rate=2e-4,
                        lr_schedule="cosine", warmup_steps=500,
@@ -240,6 +244,7 @@ def main() -> int:
     p.add_argument("--width", choices=("quarter", "full"), default="quarter")
     p.add_argument("--clf-hard", type=float, default=0.0)
     p.add_argument("--remat", action="store_true")
+    p.add_argument("--no-train-fused", action="store_true")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke mode)")
     args = p.parse_args()
@@ -254,7 +259,8 @@ def main() -> int:
         cond_dropout=args.cond_dropout, seed=args.seed,
         skip_train=args.skip_train,
         classes=[c.strip() for c in args.classes.split(",") if c.strip()],
-        width=args.width, clf_hard=args.clf_hard, remat=args.remat)
+        width=args.width, clf_hard=args.clf_hard, remat=args.remat,
+        train_fused=not args.no_train_fused)
     return 0
 
 

@@ -90,6 +90,7 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
              clf_per_class: int = 64, clf_epochs: int = 8,
              clf_hard: float = 0.0, clf_label_noise: float = 0.0,
              width: str = "quarter", remat: bool = False,
+             train_fused: bool = True,
              timestep_spacing: str = "trailing", log=print) -> dict:
     import numpy as np
     import jax.numpy as jnp
@@ -124,8 +125,17 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
     from synt_isic_tpu.models.unet2d import UNet2D
 
     # remat: rematerialize UNet blocks in the backward pass — activation
-    # memory drops enough to double the training batch on a 16G chip
-    model = UNet2D(config=cfg, dtype=jnp.bfloat16, remat=remat)
+    # memory drops enough to double the training batch on a 16G chip.
+    # train_fused (accelerator only): the training model rides the SAME
+    # Pallas fused attention as the sampling path — the custom-vjp
+    # recompute backward keeps the (B,H,T,T) tensors in VMEM in both
+    # directions (the XLA einsum path materializes multi-GB probs/logits
+    # in HBM at b32, which dominated the measured train step) — plus
+    # fast_norm (f32-statistics GroupNorm without f32 activation copies)
+    fused = bool(train_fused and on_accel)
+    model = UNet2D(config=cfg, dtype=jnp.bfloat16, remat=remat,
+                   use_fused_attention=fused, fast_norm=fused)
+    report["train_fused"] = fused
     # snapshot sparingly: each snapshot round pulls ~100 MB of params +
     # optimizer state device->host, which on a throttled link costs more
     # than many epochs of compute
@@ -450,6 +460,9 @@ def main() -> int:
     p.add_argument("--remat", action="store_true",
                    help="rematerialize UNet blocks in training backward "
                         "(fits larger batches on a 16G chip)")
+    p.add_argument("--no-train-fused", action="store_true",
+                   help="train through the XLA einsum attention instead of "
+                        "the Pallas fused kernel + custom-vjp backward")
     p.add_argument("--timestep-spacing", choices=("leading", "trailing"),
                    default="trailing",
                    help="'trailing' (default) = few-step quality fix; "
@@ -478,7 +491,7 @@ def main() -> int:
                       ddim_steps=args.ddim_steps, dpm_steps=args.dpm_steps,
                       seed=args.seed, skip_train=args.skip_train,
                       offset_noise=args.offset_noise, width=args.width,
-                      remat=args.remat,
+                      remat=args.remat, train_fused=not args.no_train_fused,
                       clf_hard=args.clf_hard,
                       clf_label_noise=args.clf_label_noise,
                       timestep_spacing=args.timestep_spacing)

@@ -172,8 +172,9 @@ class AttentionBlock(nn.Module):
 
     `use_fused=True` routes the softmax(QK^T)V core through the Pallas VMEM
     kernel (`ops/pallas/attention.py`) — identical math, no HBM-resident
-    (B, heads, T, T) logits. The einsum path remains the default (CPU tests
-    and autodiff through training).
+    (B, heads, T, T) logits, in the FORWARD and (via the custom-vjp
+    recompute backward) in TRAINING too. The einsum path remains the
+    default for CPU tests and exact-autodiff golden checks.
     """
     channels: int
     head_dim: int = 8
@@ -213,12 +214,14 @@ class AttentionBlock(nn.Module):
         # a 256² config reaches T=4096 => 67 MB and must take the XLA path)
         fits_vmem = 4 * (h * w) ** 2 <= 12 * 2 ** 20
         if self.use_fused and fits_vmem:
-            from ..ops.pallas.attention import fused_attention
+            # trainable wrapper: same Pallas forward, plus a fused VMEM
+            # backward (custom_vjp) so jax.grad through training works —
+            # static args positionally (custom_vjp nondiff_argnums)
+            from ..ops.pallas.attention import fused_attention_trainable
 
-            out = fused_attention(q, k, v,
-                                  heads_per_program=self.fused_heads_per_program,
-                                  fast_math=self.fused_fast_math,
-                                  ).astype(self.dtype)
+            out = fused_attention_trainable(
+                q, k, v, False, self.fused_heads_per_program,
+                self.fused_fast_math, True).astype(self.dtype)
         else:
             scale = 1.0 / math.sqrt(self.head_dim)
             logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,

@@ -144,3 +144,116 @@ def fused_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         cost_estimate=cost,
         interpret=interpret,
     )(q, k, v)
+
+
+def _attention_bwd_kernel(q_ref, k_ref, v_ref, do_ref,
+                          dq_ref, dk_ref, dv_ref, *, scale: float,
+                          heads_per_program: int = 1):
+    # blocks: (1, G, T, D). Recompute-style backward (flash-attention
+    # pattern): probs are rebuilt from q/k in VMEM, so HBM never sees a
+    # (T, T) tensor in either direction. Live VMEM peak at T=1024:
+    # probs bf16 (2 MB) + dp f32 (4 MB) + ds f32 (4 MB) ≈ 10 MB — probs
+    # are kept in the PRIMAL's storage dtype, both to bound VMEM and so
+    # dv matches the forward's actual (rounded) product probs·v.
+    for h in range(heads_per_program):
+        q = q_ref[0, h]                            # (T, D)
+        k = k_ref[0, h]
+        v = v_ref[0, h]
+        do = do_ref[0, h]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale       # (T, T) f32
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        exp = jnp.exp(logits)
+        probs = (exp / jnp.sum(exp, axis=-1, keepdims=True)).astype(v.dtype)
+        # dv[kt, d] = Σ_qt probs[qt, kt] · do[qt, d]
+        dv = jax.lax.dot_general(probs, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        # dp[qt, kt] = Σ_d do[qt, d] · v[kt, d]
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        pf = probs.astype(jnp.float32)
+        row = jnp.sum(dp * pf, axis=-1, keepdims=True)
+        ds = pf * (dp - row) * scale               # (T, T) f32, dL/d(qk^T)
+        dq = jax.lax.dot_general(ds.astype(q.dtype), k,
+                                 (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds.astype(q.dtype), q,
+                                 (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[0, h] = dq.astype(dq_ref.dtype)
+        dk_ref[0, h] = dk.astype(dk_ref.dtype)
+        dv_ref[0, h] = dv.astype(dv_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "heads_per_program"))
+def fused_attention_bwd(q, k, v, do, interpret: bool = False,
+                        heads_per_program: int = 1):
+    """(dq, dk, dv) for softmax(q k^T / sqrt(D)) v — one fused VMEM pass."""
+    b, h, t, d = q.shape
+    g = heads_per_program if h % heads_per_program == 0 else 1
+    scale = 1.0 / math.sqrt(d)
+    # probs (primal dtype) + dp + ds f32 live together; ×1.2 headroom
+    pbytes = jnp.dtype(q.dtype).itemsize
+    vmem_bytes = int(1.2 * g * (t * t * (2 * 4 + pbytes)
+                                + 7 * t * max(d, 128) * 4) + (1 << 20))
+    cost = pl.CostEstimate(
+        flops=2 * 5 * b * h * t * t * d,   # 5 T×T-sized matmuls per head
+        bytes_accessed=b * h * t * d * 4 * 7,
+        transcendentals=b * h * t * t)
+    block = pl.BlockSpec((1, g, t, d), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM)
+    kernel = functools.partial(_attention_bwd_kernel, scale=scale,
+                               heads_per_program=g)
+    shape = jax.ShapeDtypeStruct(q.shape, q.dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h // g),
+        in_specs=[block, block, block, block],
+        out_specs=(block, block, block),
+        out_shape=(shape, shape, shape),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(q, k, v, do)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def fused_attention_trainable(q, k, v, interpret: bool = False,
+                              heads_per_program: int = 1,
+                              fast_math: bool = False,
+                              token_minor: bool = True):
+    """`fused_attention` with a Pallas backward: the training path gets the
+    same VMEM-resident kernel the sampling path uses (the plain
+    `fused_attention` is a pallas_call and has no autodiff rule, which is
+    why trainers historically fell back to the XLA einsum attention and
+    its HBM-resident (B, H, T, T) logits in BOTH directions).
+
+    The backward recomputes probs in VMEM (flash-attention pattern) — no
+    residual larger than q/k/v is saved, so training memory drops too.
+    Gradients are the exact derivatives of the recomputed-softmax forward;
+    they differ from autodiff of the primal by primal-storage rounding only
+    (same contract as every flash-attention implementation). With
+    `fast_math=True` the primal uses bf16 exponentials while the backward
+    keeps the standard f32 softmax derivative (approximation documented)."""
+    return fused_attention(q, k, v, interpret=interpret,
+                           heads_per_program=heads_per_program,
+                           fast_math=fast_math, token_minor=token_minor)
+
+
+def _fat_fwd(q, k, v, interpret, heads_per_program, fast_math, token_minor):
+    out = fused_attention(q, k, v, interpret=interpret,
+                          heads_per_program=heads_per_program,
+                          fast_math=fast_math, token_minor=token_minor)
+    return out, (q, k, v)
+
+
+def _fat_bwd(interpret, heads_per_program, fast_math, token_minor, res, do):
+    q, k, v = res
+    dq, dk, dv = fused_attention_bwd(q, k, v, do.astype(q.dtype),
+                                     interpret=interpret,
+                                     heads_per_program=heads_per_program)
+    return dq, dk, dv
+
+
+fused_attention_trainable.defvjp(_fat_fwd, _fat_bwd)

@@ -135,6 +135,7 @@ def test_close_flushes_pending(tmp_path):
         ckpt.submit(_tree(8.0), _npz_write, path)
 
 
+@pytest.mark.slow
 def test_trainer_smoke_uses_async_writer(tmp_path):
     """train_class end-to-end on a tiny config still produces loadable
     torch-format checkpoints + resume state through the async path."""

@@ -24,6 +24,7 @@ TINY_JAX = UNet2DConfig(
     norm_num_groups=TINY["norm_num_groups"])
 
 
+@pytest.mark.slow
 def test_augment_eval_seam(tmp_path):
     from augment_eval import run_eval
 

@@ -63,6 +63,7 @@ def test_console_generator_missing_class(base_dir):
     assert produced == {"VASC": 0}
 
 
+@pytest.mark.slow
 def test_standalone_xai(base_dir, tmp_path):
     results = run_standalone_xai(
         target_class="MEL", seed=11, inference_steps=4, save_every=2,
@@ -110,6 +111,7 @@ def test_console_generator_dp_mesh_layout_independent(tmp_path):
         assert a.read_bytes() == b.read_bytes(), a.name
 
 
+@pytest.mark.slow
 def test_standalone_xai_conditional(tmp_path):
     """Conditional-family standalone XAI: the env-var subprocess protocol's
     XAI_CONDITIONAL/XAI_GUIDANCE_SCALE path — analyze the single

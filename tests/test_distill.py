@@ -91,6 +91,7 @@ def test_phase_tables_shapes_and_monotonicity():
     assert phase_tables(schedule, 8, "trailing")["ts"][0] == 999
 
 
+@pytest.mark.slow
 def test_distill_phase_learns_two_step_map():
     """After one phase, the student's ONE-step map matches the teacher's
     TWO-step map much better than the undistilled init does."""
@@ -137,6 +138,7 @@ def test_distill_phase_learns_two_step_map():
     assert err_distilled < 0.6 * err_init, (err_init, err_distilled)
 
 
+@pytest.mark.slow
 def test_progressive_ladder_checkpoints_load_and_sample(tmp_path):
     """The halving ladder writes torch-format checkpoints consumable by the
     production load path, and the final student samples at its own step
@@ -172,6 +174,7 @@ def test_progressive_ladder_checkpoints_load_and_sample(tmp_path):
     assert np.isfinite(np.asarray(imgs)).all()
 
 
+@pytest.mark.slow
 def test_distill_phase_mesh_layout_independent():
     """dp-sharded distillation (batch over the mesh 'data' axis, params
     replicated) produces the same loss sequence as the single-device run —
@@ -210,6 +213,7 @@ def test_distill_phase_mesh_layout_independent():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_distill_eval_every_selects_best_export():
     """With eval_every on, the phase scores the export params on a FIXED
     probe and exports the best-scoring snapshot; the recorded best_val is

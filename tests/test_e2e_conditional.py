@@ -4,6 +4,7 @@ per-class sampling through the production conditional path at several
 guidance scales -> per-class Fréchet + class-consistency) must run end to
 end at smoke sizes and emit a well-formed report. The chip run uses the
 same code path at production sizes."""
+import pytest
 import json
 import sys
 from pathlib import Path
@@ -11,6 +12,7 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
 
 
+@pytest.mark.slow
 def test_e2e_conditional_smoke(tmp_path):
     from e2e_conditional import run
 

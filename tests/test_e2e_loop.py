@@ -75,6 +75,7 @@ def test_full_loop_closes(tmp_path):
     assert sc["scheduler"]["dtype"] == "bfloat16"
 
 
+@pytest.mark.slow
 def test_epoch_scan_training_path(tmp_path):
     """train_class's epoch-scan fast path (one compiled dispatch per epoch
     via lax.scan over stacked device batches) trains to finite decreasing

@@ -5,6 +5,7 @@ math when arithmetic is exact); (b) on the bf16 model path, deviation from
 the f32 reference is within the SAME band as the standard bf16 path
 (fast_norm adds bf16-rounding-level error only); (c) identical param tree.
 """
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -36,6 +37,7 @@ def test_fast_norm_matches_flax_groupnorm_f32():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_fast_norm_unet_error_band():
     params = init_unet_params(UNet2D(config=TINY), jax.random.PRNGKey(0))
     rng = np.random.default_rng(1)
@@ -52,6 +54,7 @@ def test_fast_norm_unet_error_band():
     assert err_fast <= max(2.0 * err_std, 5e-2), (err_fast, err_std)
 
 
+@pytest.mark.slow
 def test_fast_norm_same_param_tree():
     p1 = init_unet_params(UNet2D(config=TINY), jax.random.PRNGKey(0))
     p2 = init_unet_params(UNet2D(config=TINY, fast_norm=True,

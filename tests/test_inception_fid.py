@@ -59,6 +59,7 @@ def test_manifest_param_count():
     assert 26_900_000 < n + aux < 27_400_000
 
 
+@pytest.mark.slow
 def test_pool3_features_shape_and_determinism():
     params = init_inception_params(jax.random.PRNGKey(0))
     model = InceptionV3()
@@ -82,6 +83,7 @@ def test_frechet_distance_closed_form():
     assert frechet_distance(mu1, np.eye(d), mu1, np.eye(d)) == pytest.approx(0.0, abs=1e-8)
 
 
+@pytest.mark.slow
 def test_inception_fid_monotone_under_noise():
     """FID(A, A+noise) grows with noise level; FID(A, A') ~ 0 for two halves
     of the same distribution. Random-init weights: the embedding is still a

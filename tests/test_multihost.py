@@ -237,6 +237,7 @@ print("SAMPLE_SUM", round(float(np.abs(imgs).sum()), 3), flush=True)
 '''
 
 
+@pytest.mark.slow
 def test_two_process_dp_training_matches_single_device(tmp_path):
     """Data-parallel TRAINING across two real processes: the gradient psum
     crosses the process boundary, each process feeds only its slice, and

@@ -96,3 +96,104 @@ def test_unet_fused_flag_param_tree_identical():
                        jnp.zeros((1,), jnp.int32))["params"])
     shapes_b = jtu.tree_map(lambda x: x.shape, pb_shape)
     assert shapes_a == shapes_b
+
+
+@pytest.mark.slow
+def test_fused_attention_trainable_grads_match_einsum():
+    """Custom-VJP backward (Pallas recompute kernel) vs autodiff of the
+    einsum path: gradients must agree to float rounding."""
+    import math
+
+    import jax
+    from synt_isic_tpu.ops.pallas.attention import fused_attention_trainable
+
+    rng = np.random.default_rng(3)
+    B, H, T, D = 2, 4, 32, 8
+    q, k, v = (jnp.asarray(rng.normal(0, 1, (B, H, T, D)).astype(np.float32))
+               for _ in range(3))
+
+    def ref(q, k, v):
+        s = 1.0 / math.sqrt(D)
+        logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * s
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+    def loss(fn):
+        return lambda q, k, v: jnp.sum(jnp.sin(fn(q, k, v)))
+
+    g_ref = jax.grad(loss(ref), argnums=(0, 1, 2))(q, k, v)
+    g_fat = jax.grad(
+        loss(lambda a, b, c: fused_attention_trainable(a, b, c, True, 1,
+                                                       False, False)),
+        argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_ref, g_fat):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-9
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-5 * scale, err_msg=f"d{name}")
+
+
+def test_fused_attention_trainable_primal_identical():
+    """The trainable wrapper's forward IS fused_attention (bit-identical)."""
+    from synt_isic_tpu.ops.pallas.attention import (fused_attention,
+                                                    fused_attention_trainable)
+
+    rng = np.random.default_rng(5)
+    q, k, v = (jnp.asarray(rng.normal(0, 1, (1, 2, 16, 8)).astype(np.float32))
+               for _ in range(3))
+    a = np.asarray(fused_attention(q, k, v, interpret=True))
+    b = np.asarray(fused_attention_trainable(q, k, v, True, 1, False, True))
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.slow
+def test_unet_train_grads_fused_vs_einsum():
+    """Whole-model check: a train-style loss gradient through the fused
+    attention path matches the einsum path (f32, tiny UNet with attention;
+    XLA's default matmul precision needs loose-ish tolerances)."""
+    import jax
+    from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig, init_unet_params
+
+    cfg = UNet2DConfig(
+        sample_size=16, layers_per_block=1, block_out_channels=(8, 16, 16),
+        attention_head_dim=4, norm_num_groups=2,
+        down_block_types=("DownBlock2D", "AttnDownBlock2D", "DownBlock2D"),
+        up_block_types=("UpBlock2D", "AttnUpBlock2D", "UpBlock2D"))
+    params = init_unet_params(UNet2D(config=cfg), jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 3)).astype(np.float32))
+    t = jnp.asarray([100, 500])
+    eps = jnp.asarray(rng.normal(0, 1, (2, 16, 16, 3)).astype(np.float32))
+
+    def loss_fn(model):
+        def f(p):
+            pred = model.apply({"params": p}, x, t)
+            return jnp.mean((pred - eps) ** 2)
+        return f
+
+    # interpret-mode pallas inside grad: route through the trainable
+    # wrapper by monkey-building a fused model (interpret is only reachable
+    # via the wrapper's static arg — patch it through the kernel default)
+    import synt_isic_tpu.models.unet2d as unet_mod
+    from synt_isic_tpu.ops.pallas import attention as att_mod
+
+    orig = att_mod.fused_attention_trainable
+    patched = lambda q, k, v, i, g, fm, tm: orig(q, k, v, True, g, fm, False)
+    att_mod_backup = unet_mod
+    try:
+        # the model imports the symbol at call time from the module, so
+        # patching the module attribute is enough
+        att_mod.fused_attention_trainable = patched
+        g_fused = jax.grad(loss_fn(UNet2D(config=cfg,
+                                          use_fused_attention=True)))(params)
+    finally:
+        att_mod.fused_attention_trainable = orig
+    g_ein = jax.grad(loss_fn(UNet2D(config=cfg)))(params)
+
+    flat_f = jax.tree_util.tree_leaves(g_fused)
+    flat_e = jax.tree_util.tree_leaves(g_ein)
+    assert len(flat_f) == len(flat_e)
+    for a, b in zip(flat_e, flat_f):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-6
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-2 * scale, rtol=0)

@@ -107,6 +107,7 @@ def test_sharded_sampler_trajectory():
     assert out["trajectory"].shape == (3, 8, 16, 16, 3)
 
 
+@pytest.mark.slow
 def test_tensor_parallel_sampler_matches_single_device():
     """Pure-TP mesh (data=1, model=8): UNet weights channel-shard over
     'model' and GSPMD partitions the scan — results must match the
@@ -176,6 +177,7 @@ def test_apply_dp_mesh_rounds_device_batch_up():
     assert g3.batch_size == 8
 
 
+@pytest.mark.slow
 def test_graft_dryrun_multichip():
     import __graft_entry__ as graft
     graft.dryrun_multichip(8)

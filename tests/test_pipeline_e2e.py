@@ -22,6 +22,7 @@ def clf():
     return LesionClassifier.random_init(num_classes=7, seed=0)
 
 
+@pytest.mark.slow
 def test_full_pipeline_artifacts(clf, tmp_path):
     rng = np.random.default_rng(0)
     frames = jnp.asarray(np.clip(rng.normal(size=(5, 128, 128, 3)) * 0.4, -1, 1)
@@ -77,6 +78,7 @@ def test_full_pipeline_artifacts(clf, tmp_path):
     assert "attribution_map" in next(iter(full["xai_maps"].values()))
 
 
+@pytest.mark.slow
 def test_integrated_adapter(clf, tmp_path):
     rng = np.random.default_rng(1)
     traj = np.clip(rng.normal(size=(3, 128, 128, 3)) * 0.3, -1, 1).astype(np.float32)
@@ -119,6 +121,7 @@ def test_run_xai_analysis_preview(clf, tmp_path):
     assert path == str(art)
 
 
+@pytest.mark.slow
 def test_pipeline_coalitional_time_shap_stage(clf, tmp_path):
     """Opt-in coalitional Time-SHAP stage (VERDICT r3 #4): φ-values +
     efficiency gap land in analysis_results.json and the plot artifact is

@@ -14,6 +14,7 @@ TINY = UNet2DConfig(sample_size=16, layers_per_block=1,
                     up_block_types=("UpBlock2D", "AttnUpBlock2D", "UpBlock2D"))
 
 
+@pytest.mark.slow
 def test_remat_same_outputs_and_grads():
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 16, 3))
                     .astype(np.float32))

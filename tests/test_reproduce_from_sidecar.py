@@ -49,6 +49,7 @@ def test_regenerate_from_sidecar(tmp_path):
     assert redo_meta["noise_hash"] == meta["noise_hash"]
 
 
+@pytest.mark.slow
 def test_cli_reproduce_flag(tmp_path, capsys):
     """`--reproduce <sidecar.json>` regenerates the exact image and verifies
     the noise hash."""
@@ -108,6 +109,7 @@ def test_cli_reproduce_pins_scheduler_kind(tmp_path):
     assert rc == 0  # exits 0 only on byte-identity with the original here
 
 
+@pytest.mark.slow
 def test_cli_reproduce_pins_compute_dtype(tmp_path):
     """A sidecar written by a bf16 generator (the serving default) must
     reproduce through a bf16 generator — an f32 regeneration produces
@@ -136,6 +138,7 @@ def test_cli_reproduce_pins_compute_dtype(tmp_path):
     assert rc == 0  # byte-identity requires rebuilding with bf16 compute
 
 
+@pytest.mark.slow
 def test_cli_reproduce_legacy_sidecar_retries_bf16(tmp_path):
     """Sidecars that PREDATE dtype recording may come from either default:
     the CLI/GUI wrote f32 but the serve daemon wrote bf16. With the
@@ -170,6 +173,7 @@ def test_cli_reproduce_legacy_sidecar_retries_bf16(tmp_path):
             == (tmp_path / "run" / "NV" / "ISIC_0000001.png").read_bytes())
 
 
+@pytest.mark.slow
 def test_reproduce_honors_model_variant(tmp_path):
     """A sidecar written from a non-'best' checkpoint variant (e.g. a
     progressive-distillation student) records the variant, and --reproduce
@@ -216,6 +220,7 @@ def test_reproduce_honors_model_variant(tmp_path):
     assert (tmp_path / "best.png").read_bytes() != img_path.read_bytes()
 
 
+@pytest.mark.slow
 def test_reproduce_honors_png_compress_level(tmp_path):
     """A non-default PNG zlib level changes the file's BYTES (not pixels);
     the sidecar records it and reproduce re-encodes with the same level so

@@ -448,6 +448,7 @@ def test_shutdown_drains_pending_requests(tmp_path_factory):
         assert "shutting down" in r.response["error"]
 
 
+@pytest.mark.slow
 def test_generate_with_xai_returns_artifacts(tmp_path_factory):
     """XAI-as-a-service: "xai": true runs the integrated pipeline on each
     served image's captured trajectory."""
@@ -502,6 +503,7 @@ def test_protocol_bad_json_and_persistent_connection(server):
             assert check(reply), reply
 
 
+@pytest.mark.slow
 def test_fast_variant_lane(tmp_path_factory):
     """{"fast": true} samples the distilled fast variant through the live
     socket protocol: priority classification, dedicated generator, variant

@@ -77,6 +77,7 @@ def test_time_shap_sharded_matches(small_shapes=True):
                                raw_b["confidence_scores"], rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_gradcam_sharded_matches():
     """Grad-CAM per-frame vjp + per-image normalization shard cleanly; the
     real ResNet path is exercised (features_and_logits protocol)."""
@@ -94,6 +95,7 @@ def test_gradcam_sharded_matches():
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_accepts_mesh(tmp_path):
     """Full pipeline runs with mesh= threaded through; IG/SHAP maps equal
     the meshless run (figures off for speed)."""

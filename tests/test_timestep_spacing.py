@@ -53,6 +53,7 @@ TAU = 2.0
 
 
 @pytest.mark.parametrize("scheduler", ["ddim", "dpm_solver"])
+@pytest.mark.slow
 def test_trailing_converges_and_removes_terminal_bias(scheduler):
     """On the analytic Gaussian flow the trailing-grid sampler converges
     to the true distribution as S grows — this validates the non-uniform

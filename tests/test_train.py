@@ -36,6 +36,7 @@ def test_train_step_decreases_loss():
     assert int(state.step) == 30
 
 
+@pytest.mark.slow
 def test_offset_noise_is_wired_and_trains():
     """offset_noise > 0 changes the training noise (per-image-per-channel
     constant component) and still trains to finite decreasing loss."""
@@ -159,6 +160,7 @@ class _FixedDataset:
             yield self.data[i:i + batch_size]
 
 
+@pytest.mark.slow
 def test_train_class_mesh_matches_single_device(tmp_path):
     """Data-parallel training over the 8-device virtual mesh must produce
     the same losses and checkpoint as the single-device loop (dp changes
@@ -195,6 +197,7 @@ def test_train_class_mesh_rejects_nondividing_batch(tmp_path):
                     log=lambda *a: None)
 
 
+@pytest.mark.slow
 def test_lr_schedule_cosine_and_min_snr_train():
     """cosine schedule: warmup from 0, decay to end_factor*peak; min-SNR
     weighting downweights low-noise timesteps (weight<=1) and still trains."""
@@ -230,6 +233,7 @@ def test_lr_schedule_cosine_and_min_snr_train():
     assert first[5.0] < first[0.0]
 
 
+@pytest.mark.slow
 def test_eval_based_best_selection(tmp_path):
     """eval_every>0: best selection uses the deterministic probe loss; the
     eval value is reproducible call-to-call (zero sampling variance)."""

@@ -28,6 +28,7 @@ def _toy_batch(rng, n=8, size=32):
     return images, labels.astype(np.int64)
 
 
+@pytest.mark.slow
 def test_classifier_learns(tiny_setup):
     cfg, model, state, tx = tiny_setup
     step = make_classifier_train_step(model, tx)
@@ -46,6 +47,7 @@ def test_classifier_learns(tiny_setup):
 tiny_setup_state = [None]
 
 
+@pytest.mark.slow
 def test_export_roundtrip(tiny_setup, tmp_path):
     cfg, model, state, tx = tiny_setup
     state = tiny_setup_state[0] or state

@@ -19,6 +19,7 @@ TINY = UNet2DConfig(sample_size=16, layers_per_block=1,
 
 
 @pytest.mark.parametrize("steps,every", [(10, 3), (8, 2), (6, 5)])
+@pytest.mark.slow
 def test_windowed_matches_full(steps, every):
     model = UNet2D(config=TINY)
     params = init_unet_params(model, jax.random.PRNGKey(0))
@@ -39,6 +40,7 @@ def test_windowed_matches_full(steps, every):
 
 
 @pytest.mark.parametrize("steps,every", [(10, 300), (12, 250), (6, 999)])
+@pytest.mark.slow
 def test_absolute_t_windowed_matches_full(steps, every):
     """save_every >= steps triggers the absolute-t save mode (reference
     `XAI.py:756-779`): frames whose train-timestep is nearest each multiple
@@ -70,6 +72,7 @@ def test_absolute_t_windowed_matches_full(steps, every):
 
 @pytest.mark.parametrize("scheduler", ["ddpm", "dpm_solver"])
 @pytest.mark.parametrize("steps,every", [(10, 3), (6, 1)])
+@pytest.mark.slow
 def test_streamed_matches_windowed(steps, every, scheduler):
     """stream_to_host: per-segment dispatch + async offload must reproduce
     the single-jit windowed capture bit-for-bit (same seeds, same RNG
