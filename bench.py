@@ -150,6 +150,42 @@ def mfu_estimate(images_per_sec: float, steps: int, evals_per_step: int = 1):
     return round(images_per_sec * fpe * steps * evals_per_step / peak * 100, 1)
 
 
+def bench_train_step(batch: int = 32, epochs: int = 24) -> float:
+    """Training images/sec on the flagship model (fused-attention custom-vjp
+    backward + fast_norm — the same Pallas kernels as the sampling path;
+    epoch-scan, device-resident data). Returns fwd+bwd+update img/s."""
+    import jax
+    import jax.numpy as jnp
+
+    from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig
+    from synt_isic_tpu.train.procedural import ProceduralDataset
+    from synt_isic_tpu.train.train_ddpm import TrainConfig, train_class
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16,
+                   use_fused_attention=on_tpu, fast_norm=on_tpu)
+    ds = ProceduralDataset("MEL", 8 * batch, 128, seed=0, device=True)
+    tcfg = TrainConfig(image_size=128, batch_size=batch, epochs=epochs,
+                       ema_decay=0.9995, seed=0, learning_rate=2e-4,
+                       lr_schedule="cosine", warmup_steps=50,
+                       min_snr_gamma=5.0, offset_noise=0.05,
+                       snapshot_every=10_000)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        # first run pays compile; the second measures steady state
+        train_class("MEL", ds, td, tcfg,
+                    model=UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16,
+                                 use_fused_attention=on_tpu,
+                                 fast_norm=on_tpu),
+                    log=lambda *a: None)
+        t0 = time.time()
+        res = train_class("MEL", ds, td, tcfg, model=model,
+                          log=lambda *a: None)
+        dt = time.time() - t0
+    return batch * res["steps"] / dt
+
+
 def torch_cpu_per_step_seconds() -> float:
     """Reference-equivalent per-UNet-step wall time on this host's CPU."""
     import torch
@@ -240,6 +276,10 @@ def main() -> None:
     except Exception:
         unipc_ips = float("nan")
     try:
+        train_ips = bench_train_step()
+    except Exception:
+        train_ips = float("nan")
+    try:
         per_step = torch_cpu_per_step_seconds()
         base_headline = 1.0 / (per_step * HEADLINE["steps"])  # b=1, like the ref
         base_research = 1.0 / (per_step * RESEARCH["steps"])
@@ -290,6 +330,11 @@ def main() -> None:
             "cfg2_note": "class-conditional model, classifier-free guidance "
                          "g=2 (cond+null as ONE 2B-batched forward); quality "
                          "evidence: scripts/e2e_conditional.py",
+            "train_b32_images_per_sec": round(train_ips, 4),
+            "train_note": "fwd+bwd+adam+EMA on the flagship model via the "
+                          "fused-attention custom-vjp backward (epoch-scan, "
+                          "device-resident data; was 44.8 img/s on the XLA "
+                          "einsum path)",
             "baseline": "torch-CPU 1-core host, reference per-step loop "
                         "(extrapolated from 3 steps)",
         },

@@ -67,7 +67,11 @@ def run_distill_ladder(checkpoints: str, out_dir: str, class_name: str = "MEL",
 
     teacher_path = Path(checkpoints) / f"unet_{class_name}_best.pth"
     teacher = torch_to_flax(load_pth(str(teacher_path)))
-    model = UNet2D(config=model_config, dtype=jnp.bfloat16)
+    from synt_isic_tpu.train.train_ddpm import default_fused_flags
+
+    fused = default_fused_flags()
+    model = UNet2D(config=model_config, dtype=jnp.bfloat16,
+                   use_fused_attention=fused, fast_norm=fused)
     dataset = ProceduralDataset(class_name, train_images, image_size=size,
                                 seed=0)
 

@@ -187,8 +187,12 @@ def main(argv=None) -> int:
             print("--distill-from with multiple classes needs a {CLASS} "
                   "placeholder in the path (each class has its own teacher)")
             return 1
+        from .train_ddpm import default_fused_flags
+
+        fused = default_fused_flags()
         model = UNet2D(config=UNet2DConfig(sample_size=args.image_size),
-                       dtype=jnp.bfloat16 if not args.no_bf16 else jnp.float32)
+                       dtype=jnp.bfloat16 if not args.no_bf16 else jnp.float32,
+                       use_fused_attention=fused, fast_norm=fused)
         # only explicit --batch/--lr override the distiller's tuned
         # defaults (batch 32, lr 5e-5) — the DDPM-training defaults
         # (batch 2, lr 1e-4) are the wrong regime for distillation

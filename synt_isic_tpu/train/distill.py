@@ -440,9 +440,13 @@ def progressive_distill(teacher_params: Any, dataset, class_name: str,
             f"start_steps {start_steps} halves to {start_steps // 2} < "
             f"end_steps {end_steps} — no phase would run (start_steps must "
             f"be at least 2 x end_steps)")
+    from .train_ddpm import default_fused_flags
+
+    fused = default_fused_flags()
     model = model or UNet2D(
         config=UNet2DConfig(sample_size=image_size),
-        dtype=jnp.bfloat16 if config.bf16_compute else jnp.float32)
+        dtype=jnp.bfloat16 if config.bf16_compute else jnp.float32,
+        use_fused_attention=fused, fast_norm=fused)
     schedule = DiffusionSchedule.create(config.num_train_timesteps)
     ckpt_dir = Path(checkpoint_dir)
     ckpt_dir.mkdir(parents=True, exist_ok=True)

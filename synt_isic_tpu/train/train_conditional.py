@@ -152,10 +152,14 @@ def train_conditional(class_datasets: Dict[str, Any], checkpoint_dir: str,
     `train_class` result dict plus the class list."""
     classes = list(class_datasets)
     n_embed = len(classes) + 1  # + the CFG null row
+    from .train_ddpm import default_fused_flags
+
+    fused = default_fused_flags()
     model = model or UNet2D(
         config=UNet2DConfig(sample_size=config.image_size,
                             num_class_embeds=n_embed),
-        dtype=jnp.bfloat16 if config.bf16_compute else jnp.float32)
+        dtype=jnp.bfloat16 if config.bf16_compute else jnp.float32,
+        use_fused_attention=fused, fast_norm=fused)
     if int(model.config.num_class_embeds or 0) != n_embed:
         raise ValueError(
             f"model.num_class_embeds={model.config.num_class_embeds} does not "

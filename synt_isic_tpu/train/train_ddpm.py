@@ -35,6 +35,17 @@ from ..io.pth import save_pth
 from ..models.unet2d import UNet2D, UNet2DConfig, init_unet_params
 
 
+
+
+def default_fused_flags() -> bool:
+    """Trainers default the model to the fused attention (custom-vjp
+    backward) + fast_norm path on TPU — measured 4.5x train-step speedup
+    on the flagship model (PERFORMANCE.md round 4); CPU stays on the exact
+    einsum/f32-norm path for golden tests."""
+    import jax
+
+    return jax.devices()[0].platform == "tpu"
+
 @dataclasses.dataclass(frozen=True)
 class TrainConfig:
     image_size: int = 128
@@ -375,9 +386,11 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
     Datasets without `local_range` fall back to full-batch-then-slice
     (host input work constant per process, fine at reference data scale).
     """
+    fused = default_fused_flags()
     model = model or UNet2D(
         config=UNet2DConfig(sample_size=config.image_size),
-        dtype=jnp.bfloat16 if config.bf16_compute else jnp.float32)
+        dtype=jnp.bfloat16 if config.bf16_compute else jnp.float32,
+        use_fused_attention=fused, fast_norm=fused)
     schedule = DiffusionSchedule.create(config.num_train_timesteps)
     steps_per_epoch = max(1, len(dataset) // config.batch_size)
     state, tx = create_train_state(
