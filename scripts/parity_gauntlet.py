@@ -39,7 +39,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def run_gauntlet(checkpoints_dir: str, out_path: str = "gauntlet_report.json",
                  samples_per_class: int = 2, steps: int = 50,
                  model_config=None, work_dir: str = None,
-                 xai_class: str = None, log=print) -> dict:
+                 xai_class: str = None, conditional: bool = None,
+                 log=print) -> dict:
     import numpy as np
     import jax.numpy as jnp
 
@@ -62,9 +63,34 @@ def run_gauntlet(checkpoints_dir: str, out_path: str = "gauntlet_report.json",
         tag = "SKIP" if skipped else ("ok" if ok else "FAIL")
         log(f"[gauntlet] {name}: {tag} — {detail}")
 
+    # --- 0. mode detection: per-class family vs ONE conditional checkpoint
+    # (train/train_conditional.py writes unet_conditional_best.pth + .json
+    # metadata; the reference family is always per-class, so conditional is
+    # a rebuild extension — still gated by the exact same battery).
+    cond_ckpt = ckpt / "unet_conditional_best.pth"
+    per_class = sorted(p for p in ckpt.glob("unet_*_best.pth")
+                       if p.name != cond_ckpt.name)
+    if conditional is None:
+        conditional = cond_ckpt.exists() and not per_class
+    report["mode"] = "conditional" if conditional else "per_class"
+
     # --- 1. manifest validation -------------------------------------------
+    if conditional:
+        meta_path = cond_ckpt.with_suffix(".json")
+        if not cond_ckpt.exists() or not meta_path.exists():
+            record("manifest", False,
+                   f"conditional mode needs {cond_ckpt.name} + metadata "
+                   f"{meta_path.name} under {ckpt}")
+            report["passed"] = False
+            Path(out_path).write_text(json.dumps(report, indent=2))
+            return report
+        meta = json.loads(meta_path.read_text(encoding="utf-8"))
+        n_embed = int(meta.get("num_class_embeds", len(meta["classes"]) + 1))
+        cfg = dataclasses.replace(cfg, num_class_embeds=n_embed)
+        found = [cond_ckpt]
+    else:
+        found = per_class
     manifest = expected_unet2d_state_shapes(**dataclasses.asdict(cfg))
-    found = sorted(ckpt.glob("unet_*_best.pth"))
     if not found:
         record("manifest", False, f"no unet_*_best.pth under {ckpt}")
         report["passed"] = False
@@ -79,11 +105,15 @@ def run_gauntlet(checkpoints_dir: str, out_path: str = "gauntlet_report.json",
         if problems:
             bad[p.name] = problems[:3]
     record("manifest", not bad,
-           f"{len(found) - len(bad)}/{len(found)} checkpoints valid"
+           f"{len(found) - len(bad)}/{len(found)} checkpoints valid "
+           f"({report['mode']})"
            + (f"; first failure: {next(iter(bad.items()))}" if bad else ""))
 
-    classes = [p.name[len("unet_"):-len("_best.pth")] for p in found
-               if p.name not in bad]
+    if conditional:
+        classes = list(meta["classes"]) if not bad else []
+    else:
+        classes = [p.name[len("unet_"):-len("_best.pth")] for p in found
+                   if p.name not in bad]
     if not classes:
         report["passed"] = False
         Path(out_path).write_text(json.dumps(report, indent=2))
@@ -91,7 +121,7 @@ def run_gauntlet(checkpoints_dir: str, out_path: str = "gauntlet_report.json",
 
     # --- 2. smoke samples per class ---------------------------------------
     gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=cfg,
-                         compute_dtype=jnp.bfloat16)
+                         compute_dtype=jnp.bfloat16, conditional=conditional)
     gen.set_inference_steps(steps)
     gen.set_generation_seed(1234)
     gen.save_trajectory = False
@@ -205,6 +235,10 @@ def main() -> int:
     p.add_argument("--samples-per-class", type=int, default=2)
     p.add_argument("--steps", type=int, default=50)
     p.add_argument("--xai-class", default=None)
+    p.add_argument("--conditional", action="store_true", default=None,
+                   help="force conditional single-checkpoint mode (default: "
+                        "auto-detect — conditional iff unet_conditional_best"
+                        ".pth is present and no per-class checkpoints are)")
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.cpu:
@@ -215,7 +249,8 @@ def main() -> int:
         enable_compilation_cache()
     report = run_gauntlet(args.checkpoints, args.out,
                           samples_per_class=args.samples_per_class,
-                          steps=args.steps, xai_class=args.xai_class)
+                          steps=args.steps, xai_class=args.xai_class,
+                          conditional=args.conditional)
     return 0 if report.get("passed") else 1
 
 

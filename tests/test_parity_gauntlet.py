@@ -40,6 +40,62 @@ def test_gauntlet_passes_on_valid_checkpoints(fab_ckpts, tmp_path):
     assert (tmp_path / "report.json").exists()
 
 
+@pytest.fixture(scope="module")
+def fab_cond_ckpts(tmp_path_factory):
+    """ONE fabricated conditional checkpoint + metadata (the family shape
+    train/train_conditional.py produces)."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from synt_isic_tpu.io.convert import flax_to_torch
+    from synt_isic_tpu.io.pth import save_pth
+    from synt_isic_tpu.models.unet2d import UNet2D, init_unet_params
+    from tests.test_conditional import CLASSES, COND
+
+    d = tmp_path_factory.mktemp("gauntlet_cond_ckpts")
+    model = UNet2D(config=COND)
+    params = init_unet_params(model, jax.random.PRNGKey(3))
+    host = jax.tree_util.tree_map(lambda a: np.asarray(a, np.float32), params)
+    save_pth(flax_to_torch(host), str(d / "unet_conditional_best.pth"))
+    (d / "unet_conditional_best.json").write_text(json.dumps({
+        "classes": CLASSES, "num_class_embeds": len(CLASSES) + 1,
+        "null_label": len(CLASSES)}))
+    return d
+
+
+@pytest.mark.slow
+def test_gauntlet_conditional_auto_detect(fab_cond_ckpts, tmp_path):
+    """A conditional-only checkpoints dir auto-detects conditional mode and
+    the full battery (manifest/smoke/reproduce/XAI) runs per metadata class
+    through the ONE shared checkpoint (VERDICT r3 #7)."""
+    from tests.test_conditional import BASE
+
+    report = run_gauntlet(str(fab_cond_ckpts), str(tmp_path / "report.json"),
+                          samples_per_class=1, steps=3, model_config=BASE,
+                          work_dir=str(tmp_path / "w"), log=lambda *_: None)
+    assert report["mode"] == "conditional"
+    assert report["passed"], report["steps"]
+    assert "across 3 classes" in report["steps"]["smoke_samples"]["detail"]
+    assert report["steps"]["sidecar_reproduce"]["ok"]
+    assert report["steps"]["fid"]["skipped"]
+
+
+def test_gauntlet_conditional_needs_metadata(tmp_path):
+    """unet_conditional_best.pth without its metadata JSON must fail the
+    manifest step loudly, not crash."""
+    d = tmp_path / "ckpts"
+    d.mkdir()
+    (d / "unet_conditional_best.pth").write_bytes(b"garbage")
+    report = run_gauntlet(str(d), str(tmp_path / "report.json"),
+                          model_config=TINY_JAX, work_dir=str(tmp_path / "w"),
+                          log=lambda *_: None)
+    assert report["mode"] == "conditional"
+    assert not report["passed"]
+    assert "metadata" in report["steps"]["manifest"]["detail"]
+
+
 def test_gauntlet_fails_on_corrupt_checkpoint(tmp_path):
     d = tmp_path / "ckpts"
     d.mkdir()
