@@ -51,6 +51,11 @@ CONDITIONAL = dict(scheduler="ddim", steps=50, batch=128, guidance=2.0)
 # checkpoint at near-DDIM-50 quality (Frechet 2.62 vs 2.48) — the
 # quality-matched fast production rung (artifacts/sampler_ladder_unipc.json)
 UNIPC = dict(scheduler="unipc", steps=20, batch=128, spacing="trailing")
+# DPM-Solver++ SDE at T=20 trailing: the flagship-scale fast lane — on the
+# FULL-WIDTH trained checkpoint it scores Frechet 3.24 (inside the e2e
+# quality bar 4.51 that deterministic DPM-20 misses at that scale) —
+# artifacts/sampler_ladder_full.json
+SDE = dict(scheduler="dpm_solver_sde", steps=20, batch=128, spacing="trailing")
 
 
 def bench_tpu(scheduler: str, steps: int, batch: int,
@@ -276,6 +281,10 @@ def main() -> None:
     except Exception:
         unipc_ips = float("nan")
     try:
+        sde_ips = bench_tpu(**SDE)
+    except Exception:
+        sde_ips = float("nan")
+    try:
         train_ips = bench_train_step()
     except Exception:
         train_ips = float("nan")
@@ -323,6 +332,11 @@ def main() -> None:
             "unipc_note": "predictor-corrector at near-DDIM-50 quality "
                           "(Frechet 2.62 vs 2.48 on the e2e checkpoint, "
                           "artifacts/sampler_ladder_unipc.json)",
+            "dpm_sde_T20_trailing_b128_images_per_sec": round(sde_ips, 4),
+            "dpm_sde_T20_mfu_pct": mfu_estimate(sde_ips, SDE["steps"]),
+            "dpm_sde_note": "flagship fast lane: Frechet 3.24 on the "
+                            "FULL-WIDTH trained checkpoint (inside the e2e "
+                            "bar 4.51; artifacts/sampler_ladder_full.json)",
             "ddim_T50_b128_cfg2_images_per_sec": round(conditional_ips, 4),
             "ddim_T50_cfg2_mfu_pct": mfu_estimate(conditional_ips,
                                                   CONDITIONAL["steps"],

@@ -84,12 +84,13 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
              train_images: int = 256, heldout: int = 128, epochs: int = 120,
              batch_size: int = 32, sample_count: int = 64,
              ddim_steps: int = 50, dpm_steps: int = 20,
+             fast_scheduler: str = "dpm_solver",
              xai_ig: int = 16, xai_shap: int = 64, with_gradcam: bool = True,
              seed: int = 0, skip_train: bool = False,
              offset_noise: float = 0.05, with_classifier: bool = True,
              clf_per_class: int = 64, clf_epochs: int = 8,
              clf_hard: float = 0.0, clf_label_noise: float = 0.0,
-             width: str = "quarter", remat: bool = False,
+             width: str = "quarter", remat=False,
              train_fused: bool = True,
              timestep_spacing: str = "trailing", log=print) -> dict:
     import numpy as np
@@ -275,9 +276,15 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
     # reference's leading spacing on this loop's own checkpoint — recorded
     # in the report and in every sidecar, so reproduction stays exact
     report["timestep_spacing"] = timestep_spacing
+    # The 20-step rung's solver is configurable: at FULL width the
+    # deterministic DPM-Solver++(2M) misses the strict bar (5.90 vs 4.51)
+    # while the SDE variant passes outright (3.24) — the flagship-scale
+    # frontier, artifacts/sampler_ladder_full.json. Report keys keep the
+    # historical "dpm" names; the scheduler actually used is recorded.
+    report["fast_scheduler"] = fast_scheduler
     samples: dict = {}
     for name, scheduler, steps in (("ddim", "ddim", ddim_steps),
-                                   ("dpm", "dpm_solver", dpm_steps)):
+                                   ("dpm", fast_scheduler, dpm_steps)):
         for variant, postproc in (("raw", False), ("post", True)):
             gen = ImageGenerator(checkpoints_dir=str(ckpt_dir), model_config=cfg,
                                  compute_dtype=jnp.bfloat16)
@@ -298,6 +305,7 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
             samples[f"{name}_{variant}"] = imgs
             if postproc:
                 report[f"sample_{name}"] = {
+                    "scheduler": scheduler,
                     "steps": steps, "count": int(len(imgs)),
                     "img_per_s": result["images_per_second"],
                     "seconds": round(time.time() - t0, 1)}
@@ -445,6 +453,12 @@ def main() -> int:
     p.add_argument("--sample-count", type=int, default=64)
     p.add_argument("--ddim-steps", type=int, default=50)
     p.add_argument("--dpm-steps", type=int, default=20)
+    p.add_argument("--fast-scheduler", default="dpm_solver",
+                   choices=("ddim", "dpm_solver", "dpm_solver_sde", "unipc"),
+                   help="solver for the few-step rung (report keys keep "
+                        "the historical 'dpm' names; the scheduler used is "
+                        "recorded). At full width dpm_solver_sde passes the "
+                        "strict bar that dpm_solver misses")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--width", choices=("quarter", "full"), default="quarter",
                    help="'full' = flagship ~25M topology (reference "
@@ -457,9 +471,11 @@ def main() -> int:
     p.add_argument("--clf-label-noise", type=float, default=0.0,
                    help="fraction of classifier training labels flipped "
                         "to a random class")
-    p.add_argument("--remat", action="store_true",
+    p.add_argument("--remat", nargs="?", const="all", default=False,
+                   choices=("all", "hires", "attn", "dots"),
                    help="rematerialize UNet blocks in training backward "
-                        "(fits larger batches on a 16G chip)")
+                        "(fits larger batches on a 16G chip); bare flag = "
+                        "all blocks, or pick a policy mode")
     p.add_argument("--no-train-fused", action="store_true",
                    help="train through the XLA einsum attention instead of "
                         "the Pallas fused kernel + custom-vjp backward")
@@ -489,6 +505,7 @@ def main() -> int:
                       epochs=args.epochs, batch_size=args.batch,
                       sample_count=args.sample_count,
                       ddim_steps=args.ddim_steps, dpm_steps=args.dpm_steps,
+                      fast_scheduler=args.fast_scheduler,
                       seed=args.seed, skip_train=args.skip_train,
                       offset_noise=args.offset_noise, width=args.width,
                       remat=args.remat, train_fused=not args.no_train_fused,

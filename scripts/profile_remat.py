@@ -1,0 +1,133 @@
+"""Remat-mode x batch-size sweep for the flagship training step on chip.
+
+Round-3 measured full remat at b64 as a net LOSS (36 img/s vs 202 at
+b32/no-remat) and b64-without-remat OOMs the 16G chip. The policy modes
+(models/unet2d.py `remat`) are finer trades:
+
+  hires — recompute only the two highest-resolution blocks (largest
+          activations, ~half the saved bytes for ~a quarter of the
+          recompute FLOPs of "all")
+  attn  — recompute only attention-bearing blocks
+  dots  — jax.checkpoint_policies.dots_with_no_batch_dims_saveable over
+          every block: matmul outputs stay resident, elementwise/norm
+          intermediates recompute
+
+This sweep answers: does any (mode, batch) beat the b32/no-remat champion
+on steady-state img/s? Inputs vary per step (the tunnel coalesces
+byte-identical dispatches) and stay device-resident.
+
+Run: python scripts/profile_remat.py [--steps 30] [--out artifacts/remat_sweep.json]
+"""
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir",
+                  str(Path(__file__).resolve().parents[1] / ".jax_cache"))
+
+from synt_isic_tpu.diffusion.schedules import DiffusionSchedule
+from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig
+from synt_isic_tpu.train.train_ddpm import (TrainConfig, create_train_state,
+                                            make_train_step)
+
+# (remat_mode, batch) grid: the champion config first as the reference row.
+GRID = [
+    (False, 32),
+    (False, 48),
+    ("dots", 32),
+    ("dots", 64),
+    ("hires", 48),
+    ("hires", 64),
+    ("attn", 64),
+    (True, 64),          # the round-3 loser, re-measured for the record
+]
+
+
+def measure(mode, batch, steps, size=128):
+    dev = jax.devices()[0]
+    model = UNet2D(config=UNet2DConfig(sample_size=size), dtype=jnp.bfloat16,
+                   remat=mode, use_fused_attention=dev.platform == "tpu",
+                   fast_norm=dev.platform == "tpu")
+    schedule = DiffusionSchedule.create()
+    cfg = TrainConfig(batch_size=batch, image_size=size)
+    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0))
+    step_fn = make_train_step(model, schedule, tx, cfg)
+    key = jax.random.PRNGKey(1)
+    # device-resident fake batch; contents vary per step via fold_in (the
+    # tunnel coalesces byte-identical execution requests)
+    base = jax.device_put(
+        jax.random.normal(key, (batch, size, size, 3), jnp.float32))
+
+    def batch_at(i):
+        return base * (1.0 + 1e-4 * i)
+
+    state, loss = step_fn(state, batch_at(0), jax.random.fold_in(key, 0))
+    jax.block_until_ready(loss)  # compile + first step
+    t0 = time.time()
+    for i in range(1, steps + 1):
+        state, loss = step_fn(state, batch_at(i), jax.random.fold_in(key, i))
+    jax.block_until_ready(loss)
+    sec = (time.time() - t0) / steps
+    mem = {}
+    try:
+        stats = dev.memory_stats() or {}
+        mem = {k: int(v) for k, v in stats.items()
+               if k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")}
+    except Exception:
+        pass
+    return {"remat": mode if isinstance(mode, str) else ("all" if mode else "none"),
+            "batch": batch, "sec_per_step": round(sec, 4),
+            "img_per_s": round(batch / sec, 1), "loss": float(loss), **mem}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=30)
+    p.add_argument("--size", type=int, default=128)
+    p.add_argument("--grid", default=None, metavar="SPEC",
+                   help="comma list of mode:batch (e.g. 'none:32,dots:64') "
+                        "instead of the default sweep")
+    p.add_argument("--out", default="artifacts/remat_sweep.json")
+    args = p.parse_args()
+
+    grid = GRID
+    if args.grid:
+        grid = []
+        for spec in args.grid.split(","):
+            m, b = spec.split(":")
+            grid.append((False if m == "none" else (True if m == "all" else m),
+                         int(b)))
+
+    rows = []
+    for mode, batch in grid:
+        label = mode if isinstance(mode, str) else ("all" if mode else "none")
+        try:
+            row = measure(mode, batch, args.steps, size=args.size)
+            print(f"remat={label:>5} b{batch}: {row['sec_per_step']*1000:7.1f} ms/step "
+                  f"{row['img_per_s']:7.1f} img/s "
+                  f"peak={row.get('peak_bytes_in_use', 0)/2**30:.1f}G", flush=True)
+        except Exception as exc:  # XlaRuntimeError OOM etc. — record, move on
+            row = {"remat": label, "batch": batch, "error": str(exc)[:200]}
+            print(f"remat={label:>5} b{batch}: FAILED — {str(exc)[:120]}", flush=True)
+        rows.append(row)
+
+    ok = [r for r in rows if "img_per_s" in r]
+    best = max(ok, key=lambda r: r["img_per_s"]) if ok else None
+    report = {"grid": rows, "best": best, "size": args.size,
+              "note": "steady-state donated train step, device-resident "
+                      "varying inputs, flagship full-width topology"}
+    out = Path(args.out)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text(json.dumps(report, indent=2))
+    print(json.dumps({"remat_sweep": "ok", "best": best}))
+
+
+if __name__ == "__main__":
+    main()

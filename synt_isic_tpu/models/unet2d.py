@@ -417,14 +417,41 @@ class UNet2D(nn.Module):
     fused_fast_math: bool = False  # bf16 exponentials in the fused kernel —
                                    # CHANGES output at bf16 level; opt-in only
     fast_norm: bool = False  # f32-stats/bf16-arithmetic GroupNorm (sampling)
-    remat: bool = False  # rematerialize blocks in the backward pass
-                         # (jax.checkpoint — trades FLOPs for training memory)
+    # rematerialization in the backward pass (jax.checkpoint — trades FLOPs
+    # for training memory). Accepts a bool (True == "all") or a mode string:
+    #   "all"   — every block recomputes its forward in the backward pass
+    #             (measured a net LOSS at full width/b64: recompute cost
+    #             exceeds the larger-batch win, PERFORMANCE.md round 4)
+    #   "hires" — only the highest-resolution blocks (first down block,
+    #             last up block), which hold the largest activations; the
+    #             cheap-to-store low-res levels stay saved
+    #   "attn"  — only attention-bearing blocks
+    #   "dots"  — every block, but with the dots_with_no_batch_dims_saveable
+    #             policy: matmul outputs stay saved, elementwise/norm
+    #             intermediates recompute (bandwidth-cheap on TPU)
+    remat: Any = False
 
     def setup(self):
         cfg = self.config
-        down_cls = nn.remat(DownBlock2D) if self.remat else DownBlock2D
-        mid_cls = nn.remat(UNetMidBlock2D) if self.remat else UNetMidBlock2D
-        up_cls = nn.remat(UpBlock2D, static_argnums=()) if self.remat else UpBlock2D
+        mode = (self.remat if isinstance(self.remat, str)
+                else ("all" if self.remat else "none"))
+        if mode not in ("none", "all", "hires", "attn", "dots"):
+            raise ValueError(f"unknown remat mode {mode!r} "
+                             "(expected bool or all/hires/attn/dots)")
+        policy = (jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                  if mode == "dots" else None)
+
+        def wrap(block_cls, want: bool, **remat_kw):
+            if not want:
+                return block_cls
+            if policy is not None:
+                remat_kw["policy"] = policy
+            return nn.remat(block_cls, **remat_kw)
+
+        def want_block(is_hires: bool, has_attn: bool) -> bool:
+            return (mode in ("all", "dots")
+                    or (mode == "hires" and is_hires)
+                    or (mode == "attn" and has_attn))
         self.conv_in = nn.Conv(cfg.block_out_channels[0], (3, 3), padding=1,
                                dtype=self.dtype)
         self.time_embedding = TimestepEmbedding(cfg.time_embed_dim, dtype=self.dtype)
@@ -442,6 +469,9 @@ class UNet2D(nn.Module):
             input_channel = output_channel
             output_channel = cfg.block_out_channels[i]
             is_final = i == len(cfg.block_out_channels) - 1
+            down_cls = wrap(DownBlock2D,
+                            want_block(is_hires=i == 0,
+                                       has_attn=block_type == "AttnDownBlock2D"))
             down_blocks.append(down_cls(
                 in_channels=input_channel, out_channels=output_channel,
                 num_layers=cfg.layers_per_block,
@@ -457,6 +487,9 @@ class UNet2D(nn.Module):
                 name=f"down_blocks_{i}"))
         self.down_blocks = down_blocks
 
+        mid_cls = wrap(UNetMidBlock2D,
+                       want_block(is_hires=False,
+                                  has_attn=cfg.add_mid_attention))
         self.mid_block = mid_cls(cfg.block_out_channels[-1],
                                         attention_head_dim=cfg.attention_head_dim,
                                         add_attention=cfg.add_mid_attention,
@@ -475,6 +508,10 @@ class UNet2D(nn.Module):
             output_channel = reversed_channels[i]
             input_channel = reversed_channels[min(i + 1, len(cfg.block_out_channels) - 1)]
             is_final = i == len(cfg.block_out_channels) - 1
+            up_cls = wrap(UpBlock2D,
+                          want_block(is_hires=is_final,
+                                     has_attn=block_type == "AttnUpBlock2D"),
+                          static_argnums=())
             up_blocks.append(up_cls(
                 in_channels=input_channel,
                 prev_output_channel=prev_output_channel,

@@ -816,11 +816,14 @@ def main(argv=None) -> int:
                    choices=("ddpm", "ddim", "dpm_solver", "dpm_solver_sde",
                             "unipc"),
                    help="fast-preview lane on the SAME weights with a "
-                        "few-step scheduler override. RECOMMENDED: "
-                        "--fast-scheduler unipc --fast-steps 8 — measured "
-                        "Pareto-best preview config (Frechet 5.59 vs the "
-                        "distill8 student's 9.94 and teacher-DDIM-8's 7.16 "
-                        "on the same battery, zero extra training)")
+                        "few-step scheduler override. RECOMMENDED for the "
+                        "full-size model: --fast-scheduler dpm_solver_sde "
+                        "--fast-steps 20 (Frechet 3.24 at 22.7 img/s on the "
+                        "flagship ladder, artifacts/sampler_ladder_full."
+                        "json); tightest budget: unipc 8 (5.59 on the "
+                        "quarter-width battery vs the distill8 student's "
+                        "9.94 and teacher-DDIM-8's 7.16, zero extra "
+                        "training)")
     p.add_argument("--fast-steps", type=int, default=None,
                    help="steps for the fast lane (default: the trailing "
                         "integer in the variant name, e.g. distill8 -> 8; "

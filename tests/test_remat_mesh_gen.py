@@ -15,12 +15,16 @@ TINY = UNet2DConfig(sample_size=16, layers_per_block=1,
 
 
 @pytest.mark.slow
-def test_remat_same_outputs_and_grads():
+@pytest.mark.parametrize("mode", [True, "hires", "attn", "dots"])
+def test_remat_same_outputs_and_grads(mode):
+    """Every remat mode is semantics-preserving: outputs and gradients match
+    the no-remat model to float rounding (rematerialization only changes
+    WHAT is recomputed in the backward pass, never the math)."""
     x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 16, 16, 3))
                     .astype(np.float32))
     t = jnp.zeros((2,), jnp.int32)
     base = UNet2D(config=TINY, remat=False)
-    rem = UNet2D(config=TINY, remat=True)
+    rem = UNet2D(config=TINY, remat=mode)
     params = base.init(jax.random.PRNGKey(0), x, t)["params"]
     y1 = base.apply({"params": params}, x, t)
     y2 = rem.apply({"params": params}, x, t)
@@ -34,6 +38,13 @@ def test_remat_same_outputs_and_grads():
     for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_remat_rejects_unknown_mode():
+    x = jnp.zeros((1, 16, 16, 3))
+    t = jnp.zeros((1,), jnp.int32)
+    with pytest.raises(ValueError, match="unknown remat mode"):
+        UNet2D(config=TINY, remat="everything").init(jax.random.PRNGKey(0), x, t)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
