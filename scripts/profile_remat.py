@@ -117,6 +117,10 @@ def main():
             row = {"remat": label, "batch": batch, "error": str(exc)[:200]}
             print(f"remat={label:>5} b{batch}: FAILED — {str(exc)[:120]}", flush=True)
         rows.append(row)
+        # drop the config's donated state/executable references before the
+        # next rung — an OOM'd rung must not pin HBM into its successors
+        import gc
+        gc.collect()
 
     ok = [r for r in rows if "img_per_s" in r]
     best = max(ok, key=lambda r: r["img_per_s"]) if ok else None

@@ -127,11 +127,46 @@ class ConsoleGenerator:
                     path = out_dir / name
                     from PIL import Image as PILImage
                     save_image(PILImage.fromarray(arr), str(path), quality=95)
+                    # full reproduce contract for console artifacts too:
+                    # record the sampler actually used, the JPEG encode
+                    # settings, and (for multi-image blocks) the device
+                    # block layout — without `kind`/`dtype` a DDIM bf16 run
+                    # would mis-reproduce as DDPM f32, and without `block`
+                    # a batch-8 image regenerated at batch 1 is not
+                    # byte-stable under XLA's batch-dependent float tiling
+                    import jax.numpy as jnp
                     write_sidecar_metadata(
                         str(path), class_name=class_name, seed=int(seeds[j]),
                         inference_steps=self.inference_steps,
                         device=str(self.model_manager.device),
-                        noise_hash=out["noise_hashes"][j])
+                        noise_hash=out["noise_hashes"][j],
+                        scheduler={
+                            "num_train_timesteps": 1000,
+                            "beta_schedule": "squaredcos_cap_v2",
+                            "prediction_type": "epsilon",
+                            "kind": self.scheduler,
+                            "ddim_eta": 0.0,
+                            "timestep_spacing": self.timestep_spacing,
+                            "dtype": jnp.dtype(self.model_manager.dtype).name,
+                            "model_variant": self.model_manager.variant,
+                            **({"attention_fast_math": True}
+                               if self.model_manager.attention_fast_math
+                               else {}),
+                            **({"conditional": True,
+                                "guidance_scale": self.guidance_scale}
+                               if self.model_manager.conditional else {}),
+                        },
+                        extra={
+                            "artifact": {
+                                "format": "jpeg", "quality": 95,
+                                "postprocess": ("mean_shift" if postprocess
+                                                else None),
+                            },
+                            **({"block": {
+                                "seeds": [int(s) for s in seeds],
+                                "index": j,
+                            }} if block > 1 else {}),
+                        })
                     append_groundtruth_row(self.synthetic_csv, name, class_name)
                     n += 1
                     done += 1
@@ -235,6 +270,42 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _reproduce_console_jpeg(gen, meta: dict, out_path: str) -> bool:
+    """Regenerate a ConsoleGenerator JPEG artifact byte-identically: the
+    recorded device block through the recorded sampler, mean-shift color
+    postprocessing when it was applied, then the exact JPEG encode
+    (quality as recorded). Writes a sidecar next to the output so the
+    caller's noise-hash check works unchanged."""
+    from PIL import Image as PILImage
+
+    art = meta["artifact"]
+    cls = meta["class"]
+    blk = meta.get("block") or {"seeds": [int(meta["seed"])], "index": 0}
+    idx = int(blk["index"])
+    seeds = np.asarray(blk["seeds"], np.uint32)
+    out = gen._sample_block([cls] * len(seeds), seeds, False)
+    if out is None:
+        return False
+    img = to_uint8_images(np.asarray(out["images"]))[idx]
+    if art.get("postprocess") == "mean_shift":
+        stats = load_color_statistics(
+            Path(gen.model_manager.checkpoints_dir) / "color_statistics.json")
+        img = apply_mean_shift_postprocessing(
+            img, (stats or {}).get(cls) if stats else None)
+    save_image(PILImage.fromarray(img), out_path,
+               quality=int(art.get("quality", 95)))
+    write_sidecar_metadata(out_path, class_name=cls,
+                           seed=int(seeds[idx]),
+                           inference_steps=int(meta["inference_steps"]),
+                           device=str(gen.model_manager.device),
+                           noise_hash=out["noise_hashes"][idx],
+                           scheduler=meta.get("scheduler"),
+                           extra={"artifact": art,
+                                  **({"block": blk} if len(seeds) > 1
+                                     else {})})
+    return True
+
+
 def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
                            output: Optional[str] = None,
                            postprocess: bool = True,
@@ -272,10 +343,12 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
         # original is the sole proof, and without it we exit 2, not 0
         print("warning: sidecar predates sampler-kind recording — assuming "
               "the DDPM ancestral sampler", file=sys.stderr)
-    reproduced_name = Path(meta["filename"]).stem + "_reproduced.png"
+    art = meta.get("artifact") or {}
+    ext = ".jpg" if art.get("format") == "jpeg" else ".png"
+    reproduced_name = Path(meta["filename"]).stem + "_reproduced" + ext
     if output is None:
         out_path = str(Path(sidecar_path).with_name(reproduced_name))
-    elif output.endswith(".png"):
+    elif output.endswith((".png", ".jpg")):
         out_path = output
     else:  # a directory
         Path(output).mkdir(parents=True, exist_ok=True)
@@ -360,6 +433,19 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
                 # no --no-postprocess guesswork needed for augmented runs
                 postprocess=bool(i2i.get("postprocess", False)),
                 seed=int(seed))
+        elif art.get("format") == "jpeg":
+            # console-CLI artifact: JPEG at the recorded quality with
+            # mean-shift postprocessing — a PNG/color-stats regeneration
+            # could never byte-match, so this path re-encodes exactly as
+            # ConsoleGenerator.generate did (same block layout included)
+            ok = _reproduce_console_jpeg(gen, meta, out_path)
+        elif meta.get("block"):
+            # the image came from a multi-image device block — byte identity
+            # requires rebuilding the SAME block (XLA's float tiling is
+            # batch-shape-dependent), then extracting the recorded index
+            ok = gen.regenerate_block_image(cls, out_path,
+                                            postprocess=postprocess,
+                                            block=meta["block"])
         else:
             ok, _ = gen.generate_single_image(cls, out_path,
                                               postprocess=postprocess,

@@ -270,6 +270,34 @@ class ImageGenerator:
             self._log(f"generation failed for {class_name}: {exc}", "error")
             return False, None
 
+    def regenerate_block_image(self, class_name: str, output_path: str,
+                               postprocess: bool,
+                               block: Dict[str, Any]) -> bool:
+        """Rebuild the EXACT device block a sidecar's `block` field records
+        and re-write one image from it. The reproduce contract (reference
+        `image_generator.py:456-477`) pins seed + steps + scheduler, but on
+        TPU the float tiling XLA picks is batch-shape-dependent, so byte
+        identity additionally requires the original block layout — the same
+        seeds in the same order, extracting the recorded index."""
+        seeds = np.asarray(block["seeds"], np.uint32)
+        idx = int(block["index"])
+        classes = list(block.get("classes") or [class_name] * len(seeds))
+        if not (0 <= idx < len(seeds)) or classes[idx] != class_name:
+            self._log(f"sidecar block is inconsistent (index {idx}, "
+                      f"{len(seeds)} seeds, classes {classes})", "error")
+            return False
+        out = self._sample_block(classes, seeds, False)
+        if out is None:
+            return False
+        self._write_image_artifacts(
+            out, idx, class_name, output_path, postprocess, int(seeds[idx]),
+            extra={"block": {"seeds": [int(s) for s in seeds], "index": idx,
+                             **({"classes": classes}
+                                if self.model_manager.conditional else {})}})
+        self._log(f"image regenerated from its recorded device block "
+                  f"(size {len(seeds)}, index {idx}): {output_path}")
+        return True
+
     # -- img2img / inpainting augmentation (beyond reference) -------------------------
     @staticmethod
     def _load_source_image(source, image_size: int):
@@ -589,9 +617,24 @@ class ImageGenerator:
                     isic_number = class_counts[class_name]
                     filename = self.path_manager.get_isic_filename(isic_number)
                     file_path = output_path / class_name / filename
+                    # multi-image device blocks record their exact layout:
+                    # XLA float tiling is batch-shape-dependent, so byte
+                    # reproduction must rebuild the SAME block, not just the
+                    # same seed (regenerate_block_image / cli --reproduce).
+                    # Single-image blocks stay unannotated — their sidecars
+                    # are unchanged and reproduce at batch 1 as before.
+                    block_extra = None
+                    if len(blk) > 1:
+                        block_extra = {"block": {
+                            "seeds": [int(s) for s in seeds],
+                            "index": j,
+                            **({"classes": [c for c, _ in blk]}
+                               if mixed else {}),
+                        }}
                     self._write_image_artifacts(out, j, class_name,
                                                 str(file_path), postprocess,
-                                                int(seeds[j]))
+                                                int(seeds[j]),
+                                                extra=block_extra)
                     append_synthetic_row(csv_path, {
                         "filename": filename,
                         "class": class_name,

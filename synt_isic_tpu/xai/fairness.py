@@ -101,14 +101,19 @@ class FairnessAuditor:
                 "threshold, not curated phototype labels; treat fairness "
                 "conclusions as indicative only")
 
-        # prediction distribution + demographic parity gaps
-        dist_g = np.bincount(preds[g], minlength=len(self.class_names)) / max(g.sum(), 1)
-        dist_r = np.bincount(preds[r], minlength=len(self.class_names)) / max(r.sum(), 1)
+        # prediction distribution + demographic parity gaps. An EMPTY side
+        # has no distribution — reporting all-zeros would read as a ~1.0
+        # parity gap when no comparison happened at all
+        dist_g = (np.bincount(preds[g], minlength=len(self.class_names))
+                  / g.sum()) if g.any() else None
+        dist_r = (np.bincount(preds[r], minlength=len(self.class_names))
+                  / r.sum()) if r.any() else None
+        both = dist_g is not None and dist_r is not None
         results["prediction_distribution"] = {
-            "group": dist_g.tolist(),
-            "rest": dist_r.tolist(),
-            "parity_gap_per_class": (dist_g - dist_r).tolist(),
-            "max_parity_gap": float(np.abs(dist_g - dist_r).max()),
+            "group": dist_g.tolist() if dist_g is not None else None,
+            "rest": dist_r.tolist() if dist_r is not None else None,
+            "parity_gap_per_class": (dist_g - dist_r).tolist() if both else None,
+            "max_parity_gap": float(np.abs(dist_g - dist_r).max()) if both else None,
         }
 
         # confidence comparison with the full statistical battery
@@ -151,13 +156,28 @@ class FairnessAuditor:
                 "per_class_tpr": per_class_tpr,
             }
 
-        verdict = "balanced"
-        if results["prediction_distribution"]["max_parity_gap"] > 0.1:
-            verdict = "parity_gap"
-        stats = results["confidence"]["statistics"]
-        if stats and stats["overall_conclusion"]["significant"]:
-            verdict = "significant_confidence_gap" if verdict == "balanced" \
-                else verdict + "+confidence_gap"
+        # a two-sample comparison needs both sides populated: below
+        # MIN_SIDE the gap estimates are noise (and at 0 they're undefined).
+        # For a generator audit an (almost-)empty group is itself the
+        # finding — the generator produced essentially no group members —
+        # so it gets its own verdict instead of a fabricated parity gap.
+        MIN_SIDE = 8
+        if min(results["n_group"], results["n_rest"]) < MIN_SIDE:
+            verdict = "group_underrepresented"
+            results["verdict_caveat"] = (
+                f"one side is below {MIN_SIDE} samples (group="
+                f"{results['n_group']}, rest={results['n_rest']}): parity/"
+                f"confidence comparisons were not evaluated; for an audit "
+                f"of generated samples this underrepresentation is itself "
+                f"the fairness finding")
+        else:
+            verdict = "balanced"
+            if results["prediction_distribution"]["max_parity_gap"] > 0.1:
+                verdict = "parity_gap"
+            stats = results["confidence"]["statistics"]
+            if stats and stats["overall_conclusion"]["significant"]:
+                verdict = "significant_confidence_gap" if verdict == "balanced" \
+                    else verdict + "+confidence_gap"
         results["verdict"] = verdict
         return results
 

@@ -145,3 +145,52 @@ def test_standalone_xai_conditional(tmp_path):
     assert results is not None
     assert results["metadata"]["n_timesteps"] == 3
     assert (tmp_path / "xai_out" / "analysis_results.json").exists()
+
+
+def test_console_jpeg_sidecar_reproduce(base_dir, tmp_path):
+    """Console artifacts (JPEG q95, mean-shift postprocess, flat naming)
+    must honor the reproduce contract too: the sidecar records the sampler
+    (kind/dtype/spacing), the JPEG encode settings, and the device-block
+    layout, and `--reproduce` re-encodes byte-identically. Previously these
+    sidecars carried only the static reference fields — a DDIM run would
+    silently mis-reproduce as DDPM f32 through the PNG writer."""
+    from synt_isic_tpu.cli import reproduce_from_sidecar
+
+    out_dir = tmp_path / "console_run"
+    gen = ConsoleGenerator(base_dir=str(base_dir), inference_steps=3,
+                           batch_size=2, seed=7, scheduler="ddim",
+                           model_config=TINY_JAX)
+    produced = gen.generate({"MEL": 2}, output_dir=str(out_dir))
+    assert produced == {"MEL": 2}
+
+    jpgs = sorted(out_dir.glob("ISIC_*.jpg"))
+    metas = [json.loads(p.with_suffix(".json").read_text()) for p in jpgs]
+    for i, m in enumerate(metas):
+        assert m["scheduler"]["kind"] == "ddim"
+        assert m["scheduler"]["dtype"] in ("float32", "bfloat16")
+        assert m["artifact"] == {"format": "jpeg", "quality": 95,
+                                 "postprocess": "mean_shift"}
+        assert m["block"]["index"] == i and len(m["block"]["seeds"]) == 2
+
+    # reproduce the SECOND image of the block through the CLI function
+    sidecar = jpgs[1].with_suffix(".json")
+    redo = tmp_path / "redo.jpg"
+    rc = reproduce_from_sidecar(str(sidecar),
+                                str(base_dir / "checkpoints"),
+                                output=str(redo), model_config=TINY_JAX)
+    assert rc == 0
+    assert redo.read_bytes() == jpgs[1].read_bytes()
+
+    # --no-postprocess console runs record postprocess: null and reproduce
+    out2 = tmp_path / "console_raw"
+    gen.generate({"MEL": 1}, output_dir=str(out2), postprocess=False)
+    raw = sorted(out2.glob("ISIC_*.jpg"))[0]
+    meta = json.loads(raw.with_suffix(".json").read_text())
+    assert meta["artifact"]["postprocess"] is None
+    assert "block" not in meta  # single-image block stays unannotated
+    rc = reproduce_from_sidecar(str(raw.with_suffix(".json")),
+                                str(base_dir / "checkpoints"),
+                                output=str(tmp_path / "redo2.jpg"),
+                                model_config=TINY_JAX)
+    assert rc == 0
+    assert (tmp_path / "redo2.jpg").read_bytes() == raw.read_bytes()

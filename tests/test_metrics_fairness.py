@@ -73,6 +73,23 @@ def test_fairness_audit_marks_heuristic_masks(small_clf):
     assert "indicative only" in res["group_source_caveat"]
 
 
+def test_fairness_audit_empty_group_is_underrepresented(small_clf):
+    """An (almost-)empty group must NOT fabricate a ~1.0 parity gap out of
+    an all-zeros distribution — it is its own verdict. (The 8000-sample
+    chip audit hit exactly this: the luminance heuristic flagged 0 of the
+    generated images, and the old report still said 'parity_gap'.)"""
+    rng = np.random.default_rng(4)
+    images = np.clip(rng.normal(0.3, 0.2, (16, 128, 128, 3)),
+                     -1, 1).astype(np.float32)
+    res = FairnessAuditor(small_clf, batch_size=8).audit(
+        images, np.zeros(16, bool))
+    assert res["verdict"] == "group_underrepresented"
+    pd = res["prediction_distribution"]
+    assert pd["group"] is None and pd["max_parity_gap"] is None
+    assert pd["rest"] is not None and len(pd["rest"]) == 7
+    assert "underrepresentation" in res["verdict_caveat"]
+
+
 def test_phototype_mask_heuristic():
     light = np.full((4, 32, 32, 3), 0.5, np.float32)
     dark = np.full((4, 32, 32, 3), -0.6, np.float32)

@@ -261,3 +261,49 @@ def test_reproduce_honors_png_compress_level(tmp_path):
                                 output=str(tmp_path / "redo.png"),
                                 postprocess=False, model_config=TINY_JAX)
     assert rc == 0
+
+
+def test_reproduce_rebuilds_recorded_device_block(tmp_path):
+    """Images generated in a multi-image device block record the block
+    layout (seeds + index) and reproduce by rebuilding the SAME block —
+    XLA's float tiling is batch-shape-dependent, so a batch-1 regeneration
+    of a batch-4 image is not guaranteed byte-identical on TPU (the chip
+    parity-gauntlet failure this fixes)."""
+    from synt_isic_tpu.cli import reproduce_from_sidecar
+
+    ckpt = tmp_path / "checkpoints"
+    ckpt.mkdir()
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen.set_inference_steps(4)
+    gen.set_generation_seed(42)
+    gen.batch_size = 3
+    gen.generate_images([("NV", 3)], str(tmp_path / "run"), postprocess=False)
+
+    metas = [json.loads((tmp_path / "run" / "NV" / f"ISIC_{i:07d}.json")
+                        .read_text()) for i in (1, 2, 3)]
+    seeds = [m["seed"] for m in metas]
+    for i, m in enumerate(metas):
+        assert m["block"]["index"] == i
+        assert m["block"]["seeds"] == seeds          # the whole block
+        assert "classes" not in m["block"]           # per-class model
+
+    # reproduce the MIDDLE image: must go through the block path and match
+    sidecar = tmp_path / "run" / "NV" / "ISIC_0000002.json"
+    rc = reproduce_from_sidecar(str(sidecar), str(ckpt),
+                                output=str(tmp_path / "redo.png"),
+                                postprocess=False, model_config=TINY_JAX)
+    assert rc == 0
+    assert ((tmp_path / "redo.png").read_bytes()
+            == (tmp_path / "run" / "NV" / "ISIC_0000002.png").read_bytes())
+    redo = json.loads((tmp_path / "redo.json").read_text())
+    assert redo["block"] == metas[1]["block"]        # provenance survives
+
+    # single-image blocks stay unannotated (pre-existing sidecar contract)
+    gen.batch_size = 1
+    gen.generate_images([("NV", 1)], str(tmp_path / "run1"), postprocess=False)
+    one = json.loads((tmp_path / "run1" / "NV" / "ISIC_0000001.json")
+                     .read_text())
+    assert "block" not in one
