@@ -269,6 +269,39 @@ def test_mixed_class_block_matches_per_class_runs(ckpt_dir, tmp_path):
             assert a == b, f"{cls}/{name} differs between block layouts"
 
 
+def test_reproduce_conditional_mixed_block(ckpt_dir, tmp_path):
+    """A sidecar from a MIXED-class conditional device block records the
+    full block layout (seeds + index + classes) and reproduces by
+    rebuilding that exact block — the layout is what guarantees byte
+    identity under XLA's batch-shape-dependent float tiling."""
+    from synt_isic_tpu.cli import reproduce_from_sidecar
+    from synt_isic_tpu.generator import ImageGenerator
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt_dir), model_config=BASE,
+                         conditional=True)
+    gen.set_inference_steps(3)
+    gen.set_save_trajectory(False)
+    gen.set_generation_seed(31)
+    gen.batch_size = 8
+    res = gen.generate_images([("MEL", 2), ("NV", 2), ("VASC", 1)],
+                              str(tmp_path / "run"))
+    assert res["generated"] == 5
+
+    # NV's first image sits mid-block (index 2 of the spanning block)
+    sidecar = tmp_path / "run" / "NV" / "ISIC_0000001.json"
+    meta = json.loads(sidecar.read_text())
+    assert meta["block"]["classes"] == ["MEL", "MEL", "NV", "NV", "VASC"]
+    assert meta["block"]["index"] == 2
+    assert len(meta["block"]["seeds"]) == 5
+
+    rc = reproduce_from_sidecar(str(sidecar), str(ckpt_dir),
+                                output=str(tmp_path / "redo.png"),
+                                model_config=BASE)
+    assert rc == 0
+    assert ((tmp_path / "redo.png").read_bytes()
+            == (tmp_path / "run" / "NV" / "ISIC_0000001.png").read_bytes())
+
+
 def test_reproduce_conditional_sidecar(cond_generator, ckpt_dir, tmp_path):
     from synt_isic_tpu.cli import reproduce_from_sidecar
 
