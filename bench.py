@@ -155,40 +155,44 @@ def mfu_estimate(images_per_sec: float, steps: int, evals_per_step: int = 1):
     return round(images_per_sec * fpe * steps * evals_per_step / peak * 100, 1)
 
 
-def bench_train_step(batch: int = 32, epochs: int = 24) -> float:
-    """Training images/sec on the flagship model (fused-attention custom-vjp
-    backward + fast_norm — the same Pallas kernels as the sampling path;
-    epoch-scan, device-resident data). Returns fwd+bwd+update img/s."""
+def bench_train_step(batch: int = 32, steps: int = 30) -> float:
+    """Steady-state training-step images/sec on the flagship model
+    (fused-attention custom-vjp backward + fast_norm — the same Pallas
+    kernels as the sampling path; EMA update included). Times the jitted
+    step alone on device-resident varying batches — the same harness as
+    scripts/profile_remat.py — so the number is comparable across rungs
+    and not diluted by per-epoch eval probes or checkpoint export."""
     import jax
     import jax.numpy as jnp
 
+    from synt_isic_tpu.diffusion.schedules import DiffusionSchedule
     from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig
-    from synt_isic_tpu.train.procedural import ProceduralDataset
-    from synt_isic_tpu.train.train_ddpm import TrainConfig, train_class
+    from synt_isic_tpu.train.train_ddpm import (TrainConfig,
+                                                create_train_state,
+                                                make_train_step)
 
     on_tpu = jax.devices()[0].platform == "tpu"
     model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16,
                    use_fused_attention=on_tpu, fast_norm=on_tpu)
-    ds = ProceduralDataset("MEL", 8 * batch, 128, seed=0, device=True)
-    tcfg = TrainConfig(image_size=128, batch_size=batch, epochs=epochs,
-                       ema_decay=0.9995, seed=0, learning_rate=2e-4,
-                       lr_schedule="cosine", warmup_steps=50,
-                       min_snr_gamma=5.0, offset_noise=0.05,
-                       snapshot_every=10_000)
-    import tempfile
-
-    with tempfile.TemporaryDirectory() as td:
-        # first run pays compile; the second measures steady state
-        train_class("MEL", ds, td, tcfg,
-                    model=UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16,
-                                 use_fused_attention=on_tpu,
-                                 fast_norm=on_tpu),
-                    log=lambda *a: None)
-        t0 = time.time()
-        res = train_class("MEL", ds, td, tcfg, model=model,
-                          log=lambda *a: None)
-        dt = time.time() - t0
-    return batch * res["steps"] / dt
+    # reference-parity training config (constant lr, no EMA) — the exact
+    # step scripts/profile_remat.py sweeps, so the rung cross-checks
+    # against artifacts/remat_sweep.json
+    tcfg = TrainConfig(image_size=128, batch_size=batch)
+    state, tx = create_train_state(model, tcfg, jax.random.PRNGKey(0))
+    step_fn = make_train_step(model, DiffusionSchedule.create(), tx, tcfg)
+    key = jax.random.PRNGKey(1)
+    base = jax.device_put(
+        jax.random.normal(key, (batch, 128, 128, 3), jnp.float32))
+    # contents vary per step via a scale (the tunnel coalesces
+    # byte-identical execution requests)
+    state, loss = step_fn(state, base, jax.random.fold_in(key, 0))
+    jax.block_until_ready(loss)  # compile + first step
+    t0 = time.time()
+    for i in range(1, steps + 1):
+        state, loss = step_fn(state, base * (1.0 + 1e-4 * i),
+                              jax.random.fold_in(key, i))
+    jax.block_until_ready(loss)
+    return batch * steps / (time.time() - t0)
 
 
 def torch_cpu_per_step_seconds() -> float:
@@ -345,10 +349,13 @@ def main() -> None:
                          "g=2 (cond+null as ONE 2B-batched forward); quality "
                          "evidence: scripts/e2e_conditional.py",
             "train_b32_images_per_sec": round(train_ips, 4),
-            "train_note": "fwd+bwd+adam+EMA on the flagship model via the "
-                          "fused-attention custom-vjp backward (epoch-scan, "
+            "train_note": "steady-state jitted train step (fwd+bwd+adam, "
+                          "reference-parity config) on the flagship model "
+                          "via the fused-attention custom-vjp backward, "
                           "device-resident data; was 44.8 img/s on the XLA "
-                          "einsum path)",
+                          "einsum path; full-loop throughput incl. per-epoch "
+                          "probes + checkpoint export is lower (see "
+                          "artifacts/chip_logs_r4)",
             "baseline": "torch-CPU 1-core host, reference per-step loop "
                         "(extrapolated from 3 steps)",
         },
