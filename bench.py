@@ -148,8 +148,13 @@ def mfu_estimate(images_per_sec: float, steps: int, evals_per_step: int = 1):
     from synt_isic_tpu.utils.compute import TPU_PEAKS
 
     entry = TPU_PEAKS.get(jax.devices()[0].device_kind)
+    # cheap guards FIRST: a miss on the peak table or a failed rung
+    # (ips=NaN) must not pay the flagship-UNet trace+compile that
+    # _flops_per_eval() runs just to discard the result
+    if entry is None or images_per_sec != images_per_sec:
+        return None
     fpe = _flops_per_eval()
-    if entry is None or fpe is None or images_per_sec != images_per_sec:
+    if fpe is None:
         return None
     peak = entry[0]
     return round(images_per_sec * fpe * steps * evals_per_step / peak * 100, 1)
@@ -158,41 +163,14 @@ def mfu_estimate(images_per_sec: float, steps: int, evals_per_step: int = 1):
 def bench_train_step(batch: int = 32, steps: int = 30) -> float:
     """Steady-state training-step images/sec on the flagship model
     (fused-attention custom-vjp backward + fast_norm — the same Pallas
-    kernels as the sampling path; EMA update included). Times the jitted
-    step alone on device-resident varying batches — the same harness as
-    scripts/profile_remat.py — so the number is comparable across rungs
-    and not diluted by per-epoch eval probes or checkpoint export."""
-    import jax
-    import jax.numpy as jnp
+    kernels as the sampling path; reference-parity config, so NO EMA).
+    Delegates to the ONE shared harness (synt_isic_tpu/train/benchmark.py)
+    that scripts/profile_remat.py also sweeps, so the rung cross-checks
+    against artifacts/remat_sweep.json by construction and is not diluted
+    by per-epoch eval probes or checkpoint export."""
+    from synt_isic_tpu.train.benchmark import measure_train_step
 
-    from synt_isic_tpu.diffusion.schedules import DiffusionSchedule
-    from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig
-    from synt_isic_tpu.train.train_ddpm import (TrainConfig,
-                                                create_train_state,
-                                                make_train_step)
-
-    on_tpu = jax.devices()[0].platform == "tpu"
-    model = UNet2D(config=UNet2DConfig(), dtype=jnp.bfloat16,
-                   use_fused_attention=on_tpu, fast_norm=on_tpu)
-    # reference-parity training config (constant lr, no EMA) — the exact
-    # step scripts/profile_remat.py sweeps, so the rung cross-checks
-    # against artifacts/remat_sweep.json
-    tcfg = TrainConfig(image_size=128, batch_size=batch)
-    state, tx = create_train_state(model, tcfg, jax.random.PRNGKey(0))
-    step_fn = make_train_step(model, DiffusionSchedule.create(), tx, tcfg)
-    key = jax.random.PRNGKey(1)
-    base = jax.device_put(
-        jax.random.normal(key, (batch, 128, 128, 3), jnp.float32))
-    # contents vary per step via a scale (the tunnel coalesces
-    # byte-identical execution requests)
-    state, loss = step_fn(state, base, jax.random.fold_in(key, 0))
-    jax.block_until_ready(loss)  # compile + first step
-    t0 = time.time()
-    for i in range(1, steps + 1):
-        state, loss = step_fn(state, base * (1.0 + 1e-4 * i),
-                              jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
-    return batch * steps / (time.time() - t0)
+    return measure_train_step(False, batch, steps)["img_per_s"]
 
 
 def torch_cpu_per_step_seconds() -> float:

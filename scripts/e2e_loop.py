@@ -258,7 +258,11 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
         report["classifier"] = {
             "classes": clf_classes, "train_acc": clf_result["best_acc"],
             "hard": clf_hard, "label_noise": clf_label_noise,
-            "heldout_acc_target_class": heldout_acc,
+            # renamed from 'heldout_acc_target_class' (pre-round-4 reports):
+            # the eval is multi-class over clf_classes at `hard`, so the
+            # old single-class name made cross-round comparisons
+            # apples-to-oranges; a new key keeps the metrics distinct
+            "heldout_acc_all_classes": heldout_acc,
             "loaded_tensors": counts["loaded"], "skipped": counts["skipped"],
             "seconds": round(time.time() - t0, 1)}
         log(f"[e2e] classifier: train_acc={clf_result['best_acc']:.3f} "

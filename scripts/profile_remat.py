@@ -21,21 +21,16 @@ Run: python scripts/profile_remat.py [--steps 30] [--out artifacts/remat_sweep.j
 import argparse
 import json
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 import jax
-import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir",
                   str(Path(__file__).resolve().parents[1] / ".jax_cache"))
 
-from synt_isic_tpu.diffusion.schedules import DiffusionSchedule
-from synt_isic_tpu.models.unet2d import UNet2D, UNet2DConfig
-from synt_isic_tpu.train.train_ddpm import (TrainConfig, create_train_state,
-                                            make_train_step)
+from synt_isic_tpu.train.benchmark import measure_train_step
 
 # (remat_mode, batch) grid: the champion config first as the reference row.
 GRID = [
@@ -51,40 +46,10 @@ GRID = [
 
 
 def measure(mode, batch, steps, size=128):
-    dev = jax.devices()[0]
-    model = UNet2D(config=UNet2DConfig(sample_size=size), dtype=jnp.bfloat16,
-                   remat=mode, use_fused_attention=dev.platform == "tpu",
-                   fast_norm=dev.platform == "tpu")
-    schedule = DiffusionSchedule.create()
-    cfg = TrainConfig(batch_size=batch, image_size=size)
-    state, tx = create_train_state(model, cfg, jax.random.PRNGKey(0))
-    step_fn = make_train_step(model, schedule, tx, cfg)
-    key = jax.random.PRNGKey(1)
-    # device-resident fake batch; contents vary per step via fold_in (the
-    # tunnel coalesces byte-identical execution requests)
-    base = jax.device_put(
-        jax.random.normal(key, (batch, size, size, 3), jnp.float32))
-
-    def batch_at(i):
-        return base * (1.0 + 1e-4 * i)
-
-    state, loss = step_fn(state, batch_at(0), jax.random.fold_in(key, 0))
-    jax.block_until_ready(loss)  # compile + first step
-    t0 = time.time()
-    for i in range(1, steps + 1):
-        state, loss = step_fn(state, batch_at(i), jax.random.fold_in(key, i))
-    jax.block_until_ready(loss)
-    sec = (time.time() - t0) / steps
-    mem = {}
-    try:
-        stats = dev.memory_stats() or {}
-        mem = {k: int(v) for k, v in stats.items()
-               if k in ("bytes_in_use", "peak_bytes_in_use", "bytes_limit")}
-    except Exception:
-        pass
-    return {"remat": mode if isinstance(mode, str) else ("all" if mode else "none"),
-            "batch": batch, "sec_per_step": round(sec, 4),
-            "img_per_s": round(batch / sec, 1), "loss": float(loss), **mem}
+    # one shared harness with bench.py's train rung (train/benchmark.py)
+    row = measure_train_step(mode, batch, steps, size=size)
+    return dict(row, sec_per_step=round(row["sec_per_step"], 4),
+                img_per_s=round(row["img_per_s"], 1))
 
 
 def main():

@@ -162,10 +162,20 @@ class ConsoleGenerator:
                                 "postprocess": ("mean_shift" if postprocess
                                                 else None),
                             },
+                            # a mesh-sharded block is additionally
+                            # layout-dependent (per-device shard shapes
+                            # change XLA's float tiling), so the device
+                            # count is part of the reproduce contract —
+                            # recorded even for 1-image blocks, which
+                            # still pad+shard across the mesh
                             **({"block": {
                                 "seeds": [int(s) for s in seeds],
                                 "index": j,
-                            }} if block > 1 else {}),
+                                **({"dp_mesh":
+                                    int(self.mesh.devices.size)}
+                                   if self.mesh is not None else {}),
+                            }} if block > 1 or self.mesh is not None
+                               else {}),
                         })
                     append_groundtruth_row(self.synthetic_csv, name, class_name)
                     n += 1
@@ -301,7 +311,8 @@ def _reproduce_console_jpeg(gen, meta: dict, out_path: str) -> bool:
                            noise_hash=out["noise_hashes"][idx],
                            scheduler=meta.get("scheduler"),
                            extra={"artifact": art,
-                                  **({"block": blk} if len(seeds) > 1
+                                  **({"block": blk}
+                                     if len(seeds) > 1 or "dp_mesh" in blk
                                      else {})})
     return True
 
@@ -348,12 +359,45 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
     reproduced_name = Path(meta["filename"]).stem + "_reproduced" + ext
     if output is None:
         out_path = str(Path(sidecar_path).with_name(reproduced_name))
-    elif output.endswith((".png", ".jpg")):
+    elif output.lower().endswith((".png", ".jpg", ".jpeg")):
+        # byte identity requires re-encoding in the RECORDED format — the
+        # encoder is picked from the extension, so an --output extension
+        # that disagrees with the sidecar's artifact format would silently
+        # re-encode (PNG<->JPEG) and the byte comparison could never pass.
+        # Correct the extension instead of failing with a false DIFFER.
+        same_family = (output.lower().endswith((".jpg", ".jpeg"))
+                       if ext == ".jpg" else output.lower().endswith(".png"))
+        if not same_family:
+            corrected = str(Path(output).with_suffix(ext))
+            print(f"warning: --output extension {Path(output).suffix!r} "
+                  f"does not match the recorded artifact format "
+                  f"({art.get('format', 'png')}); writing {corrected}",
+                  file=sys.stderr)
+            output = corrected
         out_path = output
     else:  # a directory
         Path(output).mkdir(parents=True, exist_ok=True)
         out_path = str(Path(output) / reproduced_name)
     original = Path(sidecar_path).with_name(meta["filename"])
+
+    # a block sampled data-parallel over a mesh is layout-dependent:
+    # byte identity requires rebuilding with the SAME device count
+    # (per-device shard shapes change XLA's float tiling)
+    mesh = None
+    blk_mesh = (meta.get("block") or {}).get("dp_mesh")
+    if blk_mesh:
+        import jax
+
+        n_dev = int(blk_mesh)
+        if len(jax.devices()) < n_dev:
+            print(f"sidecar block was sampled data-parallel over {n_dev} "
+                  f"devices; this host has {len(jax.devices())} — byte "
+                  f"identity is device-layout-dependent and cannot be "
+                  f"verified here", file=sys.stderr)
+            return 2
+        from .parallel.mesh import create_mesh
+
+        mesh = create_mesh({"data": n_dev})
 
     for i, compute_dtype in enumerate(candidates):
         gen = ImageGenerator(checkpoints_dir=checkpoints_dir,
@@ -369,6 +413,8 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
                              guidance_scale=float(sched.get("guidance_scale",
                                                             0.0)))
         gen.set_inference_steps(int(meta["inference_steps"]))
+        if mesh is not None:
+            gen.set_mesh(mesh)
         gen.scheduler_kind = sched.get("kind", "ddpm")
         gen.ddim_eta = float(sched.get("ddim_eta", 0.0))
         # sidecars that predate spacing-recording were always 'leading'

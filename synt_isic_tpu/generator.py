@@ -293,7 +293,9 @@ class ImageGenerator:
             out, idx, class_name, output_path, postprocess, int(seeds[idx]),
             extra={"block": {"seeds": [int(s) for s in seeds], "index": idx,
                              **({"classes": classes}
-                                if self.model_manager.conditional else {})}})
+                                if self.model_manager.conditional else {}),
+                             **({"dp_mesh": int(self.mesh.devices.size)}
+                                if self.mesh is not None else {})}})
         self._log(f"image regenerated from its recorded device block "
                   f"(size {len(seeds)}, index {idx}): {output_path}")
         return True
@@ -624,12 +626,19 @@ class ImageGenerator:
                     # Single-image blocks stay unannotated — their sidecars
                     # are unchanged and reproduce at batch 1 as before.
                     block_extra = None
-                    if len(blk) > 1:
+                    if len(blk) > 1 or self.mesh is not None:
+                        # a mesh-sharded block is additionally layout-
+                        # dependent (per-device shard shapes change XLA's
+                        # float tiling), so the device count joins the
+                        # reproduce contract — even 1-image blocks
+                        # pad+shard across the mesh
                         block_extra = {"block": {
                             "seeds": [int(s) for s in seeds],
                             "index": j,
                             **({"classes": [c for c, _ in blk]}
                                if mixed else {}),
+                            **({"dp_mesh": int(self.mesh.devices.size)}
+                               if self.mesh is not None else {}),
                         }}
                     self._write_image_artifacts(out, j, class_name,
                                                 str(file_path), postprocess,

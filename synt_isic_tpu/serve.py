@@ -896,6 +896,13 @@ def main(argv=None) -> int:
             model_variant=fast_variant,
             conditional=args.conditional,
             guidance_scale=args.guidance_scale)
+        if fast_variant == args.model_variant:
+            # scheduler-only lane: SHARE the main generator's weights —
+            # sampler kind/steps are per-generator call arguments, so a
+            # second ModelManager would only keep every class's param
+            # tree resident twice (~100 MB/class f32 on a 7-class
+            # family) and pay the checkpoint load twice on first use
+            fast_gen.model_manager = gen.model_manager
         fast_gen.set_inference_steps(fast_steps)
         fast_gen.timestep_spacing = args.fast_spacing
         # distillation students target DDIM steps; a scheduler-only lane

@@ -247,7 +247,9 @@ class XAIAnalyzer:
 
     def compute_time_shap_coalitional(self, trajectory, timesteps, target_class: int,
                                       n_permutations: int = 64,
-                                      baseline: str = "first") -> Dict[str, Any]:
+                                      baseline: str = "first",
+                                      frame_scores: Optional[np.ndarray] = None
+                                      ) -> Dict[str, Any]:
         """True Shapley values over timesteps via permutation sampling.
 
         Coalition semantics: a coalition S of frames "reveals" the latest
@@ -263,9 +265,19 @@ class XAIAnalyzer:
         """
         frames = _stack_trajectory(trajectory)
         S = frames.shape[0]
-        # one batched pass: score every frame once (mesh-sharded when set)
-        p = self._frame_probabilities(frames)
-        frame_scores = np.log(p[:, target_class] + SCORE_EPS)  # v of "latest revealed = i"
+        if frame_scores is None:
+            # one batched pass: score every frame once (mesh-sharded when
+            # set). Callers that already ran compute_time_shap pass its
+            # raw confidence_scores instead — identical values, zero
+            # extra classifier passes.
+            p = self._frame_probabilities(frames)
+            frame_scores = np.log(p[:, target_class] + SCORE_EPS)  # v of "latest revealed = i"
+        else:
+            frame_scores = np.asarray(frame_scores, np.float64)
+            if frame_scores.shape[0] != S:
+                raise ValueError(
+                    f"frame_scores has {frame_scores.shape[0]} entries for "
+                    f"{S} trajectory frames")
         v_empty = frame_scores[0] if baseline == "first" else 0.0
 
         # Permutation sampling fully on device, vmapped across permutations:

@@ -164,14 +164,17 @@ class FairnessAuditor:
         MIN_SIDE = 8
         if min(results["n_group"], results["n_rest"]) < MIN_SIDE:
             verdict = "group_underrepresented"
+            results["comparisons_reliable"] = False
             results["verdict_caveat"] = (
                 f"one side is below {MIN_SIDE} samples (group="
-                f"{results['n_group']}, rest={results['n_rest']}): parity/"
-                f"confidence comparisons were not evaluated; for an audit "
-                f"of generated samples this underrepresentation is itself "
-                f"the fairness finding")
+                f"{results['n_group']}, rest={results['n_rest']}): any "
+                f"parity/confidence comparisons present in this report are "
+                f"noise-level estimates and did NOT inform the verdict; for "
+                f"an audit of generated samples this underrepresentation is "
+                f"itself the fairness finding")
         else:
             verdict = "balanced"
+            results["comparisons_reliable"] = True
             if results["prediction_distribution"]["max_parity_gap"] > 0.1:
                 verdict = "parity_gap"
             stats = results["confidence"]["statistics"]

@@ -278,12 +278,16 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
         # opt-in axiom-faithful stage (VERDICT r3 #4): permutation-sampled
         # Shapley values over timesteps — the README-described formulation
         # (reference `README.md:198-207`) the min-max proxy above
-        # approximates. Costs zero extra classifier passes (frame scores
-        # are reused; the estimator is one fused vmapped XLA launch).
+        # approximates. Costs zero extra classifier passes when the main
+        # Time-SHAP stage succeeded: its per-frame confidence scores ARE
+        # the coalition values (the estimator itself is one fused vmapped
+        # XLA launch); only on a stage-3 failure are frames re-scored.
         try:
+            prior = results.get("time_shap", {}).get("raw_data") or {}
             coal = xai_analyzer.compute_time_shap_coalitional(
                 frames, timesteps, target_class_id,
-                n_permutations=int(coalitional_permutations))
+                n_permutations=int(coalitional_permutations),
+                frame_scores=prior.get("confidence_scores"))
             results["time_shap"]["coalitional"] = {
                 "shapley_values": coal["shapley_values"],
                 "efficiency_gap": coal["efficiency_gap"],

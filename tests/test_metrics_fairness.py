@@ -174,3 +174,25 @@ def test_auditor_scores_with_current_params(small_clf):
     finally:
         small_clf.params = saved
     assert not np.allclose(p1, p2)
+
+
+def test_fairness_small_group_caveat_is_accurate(small_clf):
+    """A 3-7 sample group still gets parity/confidence numbers computed in
+    the report body; the verdict caveat must say they are noise-level and
+    unused — not falsely claim they 'were not evaluated' — and the
+    machine-readable comparisons_reliable flag must be False."""
+    rng = np.random.default_rng(0)
+    imgs = np.clip(rng.normal(0, 0.4, (40, 128, 128, 3)),
+                   -1, 1).astype(np.float32)
+    mask = np.zeros(40, bool)
+    mask[:5] = True  # 5-sample group: above the stats guard, below MIN_SIDE
+    res = FairnessAuditor(small_clf, batch_size=16).audit(imgs, mask)
+    assert res["verdict"] == "group_underrepresented"
+    assert res["comparisons_reliable"] is False
+    assert "noise-level" in res["verdict_caveat"]
+    assert "were not evaluated" not in res["verdict_caveat"]
+
+    mask2 = np.zeros(40, bool)
+    mask2[:20] = True
+    res2 = FairnessAuditor(small_clf, batch_size=16).audit(imgs, mask2)
+    assert res2["comparisons_reliable"] is True

@@ -307,3 +307,85 @@ def test_reproduce_rebuilds_recorded_device_block(tmp_path):
     one = json.loads((tmp_path / "run1" / "NV" / "ISIC_0000001.json")
                      .read_text())
     assert "block" not in one
+
+
+def test_reproduce_corrects_output_extension_mismatch(tmp_path, capsys):
+    """An --output extension that disagrees with the recorded artifact
+    format must be corrected (with a warning), not silently re-encoded —
+    a PNG artifact re-encoded as JPEG could never byte-match and used to
+    report a false 'bytes DIFFER' failure."""
+    from synt_isic_tpu.cli import reproduce_from_sidecar
+
+    ckpt = tmp_path / "checkpoints"
+    ckpt.mkdir()
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen.set_inference_steps(4)
+    gen.set_generation_seed(7)
+    gen.generate_images([("NV", 1)], str(tmp_path / "run"), postprocess=False)
+    sidecar = tmp_path / "run" / "NV" / "ISIC_0000001.json"
+
+    # recorded format is PNG; ask for .jpg — must write .png and succeed
+    rc = reproduce_from_sidecar(str(sidecar), str(ckpt),
+                                output=str(tmp_path / "redo.jpg"),
+                                postprocess=False, model_config=TINY_JAX)
+    assert rc == 0
+    assert not (tmp_path / "redo.jpg").exists()
+    assert (tmp_path / "redo.png").read_bytes() == \
+        (tmp_path / "run" / "NV" / "ISIC_0000001.png").read_bytes()
+    err = capsys.readouterr().err
+    assert "does not match the recorded artifact format" in err
+    # a .jpeg spelling must hit the file branch, not mkdir a directory
+    rc = reproduce_from_sidecar(str(sidecar), str(ckpt),
+                                output=str(tmp_path / "redo2.jpeg"),
+                                postprocess=False, model_config=TINY_JAX)
+    assert rc == 0
+    assert not (tmp_path / "redo2.jpeg").is_dir()
+    assert (tmp_path / "redo2.png").exists()
+
+
+def test_reproduce_mesh_block_records_and_rebuilds_dp_mesh(tmp_path):
+    """A data-parallel-sampled block is layout-dependent: the sidecar must
+    record the mesh device count and --reproduce must rebuild over the
+    SAME layout (and refuse, exit 2, when this host cannot provide it)."""
+    import json as _json
+
+    from synt_isic_tpu.cli import reproduce_from_sidecar
+    from synt_isic_tpu.parallel.mesh import create_mesh
+
+    ckpt = tmp_path / "checkpoints"
+    ckpt.mkdir()
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen.set_inference_steps(4)
+    gen.set_generation_seed(11)
+    gen.batch_size = 2
+    gen.set_mesh(create_mesh({"data": 2}))
+    gen.generate_images([("NV", 2)], str(tmp_path / "run"), postprocess=False)
+
+    sidecar = tmp_path / "run" / "NV" / "ISIC_0000002.json"
+    meta = _json.loads(sidecar.read_text())
+    assert meta["block"]["dp_mesh"] == 2
+
+    rc = reproduce_from_sidecar(str(sidecar), str(ckpt),
+                                output=str(tmp_path / "redo.png"),
+                                postprocess=False, model_config=TINY_JAX)
+    assert rc == 0
+    assert ((tmp_path / "redo.png").read_bytes()
+            == (tmp_path / "run" / "NV" / "ISIC_0000002.png").read_bytes())
+    redo = _json.loads((tmp_path / "redo.json").read_text())
+    assert redo["block"]["dp_mesh"] == 2  # provenance survives reproduce
+
+    # a layout this host cannot provide -> honest 'unverifiable', not a
+    # false byte-DIFFER failure
+    meta["block"]["dp_mesh"] = 4096
+    big = tmp_path / "run" / "NV" / "big.json"
+    big.write_text(_json.dumps(meta))
+    rc = reproduce_from_sidecar(str(big), str(ckpt),
+                                output=str(tmp_path / "redo4k.png"),
+                                postprocess=False, model_config=TINY_JAX)
+    assert rc == 2

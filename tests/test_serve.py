@@ -698,3 +698,49 @@ def test_fast_lane_scheduler_only_same_weights(tmp_path_factory):
         assert meta["scheduler"]["model_variant"] == "best"
     finally:
         srv.stop()
+
+
+@pytest.mark.slow
+def test_scheduler_only_fast_lane_shares_weights(tmp_path_factory):
+    """A scheduler-only fast lane (same variant as the main generator)
+    shares the main ModelManager — weights load ONCE and stay resident
+    once — while sampler kind/steps stay per-lane (they are per-call
+    arguments). This is the wiring serve's --fast-scheduler sets up."""
+    ckpt = tmp_path_factory.mktemp("ckpt_sched_fast")
+    torch.manual_seed(0)
+    torch.save(UNet2DTorch(**TINY).state_dict(), ckpt / "unet_NV_best.pth")
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    gen.set_inference_steps(4)
+    fast = ImageGenerator(checkpoints_dir=str(ckpt), model_config=TINY_JAX)
+    fast.model_manager = gen.model_manager  # what serve main() does
+    fast.set_inference_steps(2)
+    fast.scheduler_kind = "ddim"
+    fast.timestep_spacing = "trailing"
+    fast.save_trajectory = False
+    out_root = tmp_path_factory.mktemp("out_sched_fast")
+    srv = GenerationServer(gen, port=0, output_root=str(out_root),
+                           fast_generator=fast).start()
+    try:
+        r = _rpc(srv, {"op": "generate", "class": "NV", "count": 1,
+                       "seed": 7, "fast": True, "postprocess": False})
+        assert r["ok"], r
+        meta = json.loads(Path(r["files"][0]).with_suffix(".json")
+                          .read_text())
+        assert meta["inference_steps"] == 2
+        assert meta["scheduler"]["kind"] == "ddim"
+        assert meta["scheduler"]["timestep_spacing"] == "trailing"
+        # ONE param tree: both lanes point at the same loaded weights
+        assert fast.model_manager is gen.model_manager
+        assert gen.model_manager.loaded_params["NV"] is \
+            fast.model_manager.loaded_params["NV"]
+        # the main lane still samples with ITS sampler settings
+        r_main = _rpc(srv, {"op": "generate", "class": "NV", "count": 1,
+                            "seed": 7, "postprocess": False})
+        assert r_main["ok"], r_main
+        meta_main = json.loads(Path(r_main["files"][0]).with_suffix(".json")
+                               .read_text())
+        assert meta_main["inference_steps"] == 4
+        assert meta_main["scheduler"]["kind"] == "ddpm"
+    finally:
+        srv.stop()

@@ -255,3 +255,18 @@ def test_eval_based_best_selection(tmp_path):
     ev = make_eval_fn(model, DS.create(), cfg,
                       jnp.asarray(ds.data[:4]))
     assert float(ev(state.params)) == float(ev(state.params))
+
+
+def test_measure_train_step_harness_smoke():
+    """The ONE timing harness shared by bench.py's train rung and
+    scripts/profile_remat.py (train/benchmark.py): runs the real jitted
+    step, returns finite raw metrics, and labels remat modes."""
+    from synt_isic_tpu.train.benchmark import measure_train_step
+
+    row = measure_train_step(False, batch=2, steps=1, size=16)
+    assert row["remat"] == "none" and row["batch"] == 2
+    assert row["sec_per_step"] > 0 and np.isfinite(row["loss"])
+    assert row["img_per_s"] == pytest.approx(2 / row["sec_per_step"])
+    row2 = measure_train_step("dots", batch=2, steps=1, size=16)
+    assert row2["remat"] == "dots"
+    assert np.isfinite(row2["loss"])

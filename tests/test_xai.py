@@ -334,3 +334,40 @@ def test_step_figure_reuse_produces_fresh_artifacts(tmp_path):
                                          np.ones((16, 16), bool), 5, "BCC",
                                          save_path=pc)
     assert Image.open(pc).size == (w, h)  # same canvas size, fresh artists
+
+
+def test_time_shap_coalitional_accepts_precomputed_scores(analyzer):
+    """Passing the main Time-SHAP stage's confidence scores must skip the
+    classifier re-scoring and produce the identical estimate (same RNG
+    stream state -> same permutations) — the pipeline's zero-extra-pass
+    contract."""
+    import jax
+
+    _, ana = analyzer
+    rng = np.random.default_rng(9)
+    frames = jnp.asarray(rng.normal(size=(5, H, W, 3)).astype(np.float32))
+    ana._key = jax.random.PRNGKey(123)  # same permutation draw both runs
+    a = ana.compute_time_shap_coalitional(frames, list(range(5)), 0,
+                                          n_permutations=256)
+    calls = {"n": 0}
+    orig = ana._frame_probabilities
+
+    def counting(f):
+        calls["n"] += 1
+        return orig(f)
+
+    ana._frame_probabilities = counting
+    try:
+        ana._key = jax.random.PRNGKey(123)
+        b = ana.compute_time_shap_coalitional(
+            frames, list(range(5)), 0, n_permutations=256,
+            frame_scores=a["frame_scores"])
+    finally:
+        ana._frame_probabilities = orig
+    assert calls["n"] == 0  # no classifier pass with scores supplied
+    np.testing.assert_allclose(b["shapley_values"], a["shapley_values"],
+                               rtol=1e-5, atol=1e-6)
+    with pytest.raises(ValueError):
+        ana.compute_time_shap_coalitional(
+            frames, list(range(5)), 0, n_permutations=8,
+            frame_scores=a["frame_scores"][:3])
