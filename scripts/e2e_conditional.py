@@ -37,7 +37,7 @@ def run(out_dir: str, size: int = 128, train_images: int = 256,
         clf_per_class: int = 64, clf_epochs: int = 8, seed: int = 0,
         skip_train: bool = False, classes=None, width: str = "quarter",
         clf_hard: float = 0.0, remat: bool = False,
-        train_fused: bool = True, log=print) -> dict:
+        train_fused: bool = True, resume: bool = False, log=print) -> dict:
     CLASSES = list(classes) if classes else list(DEFAULT_CLASSES)
     import dataclasses
 
@@ -100,7 +100,7 @@ def run(out_dir: str, size: int = 128, train_images: int = 256,
     else:
         t0 = time.time()
         tr = train_conditional(datasets, str(ckpt_dir), tcfg, model=model,
-                               log=log)
+                               resume=resume, log=log)
         report["train"] = {"best_loss": tr["best_loss"], "steps": tr["steps"],
                            "best_val": tr.get("best_val"),
                            "first_epoch_loss": tr["history"][0],
@@ -256,6 +256,11 @@ def main() -> int:
     p.add_argument("--clf-hard", type=float, default=0.0)
     p.add_argument("--remat", action="store_true")
     p.add_argument("--no-train-fused", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="continue a killed run from the trainer's "
+                        "train_state_conditional.npz snapshot (params + "
+                        "optimizer state); epochs counts the REMAINING "
+                        "epochs to run")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (smoke mode)")
     args = p.parse_args()
@@ -271,7 +276,7 @@ def main() -> int:
         skip_train=args.skip_train,
         classes=[c.strip() for c in args.classes.split(",") if c.strip()],
         width=args.width, clf_hard=args.clf_hard, remat=args.remat,
-        train_fused=not args.no_train_fused)
+        train_fused=not args.no_train_fused, resume=args.resume)
     return 0
 
 

@@ -91,7 +91,7 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
              clf_per_class: int = 64, clf_epochs: int = 8,
              clf_hard: float = 0.0, clf_label_noise: float = 0.0,
              width: str = "quarter", remat=False,
-             train_fused: bool = True,
+             train_fused: bool = True, resume: bool = False,
              timestep_spacing: str = "trailing", log=print) -> dict:
     import numpy as np
     import jax.numpy as jnp
@@ -181,7 +181,7 @@ def run_loop(out_dir: str, class_name: str = "MEL", size: int = 128,
     else:
         t0 = time.time()
         train_result = train_class(class_name, dataset, str(ckpt_dir), tcfg,
-                                   model=model, log=log)
+                                   model=model, resume=resume, log=log)
         train_s = time.time() - t0
         report["train"] = {"best_loss": train_result["best_loss"],
                            "steps": train_result["steps"],
@@ -493,6 +493,11 @@ def main() -> int:
     p.add_argument("--skip-train", action="store_true",
                    help="reuse an existing unet_<CLASS>_best.pth in the "
                         "output checkpoints dir instead of retraining")
+    p.add_argument("--resume", action="store_true",
+                   help="continue a killed run from the trainer's "
+                        "train_state_<CLASS>.npz snapshot (params + "
+                        "optimizer state); --epochs counts the REMAINING "
+                        "epochs to run")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (tiny smoke mode)")
     args = p.parse_args()
@@ -513,7 +518,7 @@ def main() -> int:
                       seed=args.seed, skip_train=args.skip_train,
                       offset_noise=args.offset_noise, width=args.width,
                       remat=args.remat, train_fused=not args.no_train_fused,
-                      clf_hard=args.clf_hard,
+                      resume=args.resume, clf_hard=args.clf_hard,
                       clf_label_noise=args.clf_label_noise,
                       timestep_spacing=args.timestep_spacing)
     print(json.dumps({"e2e_loop": "ok", "converged": report["converged"],

@@ -926,7 +926,8 @@ def main(argv=None) -> int:
         r = server._do_warmup({"class": cls, "compile": True})
         print(f"  {cls}: {r}", flush=True)
         if fast_gen is not None:
-            # the fast lane has its own weights + executables; an unwarmed
+            # the fast lane has its own executables (and, for a
+            # --fast-variant student, its own weights); an unwarmed
             # first preview would pay load + first-jit on the priority lane
             rf = server._do_warmup({"class": cls, "compile": True,
                                     "fast": True})

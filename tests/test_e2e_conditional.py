@@ -40,3 +40,23 @@ def test_e2e_conditional_smoke(tmp_path):
     assert (tmp_path / "samples_g1" / "MEL" / "ISIC_0000001.png").exists()
     assert (tmp_path / "samples_g2" / "VASC" / "ISIC_0000001.png").exists()
     assert report["conditional_ok"] in (True, False)  # verdict present
+
+
+def test_e2e_conditional_resume_flag(tmp_path):
+    """--resume continues a (killed) run from train_state_conditional.npz
+    with optimizer state — the flag the round-4 queue-kill showed was
+    missing from the script surface."""
+    from e2e_conditional import run
+
+    logs = []
+    run(str(tmp_path), size=16, train_images=8, heldout=8,
+        epochs=2, batch_size=6, sample_count=2, ddim_steps=2,
+        guidance_scales=(1.0,), clf_per_class=8, clf_epochs=1,
+        classes=("MEL", "NV"), seed=0, log=lambda *a, **k: None)
+    assert (tmp_path / "checkpoints" / "train_state_conditional.npz").exists()
+    run(str(tmp_path), size=16, train_images=8, heldout=8,
+        epochs=1, batch_size=6, sample_count=2, ddim_steps=2,
+        guidance_scales=(1.0,), clf_per_class=8, clf_epochs=1,
+        classes=("MEL", "NV"), seed=0, resume=True,
+        log=lambda *a: logs.append(" ".join(str(x) for x in a)))
+    assert any("resumed from" in ln for ln in logs), logs[:10]
