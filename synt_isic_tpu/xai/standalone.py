@@ -153,9 +153,23 @@ def main() -> int:
     coalitional = os.environ.get("XAI_COALITIONAL_SHAP", "") in ("1", "true",
                                                                  "yes")
     coal_perms = int(os.environ.get("XAI_COALITIONAL_PERMUTATIONS", "256"))
+    # XAI_CHECKPOINTS_DIR / XAI_RESULTS_DIR let callers that don't run from
+    # the project root (the web UI subprocess path) place the run; the
+    # results dir follows the browser layout xai_results/<class>/<run>
+    ckpt_dir = os.environ.get("XAI_CHECKPOINTS_DIR") or None
+    results_dir = None
+    results_base = os.environ.get("XAI_RESULTS_DIR") or None
+    if results_base:
+        from datetime import datetime
+
+        stamp = datetime.now().strftime("%Y%m%d_%H%M%S")
+        results_dir = str(Path(results_base) / target
+                          / f"standalone_seed{seed}_{stamp}")
     results = run_standalone_xai(target_class=target, seed=seed,
                                  inference_steps=steps, save_every=save_every,
+                                 checkpoints_dir=ckpt_dir,
                                  ddpm_model_path=ddpm_path, mesh=mesh,
+                                 results_dir=results_dir,
                                  conditional=conditional,
                                  guidance_scale=guidance,
                                  coalitional_shap=coalitional,

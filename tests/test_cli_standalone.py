@@ -80,6 +80,34 @@ def test_standalone_xai(base_dir, tmp_path):
     assert (out / "time_shap_analysis.png").exists()
 
 
+def test_standalone_main_env_dir_overrides(tmp_path, monkeypatch):
+    """`XAI_CHECKPOINTS_DIR` / `XAI_RESULTS_DIR` (the web UI's subprocess
+    launch) reach run_standalone_xai, with the results dir following the
+    browser layout xai_results/<class>/<run>."""
+    import synt_isic_tpu.xai.standalone as st
+
+    captured = {}
+    monkeypatch.setattr(
+        st, "run_standalone_xai",
+        lambda **kw: captured.update(kw) or {"ok": True})
+    monkeypatch.setenv("XAI_TARGET_CLASS", "NV")
+    monkeypatch.setenv("XAI_GENERATION_SEED", "7")
+    monkeypatch.setenv("XAI_CHECKPOINTS_DIR", str(tmp_path / "ckpt"))
+    monkeypatch.setenv("XAI_RESULTS_DIR", str(tmp_path / "xout"))
+    assert st.main() == 0
+    assert captured["checkpoints_dir"] == str(tmp_path / "ckpt")
+    run_dir = Path(captured["results_dir"])
+    assert run_dir.parent == tmp_path / "xout" / "NV"
+    assert run_dir.name.startswith("standalone_seed7_")
+    # without the env vars the defaults stay None (cwd-relative behavior)
+    monkeypatch.delenv("XAI_CHECKPOINTS_DIR")
+    monkeypatch.delenv("XAI_RESULTS_DIR")
+    captured.clear()
+    assert st.main() == 0
+    assert captured["checkpoints_dir"] is None
+    assert captured["results_dir"] is None
+
+
 def test_console_generator_dp_mesh_layout_independent(tmp_path):
     """--dp-mesh sampling produces byte-identical artifacts to the
     single-device run: per-seed RNG streams make the batch independent of
