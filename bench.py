@@ -173,6 +173,33 @@ def bench_train_step(batch: int = 32, steps: int = 30) -> float:
     return measure_train_step(False, batch, steps)["img_per_s"]
 
 
+def bench_xai_trajectory(n_frames: int = 50, reps: int = 3) -> float:
+    """Whole-trajectory frame attribution — batched IG-50 + patch-SHAP-512
+    at the reference's constants (`xai/XAI.py:240-241`, its hottest XAI
+    cost, `XAI.py:2747-2749`) over a 50-frame trajectory; frames/s, warmed.
+    Same harness shape as scripts/bench_suite.py so the rung cross-checks
+    against the suite's trajectory_attribution_50frames row."""
+    import jax
+
+    from synt_isic_tpu.models.classifier import LesionClassifier
+    from synt_isic_tpu.xai.attribution import XAIAnalyzer
+
+    clf = LesionClassifier.random_init(num_classes=7)
+    ana = XAIAnalyzer(clf, ig_n_steps=50, shap_n_samples=512, batch_size=128,
+                      seed=0)
+    traj = jax.random.normal(jax.random.PRNGKey(1), (n_frames, 128, 128, 3))
+    # warm (compile); then vary inputs per rep — the tunnel coalesces
+    # byte-identical execution requests and would fake the rate otherwise
+    jax.block_until_ready((ana.compute_ig_frames(traj, 0),
+                           ana.compute_shap_frames(traj, 0)))
+    t0 = time.time()
+    for i in range(reps):
+        t2 = traj + (i + 1) * 1e-6
+        jax.block_until_ready((ana.compute_ig_frames(t2, 0),
+                               ana.compute_shap_frames(t2, 0)))
+    return n_frames / ((time.time() - t0) / reps)
+
+
 def torch_cpu_per_step_seconds() -> float:
     """Reference-equivalent per-UNet-step wall time on this host's CPU."""
     import torch
