@@ -298,6 +298,10 @@ def main() -> None:
     except Exception:
         train_ips = float("nan")
     try:
+        xai_fps = bench_xai_trajectory()
+    except Exception:
+        xai_fps = float("nan")
+    try:
         per_step = torch_cpu_per_step_seconds()
         base_headline = 1.0 / (per_step * HEADLINE["steps"])  # b=1, like the ref
         base_research = 1.0 / (per_step * RESEARCH["steps"])
@@ -353,6 +357,12 @@ def main() -> None:
             "cfg2_note": "class-conditional model, classifier-free guidance "
                          "g=2 (cond+null as ONE 2B-batched forward); quality "
                          "evidence: scripts/e2e_conditional.py",
+            "xai_trajectory_frames_per_sec": round(xai_fps, 4),
+            "xai_note": "batched IG-50 + patch-SHAP-512 over a 50-frame "
+                        "trajectory at the reference's constants "
+                        "(xai/XAI.py:240-241) — the reference runs these "
+                        "frame-sequentially on GPU; cross-check: "
+                        "scripts/bench_suite.py trajectory row",
             "train_b32_images_per_sec": round(train_ips, 4),
             "train_note": "steady-state jitted train step (fwd+bwd+adam, "
                           "reference-parity config) on the flagship model "
