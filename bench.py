@@ -167,10 +167,28 @@ def bench_train_step(batch: int = 32, steps: int = 30) -> float:
     Delegates to the ONE shared harness (synt_isic_tpu/train/benchmark.py)
     that scripts/profile_remat.py also sweeps, so the rung cross-checks
     against artifacts/remat_sweep.json by construction and is not diluted
-    by per-epoch eval probes or checkpoint export."""
+    by per-epoch eval probes or checkpoint export. Returns the full
+    measurement dict (img_per_s, sec_per_step, flops_per_step, ...)."""
     from synt_isic_tpu.train.benchmark import measure_train_step
 
-    return measure_train_step(False, batch, steps)["img_per_s"]
+    return measure_train_step(False, batch, steps)
+
+
+def train_mfu_pct(train_result) -> "float | None":
+    """Train-rung MFU from XLA's cost analysis of the ACTUAL jitted train
+    step (fwd+bwd+adam+min-SNR — not a fwd-times-3 approximation) over the
+    chip's dense-bf16 peak. None off-TPU / when cost analysis failed."""
+    import jax
+
+    from synt_isic_tpu.utils.compute import TPU_PEAKS
+
+    entry = TPU_PEAKS.get(jax.devices()[0].device_kind)
+    if (not isinstance(train_result, dict) or entry is None
+            or not train_result.get("flops_per_step")
+            or train_result["sec_per_step"] != train_result["sec_per_step"]):
+        return None
+    achieved = train_result["flops_per_step"] / train_result["sec_per_step"]
+    return round(achieved / entry[0] * 100, 1)
 
 
 def bench_xai_trajectory(n_frames: int = 50, reps: int = 3) -> float:
@@ -294,9 +312,10 @@ def main() -> None:
     except Exception:
         sde_ips = float("nan")
     try:
-        train_ips = bench_train_step()
+        train_res = bench_train_step()
+        train_ips = train_res["img_per_s"]
     except Exception:
-        train_ips = float("nan")
+        train_res, train_ips = None, float("nan")
     try:
         xai_fps = bench_xai_trajectory()
     except Exception:
@@ -309,11 +328,16 @@ def main() -> None:
         base_headline = base_research = float("nan")
 
     def ratio(a, b):
-        return round(a / b, 2) if b == b and b > 0 else None
+        return round(a / b, 2) if a == a and b == b and b > 0 else None
+
+    def num(x, digits=4):
+        # a crashed rung (NaN) serializes as null — bare NaN tokens are
+        # invalid strict JSON (jq / JS JSON.parse reject the whole line)
+        return round(x, digits) if x == x else None
 
     print(json.dumps({
         "metric": "images_per_sec_chip_ddim_128_T50_b128_bf16",
-        "value": round(headline_ips, 4),
+        "value": num(headline_ips),
         "unit": "images/sec",
         # HONEST FRAMING (VERDICT r2 weak #4): the reference publishes no
         # numbers and this host's CPU is a starved 1-core anchor, so the
@@ -328,53 +352,56 @@ def main() -> None:
         # BENCHMARKS.md via scripts/profile_mfu.py (31% in round 2)
         "mfu_pct": mfu_estimate(headline_ips, HEADLINE["steps"]),
         "extra": {
-            "ddpm_T1000_b8_images_per_sec": round(research_ips, 4),
+            "ddpm_T1000_b8_images_per_sec": num(research_ips),
             "ddpm_T1000_vs_baseline": ratio(research_ips, base_research),
             "ddpm_T1000_mfu_pct": mfu_estimate(research_ips,
                                                RESEARCH["steps"]),
-            "dpm_solver_T20_b128_images_per_sec": round(fast_ips, 4),
+            "dpm_solver_T20_b128_images_per_sec": num(fast_ips),
             "dpm_solver_T20_mfu_pct": mfu_estimate(fast_ips, FAST["steps"]),
-            "ddim_T8_b128_images_per_sec": round(distilled_ips, 4),
+            "ddim_T8_b128_images_per_sec": num(distilled_ips),
             "ddim_T8_mfu_pct": mfu_estimate(distilled_ips,
                                             DISTILLED["steps"]),
             "ddim_T8_note": "progressive-distillation student config "
                             "(train/distill.py); quality evidence: "
                             "scripts/distill_ladder.py",
-            "unipc_T20_trailing_b128_images_per_sec": round(unipc_ips, 4),
+            "unipc_T20_trailing_b128_images_per_sec": num(unipc_ips),
             "unipc_T20_mfu_pct": mfu_estimate(unipc_ips, UNIPC["steps"]),
             "unipc_note": "predictor-corrector at near-DDIM-50 quality "
                           "(Frechet 2.62 vs 2.48 on the e2e checkpoint, "
                           "artifacts/sampler_ladder_unipc.json)",
-            "dpm_sde_T20_trailing_b128_images_per_sec": round(sde_ips, 4),
+            "dpm_sde_T20_trailing_b128_images_per_sec": num(sde_ips),
             "dpm_sde_T20_mfu_pct": mfu_estimate(sde_ips, SDE["steps"]),
             "dpm_sde_note": "flagship fast lane: Frechet 3.24 on the "
                             "FULL-WIDTH trained checkpoint (inside the e2e "
                             "bar 4.51; artifacts/sampler_ladder_full.json)",
-            "ddim_T50_b128_cfg2_images_per_sec": round(conditional_ips, 4),
+            "ddim_T50_b128_cfg2_images_per_sec": num(conditional_ips),
             "ddim_T50_cfg2_mfu_pct": mfu_estimate(conditional_ips,
                                                   CONDITIONAL["steps"],
                                                   evals_per_step=2),
             "cfg2_note": "class-conditional model, classifier-free guidance "
                          "g=2 (cond+null as ONE 2B-batched forward); quality "
                          "evidence: scripts/e2e_conditional.py",
-            "xai_trajectory_frames_per_sec": round(xai_fps, 4),
+            "xai_trajectory_frames_per_sec": num(xai_fps),
             "xai_note": "batched IG-50 + patch-SHAP-512 over a 50-frame "
                         "trajectory at the reference's constants "
                         "(xai/XAI.py:240-241) — the reference runs these "
                         "frame-sequentially on GPU; cross-check: "
                         "scripts/bench_suite.py trajectory row",
-            "train_b32_images_per_sec": round(train_ips, 4),
+            "train_b32_images_per_sec": num(train_ips),
+            "train_mfu_pct": train_mfu_pct(train_res),
             "train_note": "steady-state jitted train step (fwd+bwd+adam, "
                           "reference-parity config) on the flagship model "
                           "via the fused-attention custom-vjp backward, "
                           "device-resident data; was 44.8 img/s on the XLA "
                           "einsum path; full-loop throughput incl. per-epoch "
                           "probes + checkpoint export is lower (see "
-                          "artifacts/chip_logs_r4)",
+                          "artifacts/chip_logs_r4); train_mfu_pct uses XLA "
+                          "cost analysis of the ACTUAL train step HLO "
+                          "(train-MFU bound: PERFORMANCE.md round-5)",
             "baseline": "torch-CPU 1-core host, reference per-step loop "
                         "(extrapolated from 3 steps)",
         },
-    }))
+    }, allow_nan=False))
 
 
 if __name__ == "__main__":

@@ -28,6 +28,7 @@ import json
 import os
 import sys
 import time
+from pathlib import Path
 
 import numpy as np
 
@@ -92,7 +93,10 @@ def main() -> int:
         mask = rng.random((nph, npw)) > 0.5
         for i in range(nph):            # host-side double loop, as the
             for j in range(npw):        # reference does (XAI.py:1152-1156)
-                if mask[i, j]:
+                if not mask[i, j]:      # reference zeroes where the patch
+                    # mask is False (masked_image[:, :, ~full_mask] = 0,
+                    # XAI.py:1160-1161) — ADVICE r4: polarity must match
+                    # the cited semantics, not just the ~50% cost
                     masked[:, :, i * PATCH:(i + 1) * PATCH,
                            j * PATCH:(j + 1) * PATCH] = 0.0
         with torch.no_grad():
@@ -107,9 +111,21 @@ def main() -> int:
     per_frame_s = ig_s + shap_s
     cpu_per_hr = 3600.0 / per_frame_s
 
-    # chip figure: BENCHMARKS.md frame_attribution_ig50_shap512 row,
-    # reproduced live by scripts/bench_suite.py / bench.py's XAI rung
-    chip_per_hr = 92134.9
+    # chip figure: read live from the BENCHMARKS.md row bench_suite.py
+    # maintains (so a re-measured chip rate propagates instead of going
+    # silently stale — ADVICE r4); the constant is the round-4 measurement,
+    # used only when the row is missing, and the record says which.
+    chip_per_hr, chip_src = 92134.9, "constant (round-4 BENCHMARKS.md)"
+    bench_md = Path(__file__).resolve().parent.parent / "BENCHMARKS.md"
+    try:
+        for line in bench_md.read_text().splitlines():
+            cells = [c.strip() for c in line.split("|")]
+            if len(cells) > 2 and cells[1] == "frame_attribution_ig50_shap512":
+                chip_per_hr = float(cells[2])
+                chip_src = "BENCHMARKS.md frame_attribution_ig50_shap512 row"
+                break
+    except OSError:
+        pass
     rec = {
         "host": "1-core CPU (starved; reference targets CUDA — sanity "
                 "anchor only)",
@@ -121,6 +137,7 @@ def main() -> int:
         "per_frame_s": round(per_frame_s, 3),
         "attributions_per_hr_cpu": round(cpu_per_hr, 2),
         "attributions_per_hr_chip": chip_per_hr,
+        "attributions_per_hr_chip_source": chip_src,
         "chip_vs_cpu_anchor": round(chip_per_hr / cpu_per_hr, 1),
     }
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

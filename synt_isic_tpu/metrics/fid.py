@@ -164,7 +164,12 @@ def frechet_distance(mu1: np.ndarray, sigma1: np.ndarray,
                      eps: float = 1e-6) -> float:
     """||mu1-mu2||² + Tr(S1 + S2 - 2 (S1 S2)^{1/2})."""
     diff = mu1 - mu2
-    covmean, _ = linalg.sqrtm(sigma1 @ sigma2, disp=False)
+    # scipy >= 1.17 deprecates sqrtm(disp=) (removal in 1.18) and returns
+    # the bare array from a plain call; older scipys returned a tuple only
+    # when disp=False was passed, so the plain call is portable both ways
+    covmean = linalg.sqrtm(sigma1 @ sigma2)
+    if isinstance(covmean, tuple):  # pre-1.17 compat, should not trigger
+        covmean = covmean[0]
     if not np.isfinite(covmean).all():
         offset = np.eye(sigma1.shape[0]) * eps
         covmean = linalg.sqrtm((sigma1 + offset) @ (sigma2 + offset))

@@ -48,6 +48,19 @@ def measure_train_step(remat_mode: Union[bool, str] = False,
     def batch_at(i):
         return base * (1.0 + 1e-4 * i)
 
+    # XLA's own cost analysis of the HLO actually benchmarked — the honest
+    # numerator for train MFU (includes bwd, optimizer, min-SNR weighting,
+    # NOT a fwd-times-3 approximation). Lower/compile happens once anyway;
+    # .lower() on the jitted fn reuses the same cache entry.
+    flops_per_step = None
+    try:
+        cost = (step_fn.lower(state, batch_at(0), jax.random.fold_in(key, 0))
+                .compile().cost_analysis())
+        if isinstance(cost, list):
+            cost = cost[0]
+        flops_per_step = float(cost["flops"])
+    except Exception:
+        pass
     state, loss = step_fn(state, batch_at(0), jax.random.fold_in(key, 0))
     jax.block_until_ready(loss)  # compile + first step
     t0 = time.time()
@@ -65,4 +78,5 @@ def measure_train_step(remat_mode: Union[bool, str] = False,
     return {"remat": (remat_mode if isinstance(remat_mode, str)
                       else ("all" if remat_mode else "none")),
             "batch": batch, "sec_per_step": sec,
-            "img_per_s": batch / sec, "loss": float(loss), **mem}
+            "img_per_s": batch / sec, "loss": float(loss),
+            "flops_per_step": flops_per_step, **mem}

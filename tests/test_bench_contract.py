@@ -24,10 +24,21 @@ import bench  # noqa: E402
 def patched(monkeypatch):
     monkeypatch.setattr(bench, "_probe_backend", lambda **kw: True)
     monkeypatch.setattr(bench, "bench_tpu", lambda **kw: 10.0)
-    monkeypatch.setattr(bench, "bench_train_step", lambda *a, **kw: 200.0)
+    monkeypatch.setattr(bench, "bench_train_step", lambda *a, **kw: {
+        "img_per_s": 200.0, "sec_per_step": 0.16,
+        "flops_per_step": 2.5e13, "batch": 32})
     monkeypatch.setattr(bench, "bench_xai_trajectory", lambda *a, **kw: 30.0)
     monkeypatch.setattr(bench, "torch_cpu_per_step_seconds", lambda: 2.0)
     monkeypatch.setattr(bench, "mfu_estimate", lambda *a, **kw: 34.5)
+
+
+def _strict_loads(line):
+    """Parse like a strict consumer (jq / JS JSON.parse): bare NaN/Infinity
+    tokens — which Python's lenient json.loads accepts — are a failure."""
+    def reject(tok):
+        raise AssertionError(f"non-strict JSON token in bench line: {tok}")
+
+    return json.loads(line, parse_constant=reject)
 
 
 def _run_main(capsys):
@@ -35,7 +46,7 @@ def _run_main(capsys):
     out = capsys.readouterr().out
     lines = [ln for ln in out.strip().splitlines() if ln]
     assert len(lines) == 1, f"bench must print exactly ONE line, got {lines}"
-    return json.loads(lines[0])
+    return _strict_loads(lines[0])
 
 
 def test_schema_keys(patched, capsys):
@@ -57,6 +68,7 @@ def test_extra_rungs_present_and_json_clean(patched, capsys):
         "dpm_sde_T20_trailing_b128_images_per_sec",
         "ddim_T50_b128_cfg2_images_per_sec",
         "train_b32_images_per_sec",
+        "train_mfu_pct",
         "xai_trajectory_frames_per_sec",
     ):
         assert rung in extra, rung
@@ -71,9 +83,13 @@ def test_failed_rung_never_breaks_the_line(patched, capsys, monkeypatch):
         raise RuntimeError("rung crashed")
     monkeypatch.setattr(bench, "bench_xai_trajectory", boom)
     monkeypatch.setattr(bench, "bench_train_step", boom)
-    rec = _run_main(capsys)
-    # headline survives; the crashed rungs serialize as NaN-rounded floats
+    rec = _run_main(capsys)   # _strict_loads: a bare NaN token would fail
+    # headline survives; the crashed rungs serialize as strict-JSON null
+    # (ADVICE r4: round(nan) used to emit a NaN token that jq/JS reject)
     assert rec["value"] == 10.0
+    assert rec["extra"]["xai_trajectory_frames_per_sec"] is None
+    assert rec["extra"]["train_b32_images_per_sec"] is None
+    assert rec["extra"]["train_mfu_pct"] is None
 
 
 def test_wedged_backend_emits_error_line(capsys, monkeypatch):
