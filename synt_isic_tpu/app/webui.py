@@ -714,8 +714,12 @@ def main(argv=None) -> int:
                     "generator (the reference PyQt5 window, main.py, as a "
                     "web app)")
     parser.add_argument("--host", default="127.0.0.1",
-                        help="bind address (default loopback; 0.0.0.0 "
-                             "exposes the UI on the network)")
+                        help="bind address (default loopback). WARNING: the "
+                             "server has NO authentication — binding "
+                             "0.0.0.0 gives anyone on the network full "
+                             "generate/XAI/file-browse access; keep it on "
+                             "loopback or behind an authenticating reverse "
+                             "proxy / SSH tunnel")
     parser.add_argument("--port", type=int, default=8976)
     parser.add_argument("--checkpoints", default=None,
                         help="checkpoints dir (default: config paths)")

@@ -47,6 +47,7 @@ class IntegratedXAIAnalyzer:
                  n_permutations: int = 10000,
                  coalitional_shap: bool = False,
                  coalitional_permutations: int = 256,
+                 viz_every_n: int = 1,
                  seed: int = 0,
                  mesh=None,
                  mesh_axis: str = "data"):
@@ -78,6 +79,11 @@ class IntegratedXAIAnalyzer:
         self.n_permutations = n_permutations
         self.coalitional_shap = coalitional_shap
         self.coalitional_permutations = coalitional_permutations
+        # production throttle for the per-frame figure bound: render the
+        # 3-PNGs-per-frame step figures (and per-frame Grad-CAM overlays)
+        # only every N-th frame (first/last always); every frame's
+        # numerical results stay in analysis_results.json regardless
+        self.viz_every_n = max(1, int(viz_every_n))
         self.verbose = verbose
 
     def analyze_trajectory(self, trajectory, class_name: str,
@@ -110,6 +116,7 @@ class IntegratedXAIAnalyzer:
             n_bootstrap=self.n_bootstrap, n_permutations=self.n_permutations,
             coalitional_shap=self.coalitional_shap,
             coalitional_permutations=self.coalitional_permutations,
+            viz_every_n=self.viz_every_n,
             mesh=self.mesh, mesh_axis=self.mesh_axis,
             log=print if self.verbose else (lambda *_: None))
 

@@ -78,6 +78,7 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
                                    with_sanity: bool = True,
                                    coalitional_shap: bool = False,
                                    coalitional_permutations: int = 256,
+                                   viz_every_n: int = 1,
                                    mesh=None,
                                    mesh_axis: str = "data",
                                    progress_cb=None,
@@ -119,6 +120,7 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
                 "coalitional_shap": bool(coalitional_shap),
                 "coalitional_permutations": (int(coalitional_permutations)
                                              if coalitional_shap else None),
+                "viz_every_n": int(viz_every_n),
             },
         },
         "xai_maps": {},
@@ -150,9 +152,16 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
         ig_all = xai_analyzer.compute_ig_frames(frames, target_class_id)
         shap_all = xai_analyzer.compute_shap_frames(frames, target_class_id)
         # block for honest stage accounting (dispatch is async; without
-        # this the kernel cost would bleed into the figure loop below)
+        # this the kernel cost would bleed into the figure loop below),
+        # then pull BOTH stacks to host in one transfer each: the loop
+        # below is pure numpy afterwards. Per-frame device math here
+        # (slicing, mean/max reductions, the 0.5-blend) used to cost ~6
+        # tiny tunnel dispatches per frame — ~300 blocking roundtrips per
+        # 50-frame run that dominated stage 1 on a remote accelerator.
         import jax as _jax
         _jax.block_until_ready((ig_all, shap_all))
+        ig_all = np.asarray(ig_all)
+        shap_all = np.asarray(shap_all)
     except Exception as exc:
         log(f"[xai] batched attribution failed ({exc}); falling back per-frame")
         ig_all = shap_all = None
@@ -167,18 +176,18 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
                 ig_attr = ig_all[i][None]
                 shap_attr = shap_all[i][None]
             else:
-                ig_attr = xai_analyzer.compute_integrated_gradients(frame,
-                                                                    target_class_id)
-                shap_attr = xai_analyzer.compute_shap_approximation(frame,
-                                                                    target_class_id)
+                ig_attr = np.asarray(xai_analyzer.compute_integrated_gradients(
+                    frame, target_class_id))
+                shap_attr = np.asarray(xai_analyzer.compute_shap_approximation(
+                    frame, target_class_id))
             combined = 0.5 * ig_attr + 0.5 * shap_attr
             method_details = {
                 "ig": {"weight": 0.5,
-                       "mean_attribution": float(jnp.mean(jnp.abs(ig_attr))),
-                       "max_attribution": float(jnp.max(jnp.abs(ig_attr)))},
+                       "mean_attribution": float(np.mean(np.abs(ig_attr))),
+                       "max_attribution": float(np.max(np.abs(ig_attr)))},
                 "shap": {"weight": 0.5,
-                         "mean_attribution": float(jnp.mean(jnp.abs(shap_attr))),
-                         "max_attribution": float(jnp.max(jnp.abs(shap_attr)))},
+                         "mean_attribution": float(np.mean(np.abs(shap_attr))),
+                         "max_attribution": float(np.max(np.abs(shap_attr)))},
             }
             top_k = select_regions_advanced(np.asarray(combined),
                                             k_percent=top_k_percent, region_type="top")
@@ -192,7 +201,14 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
                 "image_shape": tuple(frame.shape),
             }
             region_data[step_key] = {"top_k": top_k, "bottom_k": bottom_k}
-            if save_results and save_figures:
+            # viz_every_n > 1: production throttle for the 3-PNGs-per-frame
+            # bound (the first and last frames always render; analysis
+            # results stay complete for EVERY frame — only figures thin out,
+            # mirroring the reference's SAVE_EVERY_N_STEPS capture cadence,
+            # `xai/XAI.py:750-754`)
+            want_figs = (i % max(1, int(viz_every_n)) == 0
+                         or i == n_frames - 1)
+            if save_results and save_figures and want_figs:
                 _tf = time.time()
                 for suffix, attr in (("", combined), ("_IG", ig_attr), ("_SHAP", shap_attr)):
                     p = results_dir / f"xai_step_{step_key}{suffix}.png"
@@ -315,17 +331,27 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
             cams = compute_gradcam(classifier, frames, target_class_id,
                                    mesh=mesh, mesh_axis=mesh_axis)  # (S,224,224)
             gradcam_results: Dict[str, np.ndarray] = {}
+            rgb224_all = None
+            if save_results and save_figures:
+                # resize ALL frames in one batched device call + one
+                # transfer (a per-frame jax.image.resize costs a tunnel
+                # roundtrip per frame — 50 blocking dispatches per run)
+                import jax
+                rgb_all = np.stack([viz.tensor_to_displayable_image(frames[i])
+                                    for i in range(n_frames)])
+                rgb224_all = np.asarray(jax.image.resize(
+                    jnp.asarray(rgb_all), (n_frames, 224, 224, 3),
+                    method="bilinear"))
             for i in range(n_frames):
                 step_key = f"t_{timesteps[i]:.0f}"
                 gradcam_results[step_key] = cams[i]
-                if save_results and save_figures:
-                    import jax
+                if rgb224_all is not None and (
+                        i % max(1, int(viz_every_n)) == 0
+                        or i == n_frames - 1):
                     from PIL import Image
-                    rgb = viz.tensor_to_displayable_image(frames[i])
-                    rgb224 = np.asarray(jax.image.resize(
-                        jnp.asarray(rgb), (224, 224, 3), method="bilinear"))
                     p = results_dir / f"gradcam_{step_key}.png"
-                    Image.fromarray(overlay_cam_on_image(rgb224, cams[i])).save(p)
+                    Image.fromarray(overlay_cam_on_image(rgb224_all[i],
+                                                         cams[i])).save(p)
                     results["visualizations"].append(str(p))
             results["gradcam"] = gradcam_results
 
@@ -337,26 +363,20 @@ def run_comprehensive_xai_pipeline(trajectory, timesteps: Sequence[float],
                     "index": int(imp_idx),
                     "gradcam": cams[imp_idx],
                 }
-                if save_results and save_figures:
-                    import jax
+                if rgb224_all is not None:
                     from PIL import Image
-                    rgb = viz.tensor_to_displayable_image(frames[imp_idx])
-                    rgb224 = np.asarray(jax.image.resize(
-                        jnp.asarray(rgb), (224, 224, 3), method="bilinear"))
                     p = results_dir / f"gradcam_most_important_t{imp_t:.0f}.png"
-                    Image.fromarray(overlay_cam_on_image(rgb224, cams[imp_idx])).save(p)
+                    Image.fromarray(overlay_cam_on_image(
+                        rgb224_all[imp_idx], cams[imp_idx])).save(p)
                     results["visualizations"].append(str(p))
 
             mean_cam = cams.mean(axis=0)
             mean_cam = (mean_cam - mean_cam.min()) / (mean_cam.max() - mean_cam.min() + 1e-8)
             results["gradcam_summary"] = mean_cam
-            if save_results and save_figures:
-                import jax
+            if rgb224_all is not None:
                 from PIL import Image
                 import matplotlib.pyplot as plt
-                final_rgb = viz.tensor_to_displayable_image(frames[-1])
-                final224 = np.asarray(jax.image.resize(
-                    jnp.asarray(final_rgb), (224, 224, 3), method="bilinear"))
+                final224 = rgb224_all[-1]
                 p = results_dir / "gradcam_summary_all_timesteps.png"
                 Image.fromarray(overlay_cam_on_image(final224, mean_cam)).save(p)
                 results["visualizations"].append(str(p))

@@ -48,6 +48,7 @@ def run_standalone_xai(target_class: str = "MEL",
                        with_sanity: bool = True,
                        coalitional_shap: bool = False,
                        coalitional_permutations: int = 256,
+                       viz_every_n: int = 1,
                        mesh=None,
                        conditional: bool = False,
                        guidance_scale: float = 0.0,
@@ -119,7 +120,8 @@ def run_standalone_xai(target_class: str = "MEL",
         results_dir=results_dir, n_bootstrap=n_bootstrap,
         n_permutations=n_permutations, with_gradcam=with_gradcam,
         with_sanity=with_sanity, coalitional_shap=coalitional_shap,
-        coalitional_permutations=coalitional_permutations, log=log)
+        coalitional_permutations=coalitional_permutations,
+        viz_every_n=viz_every_n, log=log)
 
 
 def main() -> int:
@@ -153,6 +155,9 @@ def main() -> int:
     coalitional = os.environ.get("XAI_COALITIONAL_SHAP", "") in ("1", "true",
                                                                  "yes")
     coal_perms = int(os.environ.get("XAI_COALITIONAL_PERMUTATIONS", "256"))
+    # XAI_VIZ_EVERY_N>1: production figure throttle (numerics for every
+    # frame; per-frame PNGs only every N-th frame + first/last)
+    viz_every_n = int(os.environ.get("XAI_VIZ_EVERY_N", "1"))
     # XAI_CHECKPOINTS_DIR / XAI_RESULTS_DIR let callers that don't run from
     # the project root (the web UI subprocess path) place the run; the
     # results dir follows the browser layout xai_results/<class>/<run>
@@ -173,7 +178,8 @@ def main() -> int:
                                  conditional=conditional,
                                  guidance_scale=guidance,
                                  coalitional_shap=coalitional,
-                                 coalitional_permutations=coal_perms)
+                                 coalitional_permutations=coal_perms,
+                                 viz_every_n=viz_every_n)
     return 0 if results is not None else 1
 
 

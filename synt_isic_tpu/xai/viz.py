@@ -155,7 +155,8 @@ def visualize_intervention_comprehensive(image, region_masks: Dict[str, Any],
         axes[idx // cols][idx % cols].axis("off")
     fig.tight_layout()
     if save_path:
-        fig.savefig(save_path, dpi=100, bbox_inches="tight")
+        fig.savefig(save_path, dpi=100,
+                    pil_kwargs={"compress_level": 1})
     plt.close(fig)
 
 
@@ -193,7 +194,8 @@ def plot_time_shap_comprehensive(timesteps: Sequence[float], importance,
     fig.suptitle(f"Time-SHAP — {class_name}")
     fig.tight_layout()
     if save_path:
-        fig.savefig(save_path, dpi=100, bbox_inches="tight")
+        fig.savefig(save_path, dpi=100,
+                    pil_kwargs={"compress_level": 1})
     plt.close(fig)
 
 
@@ -231,7 +233,8 @@ def plot_time_shap_coalitional(timesteps: Sequence[float], shapley_values,
     fig.suptitle(f"Coalitional Time-SHAP — {class_name}")
     fig.tight_layout()
     if save_path:
-        fig.savefig(save_path, dpi=100, bbox_inches="tight")
+        fig.savefig(save_path, dpi=100,
+                    pil_kwargs={"compress_level": 1})
     plt.close(fig)
 
 
@@ -284,7 +287,8 @@ def plot_statistical_analysis_modern(stats_results: Dict[str, Any],
     fig.suptitle(f"Statistical validation — {class_name}")
     fig.tight_layout()
     if save_path:
-        fig.savefig(save_path, dpi=100, bbox_inches="tight")
+        fig.savefig(save_path, dpi=100,
+                    pil_kwargs={"compress_level": 1})
     plt.close(fig)
 
 

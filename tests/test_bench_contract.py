@@ -28,6 +28,9 @@ def patched(monkeypatch):
         "img_per_s": 200.0, "sec_per_step": 0.16,
         "flops_per_step": 2.5e13, "batch": 32})
     monkeypatch.setattr(bench, "bench_xai_trajectory", lambda *a, **kw: 30.0)
+    monkeypatch.setattr(bench, "bench_xai_pipeline", lambda *a, **kw: {
+        "artifacts_per_hr": 4000.0, "artifacts": 170, "wall_s": 153.0,
+        "stage_seconds": {"stage1_attribution_kernels": 2.0}})
     monkeypatch.setattr(bench, "torch_cpu_per_step_seconds", lambda: 2.0)
     monkeypatch.setattr(bench, "mfu_estimate", lambda *a, **kw: 34.5)
 
@@ -70,6 +73,7 @@ def test_extra_rungs_present_and_json_clean(patched, capsys):
         "train_b32_images_per_sec",
         "train_mfu_pct",
         "xai_trajectory_frames_per_sec",
+        "xai_pipeline_artifacts_per_hr",
     ):
         assert rung in extra, rung
     # json.dumps emits NaN (invalid JSON) unless every number is finite —

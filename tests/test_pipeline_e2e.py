@@ -165,3 +165,41 @@ def test_pipeline_coalitional_time_shap_stage(clf, tmp_path):
         with_gradcam=False, with_sanity=False, log=lambda *a: None)
     assert "coalitional" not in r2["time_shap"]
     assert not (out2 / "time_shap_coalitional.png").exists()
+
+
+def test_pipeline_viz_every_n_throttles_figures(clf, tmp_path):
+    """viz_every_n=3 on 7 frames: step figures only at frames 0, 3, 6
+    (first/last always), numerics still present for EVERY frame."""
+    rng = np.random.default_rng(3)
+    frames = jnp.asarray(np.clip(rng.normal(size=(7, 32, 32, 3)) * 0.4, -1, 1)
+                         .astype(np.float32))
+    timesteps = [900.0, 750.0, 600.0, 450.0, 300.0, 150.0, 0.0]
+    analyzer = XAIAnalyzer(clf, ig_n_steps=2, shap_n_samples=4,
+                           shap_patch_size=16, seed=0)
+    out_dir = tmp_path / "run_throttle"
+    results = run_comprehensive_xai_pipeline(
+        trajectory=frames, timesteps=timesteps, xai_analyzer=analyzer,
+        classifier=clf, target_class_id=1, target_class_name="NV",
+        save_results=True, results_dir=out_dir,
+        n_bootstrap=20, n_permutations=40,
+        with_gradcam=True, with_sanity=False, viz_every_n=3,
+        log=lambda *a: None)
+
+    # numerics: every frame analyzed
+    assert len(results["xai_maps"]) == 7
+    assert len(results["region_analysis"]) == 7
+    assert len(results["gradcam"]) == 7
+
+    names = {p.name for p in out_dir.iterdir()}
+    step_figs = sorted(n for n in names
+                       if n.startswith("xai_step_t_") and "_IG" not in n
+                       and "_SHAP" not in n)
+    # frames 0 (t=900), 3 (t=450), 6 (t=0) only
+    assert step_figs == ["xai_step_t_0.png", "xai_step_t_450.png",
+                         "xai_step_t_900.png"]
+    gradcam_figs = {n for n in names if n.startswith("gradcam_t_")}
+    assert gradcam_figs == {"gradcam_t_900.png", "gradcam_t_450.png",
+                            "gradcam_t_0.png"}
+    # the knob is recorded for reproducibility
+    data = json.loads((out_dir / "analysis_results.json").read_text())
+    assert data["metadata"]["parameters"]["viz_every_n"] == 3
