@@ -196,6 +196,9 @@ def run(out_dir: str, size: int = 128, train_images: int = 256,
                 # for MEL): report consistency as a fraction of judge skill
                 "consistency_vs_judge_skill": (
                     round(cons / held_acc[c], 3) if held_acc[c] > 0 else None),
+                # absolute bar (VERDICT r4 #2): meaningful once the probe
+                # itself is competent (held-out acc >= 0.70 for the class)
+                "consistency_absolute_ok": bool(cons >= 0.70),
             }
         results[f"g{g:g}"] = {
             "per_class": per_class,
@@ -224,6 +227,27 @@ def run(out_dir: str, size: int = 128, train_images: int = 256,
              for c in CLASSES)
     report["best_guidance"] = best_g
     report["conditional_ok"] = bool(ok)
+    # per-class serving defaults: the guidance that wins each class on each
+    # axis (MEL's Fréchet-vs-consistency tradeoff is real — round-4 v2:
+    # F 2.11 at g=2 vs consistency 0.89 at g=3 — so deployments pick per
+    # class instead of one global g; DEPLOYMENT.md documents the knob)
+    report["per_class_best_guidance"] = {
+        c: {"by_frechet": min(
+                results, key=lambda k:
+                results[k]["per_class"][c]["frechet_vs_heldout"]),
+            "by_consistency": max(
+                results, key=lambda k:
+                results[k]["per_class"][c]["class_consistency"])}
+        for c in CLASSES}
+    # the round-5 verdict asked for: does every class clear the ABSOLUTE
+    # consistency bar at its own best guidance, judged by a probe that is
+    # itself competent on that class?
+    report["consistent_absolute_all"] = bool(all(
+        any(results[g]["per_class"][c]["consistency_absolute_ok"]
+            for g in results)
+        for c in CLASSES))
+    report["probe_competent_all"] = bool(all(
+        a >= 0.70 for a in held_acc.values()))
     (out / "report.json").write_text(json.dumps(report, indent=2))
     log(f"[cond] report -> {out / 'report.json'}")
     print(json.dumps({"e2e_conditional": "ok" if ok else "weak",
@@ -254,6 +278,12 @@ def main() -> int:
                         "7-class ISIC taxonomy)")
     p.add_argument("--width", choices=("quarter", "full"), default="quarter")
     p.add_argument("--clf-hard", type=float, default=0.0)
+    p.add_argument("--clf-per-class", type=int, default=64,
+                   help="probe training images per class (round-5 recipe "
+                        "uses 256 — 4x round 4 — so the hard-0.6 MEL "
+                        "boundary is learnable, VERDICT r4 #2)")
+    p.add_argument("--clf-epochs", type=int, default=8,
+                   help="probe training epochs (round-5 recipe: 24)")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--no-train-fused", action="store_true")
     p.add_argument("--resume", action="store_true",
@@ -275,7 +305,9 @@ def main() -> int:
         cond_dropout=args.cond_dropout, seed=args.seed,
         skip_train=args.skip_train,
         classes=[c.strip() for c in args.classes.split(",") if c.strip()],
-        width=args.width, clf_hard=args.clf_hard, remat=args.remat,
+        width=args.width, clf_hard=args.clf_hard,
+        clf_per_class=args.clf_per_class, clf_epochs=args.clf_epochs,
+        remat=args.remat,
         train_fused=not args.no_train_fused, resume=args.resume)
     return 0
 
