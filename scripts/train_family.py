@@ -78,7 +78,12 @@ def train_family(out_dir: str, classes, size: int = 128,
         have_stats = False
         if stats_path.exists():
             have_stats = class_name in json.loads(stats_path.read_text())
-        if best.exists() and not force:
+        # a lingering optimizer snapshot means the class was INTERRUPTED
+        # mid-train (clean completions delete it below) — the best file on
+        # disk is then only a periodic snapshot, not the finished model:
+        # fall through to train_class(resume=...) instead of skipping
+        interrupted = (ckpt_dir / f"train_state_{class_name}.npz").exists()
+        if best.exists() and not force and not interrupted:
             log(f"[family:{class_name}] checkpoint exists — skipping train")
             entry = report["classes"].setdefault(
                 class_name, {"skipped_existing": True})
