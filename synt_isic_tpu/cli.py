@@ -46,7 +46,8 @@ class ConsoleGenerator:
                  mesh=None,
                  model_variant: str = "best",
                  conditional: bool = False,
-                 guidance_scale: float = 0.0):
+                 guidance_scale: float = 0.0,
+                 guidance_map=None):
         self.base_dir = Path(base_dir) if base_dir else Path.cwd()
         ckpt = Path(checkpoints_dir) if checkpoints_dir else self.base_dir / "checkpoints"
         self.model_manager = ModelManager(checkpoints_dir=str(ckpt),
@@ -54,6 +55,9 @@ class ConsoleGenerator:
                                           variant=model_variant,
                                           conditional=conditional)
         self.guidance_scale = float(guidance_scale)
+        # per-class guidance ({class: g}); ConsoleGenerator samples one
+        # class per sampler call, so the map resolves to a scalar here
+        self.guidance_map = dict(guidance_map) if guidance_map else None
         self.inference_steps = max(1, min(1000, inference_steps))
         self.batch_size = max(1, batch_size)
         self.scheduler = scheduler
@@ -98,10 +102,12 @@ class ConsoleGenerator:
                 print(f"!! no checkpoint for class {class_name}, skipping")
                 produced[class_name] = 0
                 continue
+            g_class = (self.guidance_map.get(class_name, self.guidance_scale)
+                       if self.guidance_map else self.guidance_scale)
             sampler = self.model_manager.create_sampler(
                 self.inference_steps, scheduler=self.scheduler,
                 timestep_spacing=self.timestep_spacing,
-                guidance_scale=self.guidance_scale)
+                guidance_scale=g_class)
             if self.mesh is not None:
                 from .parallel.sharded_sampler import ShardedSampler
 
@@ -153,7 +159,10 @@ class ConsoleGenerator:
                                if self.model_manager.attention_fast_math
                                else {}),
                             **({"conditional": True,
-                                "guidance_scale": self.guidance_scale}
+                                # the EFFECTIVE weight for this class (the
+                                # console samples one class per call, so
+                                # the scalar fully pins the reproduce)
+                                "guidance_scale": g_class}
                                if self.model_manager.conditional else {}),
                         },
                         extra={
@@ -249,6 +258,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(unet_conditional_<variant>.pth + its .json "
                         "metadata, train/train_conditional.py) instead of "
                         "per-class models")
+    p.add_argument("--guidance-map", default=None, metavar="SPEC",
+                   help="per-class guidance for --conditional, e.g. "
+                        "'MEL=2.5,NV=2': each class samples at its own "
+                        "weight (absent classes use --guidance-scale); "
+                        "measured optima: scripts/e2e_conditional.py "
+                        "per_class_best_guidance")
     p.add_argument("--guidance-scale", type=float, default=0.0, metavar="S",
                    help="classifier-free guidance weight for --conditional "
                         "(0/1 = plain conditional; >1 = guided, 2x UNet "
@@ -411,7 +426,12 @@ def reproduce_from_sidecar(sidecar_path: str, checkpoints_dir: Optional[str],
                              # from the class name via checkpoint metadata
                              conditional=bool(sched.get("conditional", False)),
                              guidance_scale=float(sched.get("guidance_scale",
-                                                            0.0)))
+                                                            0.0)),
+                             # per-class guidance: the recorded map must be
+                             # rebuilt verbatim — the table branch's math
+                             # (and a mixed-class block's bytes) depends on
+                             # every row, not just this image's scalar g
+                             guidance_map=sched.get("guidance_map"))
         gen.set_inference_steps(int(meta["inference_steps"]))
         if mesh is not None:
             gen.set_mesh(mesh)
@@ -608,13 +628,16 @@ def main(argv: Optional[List[str]] = None) -> int:
         from .parallel.mesh import create_mesh
 
         mesh = create_mesh({"data": args.dp_mesh})
+    from .generator import parse_guidance_map
+
     gen = ConsoleGenerator(base_dir=args.base_dir, checkpoints_dir=args.checkpoints,
                            inference_steps=args.steps, batch_size=args.batch,
                            scheduler=args.scheduler, seed=args.seed,
                            timestep_spacing=args.timestep_spacing,
                            mesh=mesh, model_variant=args.model_variant,
                            conditional=args.conditional,
-                           guidance_scale=args.guidance_scale)
+                           guidance_scale=args.guidance_scale,
+                           guidance_map=parse_guidance_map(args.guidance_map))
     if args.list_classes:
         classes = gen.list_classes()
         if not classes:

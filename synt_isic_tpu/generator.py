@@ -52,6 +52,28 @@ from .utils.logging import Logger
 from .utils.paths import PathManager
 
 
+def parse_guidance_map(spec: Optional[str]) -> Optional[Dict[str, float]]:
+    """Parse a CLI per-class guidance spec: 'MEL=2.5,NV=2' -> {...}.
+
+    Empty/None -> None (scalar guidance path). Raises ValueError on
+    malformed entries so surfaces fail loudly at argument time."""
+    if not spec:
+        return None
+    out: Dict[str, float] = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" not in part:
+            raise ValueError(f"guidance-map entry {part!r} is not CLASS=G")
+        name, val = part.split("=", 1)
+        g = float(val)
+        if g < 0.0:
+            raise ValueError(f"guidance must be >= 0, got {part!r}")
+        out[name.strip()] = g
+    return out or None
+
+
 def class_seed_offset(class_name: str) -> int:
     """MD5-derived 31-bit per-class offset (`image_generator.py:586-592`)."""
     h = hashlib.md5(class_name.encode("utf-8")).hexdigest()
@@ -66,7 +88,8 @@ class ImageGenerator:
                  model_config=None,
                  model_variant: str = "best",
                  conditional: Optional[bool] = None,
-                 guidance_scale: Optional[float] = None):
+                 guidance_scale: Optional[float] = None,
+                 guidance_map: Optional[Dict[str, float]] = None):
         self.config = config
         project_root = config.project_root if config else None
         self.path_manager = PathManager(project_root)
@@ -88,6 +111,14 @@ class ImageGenerator:
             guidance_scale = float(config.get("compute.guidance_scale", 0.0)) \
                 if config is not None else 0.0
         self.guidance_scale = float(guidance_scale)
+        # per-class guidance defaults (conditional mode only): a
+        # {class_name: g} map — classes not listed fall back to
+        # guidance_scale. Measured per-class optima come from
+        # scripts/e2e_conditional.py's per_class_best_guidance table.
+        if guidance_map is None and config is not None:
+            guidance_map = config.get("compute.guidance_map", None)
+        self.guidance_map = ({str(k): float(v) for k, v in guidance_map.items()}
+                             if guidance_map else None)
         self.model_manager = ModelManager(
             checkpoints_dir=ckpt_dir, cache_manager=self.cache_manager,
             logger=self.logger, device=device, dtype=compute_dtype,
@@ -209,6 +240,21 @@ class ImageGenerator:
             return (int(self.base_seed) + offsets.get(class_name, 0) + index) & 0x7FFFFFFF
         return secrets.randbelow(0x7FFFFFFF)
 
+    def _guidance_table(self) -> Optional[Tuple[float, ...]]:
+        """Per-class-id guidance tuple for the conditional sampler, built
+        from `guidance_map` (classes absent from the map — and the null
+        row — fall back to the scalar guidance_scale); None when no map is
+        set, keeping the scalar fast path and its byte contract."""
+        mm = self.model_manager
+        if not (mm.conditional and self.guidance_map):
+            return None
+        n = int(mm.model.config.num_class_embeds)
+        table = [self.guidance_scale] * n
+        for cname in mm.get_available_classes():
+            table[mm.class_id(cname)] = float(
+                self.guidance_map.get(cname, self.guidance_scale))
+        return tuple(table)
+
     # -- core generation --------------------------------------------------------------------
     def _sample_batch(self, class_name: str, seeds: np.ndarray,
                       capture_trajectory: bool) -> Optional[Dict[str, Any]]:
@@ -230,7 +276,8 @@ class ImageGenerator:
         sampler = self.model_manager.create_sampler(
             self.inference_steps, scheduler=self.scheduler_kind,
             ddim_eta=self.ddim_eta, timestep_spacing=self.timestep_spacing,
-            guidance_scale=self.guidance_scale)
+            guidance_scale=self.guidance_scale,
+            guidance_table=self._guidance_table())
         params = self.model_manager.loaded_params[classes[0]]
         labels = None
         if self.model_manager.conditional:
@@ -382,7 +429,8 @@ class ImageGenerator:
             sampler = self.model_manager.create_sampler(
                 self.inference_steps, scheduler=self.scheduler_kind,
                 ddim_eta=self.ddim_eta, timestep_spacing=self.timestep_spacing,
-                guidance_scale=self.guidance_scale)
+                guidance_scale=self.guidance_scale,
+                guidance_table=self._guidance_table())
             labels = (self.model_manager.class_id(class_name)
                       if self.model_manager.conditional else None)
             out = sampler.img2img(
@@ -456,9 +504,17 @@ class ImageGenerator:
                    if self.model_manager.attention_fast_math else {}),
                 # conditional single-checkpoint mode: reproduce must rebuild
                 # a conditional generator with the same guidance weight
-                # (class id re-derives from class_name + checkpoint metadata)
+                # (class id re-derives from class_name + checkpoint metadata).
+                # With a per-class guidance_map the FULL map is recorded —
+                # a mixed-class device block's bytes depend on every row's
+                # weight, so reproduce must rebuild the same table (the
+                # scalar field still carries this image's effective g)
                 **({"conditional": True,
-                    "guidance_scale": self.guidance_scale}
+                    "guidance_scale": (
+                        self.guidance_map.get(class_name, self.guidance_scale)
+                        if self.guidance_map else self.guidance_scale),
+                    **({"guidance_map": dict(self.guidance_map)}
+                       if self.guidance_map else {})}
                    if self.model_manager.conditional else {}),
                 # non-default PNG encoder settings change output BYTES —
                 # recorded ONLY when set so pre-existing sidecars stay

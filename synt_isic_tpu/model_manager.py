@@ -247,17 +247,22 @@ class ModelManager:
                        scheduler: str = "ddpm", ddim_eta: float = 0.0,
                        dtype: Any = jnp.float32,
                        timestep_spacing: str = "leading",
-                       guidance_scale: float = 0.0) -> DiffusionSampler:
+                       guidance_scale: float = 0.0,
+                       guidance_table=None) -> DiffusionSampler:
         """Sampler with the training schedule (T=1000, squaredcos_cap_v2,
         epsilon) and clamped inference steps (reference
         `model_manager.py:196-209`). Cached per step count.
 
         In conditional mode the sampler takes per-image `class_labels` and
         `guidance_scale > 1` enables classifier-free guidance against the
-        checkpoint's null embedding row."""
+        checkpoint's null embedding row; `guidance_table` (tuple indexed by
+        class id) instead gives every class its OWN weight — the per-class
+        serving defaults scripts/e2e_conditional.py measures."""
         steps = max(1, min(1000, int(inference_steps)))
+        table = (tuple(float(g) for g in guidance_table)
+                 if (guidance_table is not None and self.conditional) else None)
         key = (steps, scheduler, ddim_eta, str(dtype), timestep_spacing,
-               float(guidance_scale) if self.conditional else 0.0)
+               float(guidance_scale) if self.conditional else 0.0, table)
         if key not in self._samplers:
             cfg = SamplerConfig(num_inference_steps=steps, scheduler=scheduler,
                                 ddim_eta=ddim_eta,
@@ -266,7 +271,8 @@ class ModelManager:
                                 channels=self.model.config.in_channels,
                                 dtype=dtype,
                                 guidance_scale=(float(guidance_scale)
-                                                if self.conditional else 0.0))
+                                                if self.conditional else 0.0),
+                                guidance_table=table)
             if self.conditional:
                 apply_fn = lambda params, x, t, y: self.sample_model.apply(
                     {"params": params}, x, t, y)

@@ -805,6 +805,13 @@ def main(argv=None) -> int:
                    help="classifier-free guidance weight with --conditional "
                         "(0/1 = plain conditional; >1 = guided at 2x UNet "
                         "cost per step)")
+    p.add_argument("--guidance-map", default=None, metavar="SPEC",
+                   help="per-class guidance with --conditional, e.g. "
+                        "'MEL=2.5,NV=2' — every class samples at its own "
+                        "measured-best weight in one compiled program "
+                        "(classes absent from the map use "
+                        "--guidance-scale); per-class optima come from "
+                        "scripts/e2e_conditional.py per_class_best_guidance")
     p.add_argument("--fast-variant", default=None, metavar="V",
                    help="fast-preview lane on a separate checkpoint variant "
                         "(e.g. a distillation student, distill8) at "
@@ -837,16 +844,18 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
-    from .generator import ImageGenerator
+    from .generator import ImageGenerator, parse_guidance_map
     from .utils.compute import enable_compilation_cache
 
     enable_compilation_cache()
+    guidance_map = parse_guidance_map(args.guidance_map)
     gen = ImageGenerator(
         checkpoints_dir=args.checkpoints,
         compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
         model_variant=args.model_variant,
         conditional=args.conditional,
-        guidance_scale=args.guidance_scale)
+        guidance_scale=args.guidance_scale,
+        guidance_map=guidance_map)
     # a distilled student was trained against DDIM steps on a trailing
     # grid — serving it through the reference defaults (ancestral DDPM,
     # leading spacing) would silently degrade every image
@@ -895,7 +904,8 @@ def main(argv=None) -> int:
             compute_dtype=jnp.bfloat16 if args.dtype == "bf16" else jnp.float32,
             model_variant=fast_variant,
             conditional=args.conditional,
-            guidance_scale=args.guidance_scale)
+            guidance_scale=args.guidance_scale,
+            guidance_map=guidance_map)
         if fast_variant == args.model_variant:
             # scheduler-only lane: SHARE the main generator's weights —
             # sampler kind/steps are per-generator call arguments, so a

@@ -583,3 +583,83 @@ def test_unconditional_rng_stream_is_split3():
 
     _, loss = step(state, batch, key)
     np.testing.assert_allclose(float(loss), want, rtol=1e-5)
+
+
+# -- per-class guidance (round 5: guidance_table / guidance_map) --------------------
+
+def test_guidance_table_matches_per_class_scalar_runs():
+    """A batch sampled with a guidance_table must equal, per sample, the
+    scalar-guidance sampler run at that sample's own weight (same seed,
+    same label) — the table is exactly 'every class at its own g'."""
+    sched = DiffusionSchedule.create(100)
+    cfg_kwargs = dict(num_inference_steps=4, scheduler="ddim", image_size=8)
+    table = (1.0, 3.0, 2.0, 0.0)  # labels 0..2 + null row
+    tabled = DiffusionSampler(
+        _toy_cond_apply, sched,
+        SamplerConfig(guidance_table=table, **cfg_kwargs),
+        conditional=True, null_label=3)
+    seeds = np.asarray([7, 11], np.uint32)
+    labels = np.asarray([1, 2], np.int32)
+    out = np.asarray(tabled.sample(jnp.float32(0.0), seeds,
+                                   class_labels=labels)["images"])
+    for j, (seed, label) in enumerate(zip(seeds, labels)):
+        scalar = DiffusionSampler(
+            _toy_cond_apply, sched,
+            SamplerConfig(guidance_scale=table[label], **cfg_kwargs),
+            conditional=True, null_label=3)
+        ref = np.asarray(scalar.sample(jnp.float32(0.0), [int(seed)],
+                                       class_labels=int(label))["images"])
+        np.testing.assert_allclose(out[j], ref[0], atol=1e-5)
+
+
+def test_guidance_table_requires_null_label():
+    sched = DiffusionSchedule.create(100)
+    with pytest.raises(ValueError, match="null_label"):
+        DiffusionSampler(
+            _toy_cond_apply, sched,
+            SamplerConfig(num_inference_steps=3, scheduler="ddim",
+                          image_size=8, guidance_table=(1.0, 2.0)),
+            conditional=True)
+
+
+def test_generator_guidance_map_sidecar_and_reproduce(ckpt_dir, tmp_path):
+    """guidance_map: each class samples at its own weight; the sidecar
+    records BOTH the effective scalar and the full map, and reproduce
+    rebuilds byte-identically from it."""
+    from synt_isic_tpu.cli import reproduce_from_sidecar
+    from synt_isic_tpu.generator import ImageGenerator
+
+    gen = ImageGenerator(checkpoints_dir=str(ckpt_dir), model_config=BASE,
+                         conditional=True, guidance_scale=2.0,
+                         guidance_map={"MEL": 3.0})
+    gen.set_inference_steps(3)
+    gen.set_save_trajectory(False)
+    gen.set_generation_seed(77)
+    gen.batch_size = 8
+    res = gen.generate_images([("MEL", 1), ("NV", 1)], str(tmp_path / "run"))
+    assert res["generated"] == 2
+
+    mel = json.loads((tmp_path / "run" / "MEL" / "ISIC_0000001.json").read_text())
+    nv = json.loads((tmp_path / "run" / "NV" / "ISIC_0000001.json").read_text())
+    assert mel["scheduler"]["guidance_scale"] == 3.0   # from the map
+    assert nv["scheduler"]["guidance_scale"] == 2.0    # the fallback scalar
+    assert mel["scheduler"]["guidance_map"] == {"MEL": 3.0}
+
+    rc = reproduce_from_sidecar(
+        str(tmp_path / "run" / "MEL" / "ISIC_0000001.json"), str(ckpt_dir),
+        output=str(tmp_path / "redo.png"), model_config=BASE)
+    assert rc == 0
+    assert ((tmp_path / "redo.png").read_bytes()
+            == (tmp_path / "run" / "MEL" / "ISIC_0000001.png").read_bytes())
+
+
+def test_parse_guidance_map():
+    from synt_isic_tpu.generator import parse_guidance_map
+
+    assert parse_guidance_map(None) is None
+    assert parse_guidance_map("") is None
+    assert parse_guidance_map("MEL=2.5, NV=2") == {"MEL": 2.5, "NV": 2.0}
+    with pytest.raises(ValueError):
+        parse_guidance_map("MEL")
+    with pytest.raises(ValueError):
+        parse_guidance_map("MEL=-1")
