@@ -300,18 +300,23 @@ def _probe_backend(timeout_s: float = 150.0, retries: int = 2) -> bool:
     """Fail fast when the device backend cannot initialize.
 
     The axon TPU tunnel has been observed to wedge so that `jax.devices()`
-    blocks forever at backend init (NOTES_ROUND3.md). Probing in a
-    SUBPROCESS with a timeout turns an indefinite hang of the whole bench
-    into a bounded, machine-readable error line. A healthy backend
-    initializes in seconds; retries paper over transient tunnel blips."""
+    blocks forever at backend init (NOTES_ROUND3.md) — AND (round 5) to
+    wedge EXECUTION while enumeration still succeeds (an abruptly killed
+    client left every other process hanging in block_until_ready). The
+    probe therefore runs a real matmul to completion, not just device
+    discovery. Probing in a SUBPROCESS with a timeout turns an indefinite
+    hang of the whole bench into a bounded, machine-readable error line. A
+    healthy backend executes in seconds; retries paper over transient
+    tunnel blips."""
     import subprocess
 
+    probe_src = ("import jax, jax.numpy as jnp; "
+                 "x = jnp.ones((128, 128)); "
+                 "(x @ x).block_until_ready(); print('ok')")
     for attempt in range(retries):
         try:
-            r = subprocess.run(
-                [sys.executable, "-c",
-                 "import jax; jax.devices(); print('ok')"],
-                timeout=timeout_s, capture_output=True)
+            r = subprocess.run([sys.executable, "-c", probe_src],
+                               timeout=timeout_s, capture_output=True)
             if r.returncode == 0 and b"ok" in r.stdout:
                 return True
         except subprocess.TimeoutExpired:
@@ -328,9 +333,9 @@ def main() -> None:
         print(json.dumps({
             "metric": "images_per_sec_chip_ddim_128_T50_b128_bf16",
             "value": None, "unit": "images/sec", "vs_baseline": None,
-            "error": "device backend init timed out (axon tunnel "
-                     "unresponsive); see NOTES_ROUND3.md — rerun when the "
-                     "tunnel recovers"}))
+            "error": "device probe (init + matmul) timed out — axon tunnel "
+                     "unresponsive or execution-wedged; see NOTES_ROUND3.md "
+                     "and the round-5 wedge note — rerun when it recovers"}))
         sys.exit(1)
     headline_ips = bench_tpu(**HEADLINE)
     research_ips = bench_tpu(**RESEARCH)

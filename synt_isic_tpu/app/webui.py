@@ -730,6 +730,10 @@ def main(argv=None) -> int:
                              "instead of per-class models")
     parser.add_argument("--guidance", type=float, default=None,
                         help="CFG scale for --conditional")
+    parser.add_argument("--guidance-map", default=None, metavar="SPEC",
+                        help="per-class CFG weights for --conditional, "
+                             "e.g. 'MEL=2.5,NV=2' (absent classes use "
+                             "--guidance)")
     parser.add_argument("--variant", default="best",
                         help="checkpoint variant (best/distill8/...)")
     parser.add_argument("--cpu", action="store_true",
@@ -746,7 +750,7 @@ def main(argv=None) -> int:
         # scripts' --cpu flags)
         jax.config.update("jax_platforms", "cpu")
 
-    from ..generator import ImageGenerator
+    from ..generator import ImageGenerator, parse_guidance_map
     from ..utils.config import ConfigManager
 
     config = ConfigManager()
@@ -754,7 +758,8 @@ def main(argv=None) -> int:
         config=config, checkpoints_dir=args.checkpoints,
         model_variant=args.variant,
         conditional=True if args.conditional else None,
-        guidance_scale=args.guidance)
+        guidance_scale=args.guidance,
+        guidance_map=parse_guidance_map(args.guidance_map))
     app = WebUIServer(generator=generator, config=config,
                       checkpoints_dir=args.checkpoints,
                       output_dir=args.output,
