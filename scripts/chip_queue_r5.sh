@@ -25,10 +25,13 @@ step() {
 # Seed with the round-4 flagship MEL checkpoint — same topology, same
 # recipe (384 imgs x 1000 epochs), so the family stays homogeneous.
 mkdir -p artifacts/family_full/checkpoints
-if [ ! -f artifacts/family_full/checkpoints/unet_MEL_best.pth ]; then
+if [ ! -f artifacts/family_full/checkpoints/unet_MEL_best.pth ] \
+   && [ -f artifacts/e2e_loop_full/checkpoints/unet_MEL_best.pth ]; then
   cp artifacts/e2e_loop_full/checkpoints/unet_MEL_best.pth \
      artifacts/family_full/checkpoints/
 fi
+# (if the round-4 MEL checkpoint did not survive the session boundary,
+# train_family simply trains MEL with the rest of the family)
 
 step family_train python scripts/train_family.py \
     --out artifacts/family_full --width full \

@@ -47,18 +47,6 @@ step model_churn python scripts/bench_model_churn.py \
     --checkpoints artifacts/family_full/checkpoints \
     --out artifacts/model_churn.json
 
-step e2e_cond_v3 python scripts/e2e_conditional.py --width full \
-    --classes MEL,NV,BCC,AKIEC,BKL,DF,VASC \
-    --out artifacts/e2e_conditional_full_v3 \
-    --train-images 384 --epochs 450 --batch 32 --clf-hard 0.6 \
-    --clf-per-class 256 --clf-epochs 24 \
-    --guidance 1,1.5,2,2.5,3 --seed 0 --resume
-
-step gauntlet_cond_v3 python scripts/parity_gauntlet.py \
-    --checkpoints artifacts/e2e_conditional_full_v3/checkpoints \
-    --out artifacts/parity_gauntlet_conditional_v3.json \
-    --samples-per-class 2
-
 step fairness_split python scripts/fairness_audit.py \
     --generate MEL:8000 --checkpoints artifacts/family_full/checkpoints \
     --classifier artifacts/family_full/checkpoints/classifier.pth \
@@ -81,5 +69,21 @@ print(json.dumps(r, indent=2))
 PY
 
 step bench_suite python scripts/bench_suite.py
+
+# The conditional-v3 retrain is the longest single job and is resumable
+# (--resume continues from the optimizer snapshot after a timeout kill),
+# so it runs LAST: the cheap evidence steps above must not be starved by
+# it if the round ends mid-train.
+step e2e_cond_v3 python scripts/e2e_conditional.py --width full \
+    --classes MEL,NV,BCC,AKIEC,BKL,DF,VASC \
+    --out artifacts/e2e_conditional_full_v3 \
+    --train-images 384 --epochs 450 --batch 32 --clf-hard 0.6 \
+    --clf-per-class 256 --clf-epochs 24 \
+    --guidance 1,1.5,2,2.5,3 --seed 0 --resume
+
+step gauntlet_cond_v3 python scripts/parity_gauntlet.py \
+    --checkpoints artifacts/e2e_conditional_full_v3/checkpoints \
+    --out artifacts/parity_gauntlet_conditional_v3.json \
+    --samples-per-class 2
 
 echo "=== QUEUE R5B DONE ($(date -u +%H:%M:%SZ)) ==="
