@@ -733,7 +733,8 @@ def main(argv=None) -> int:
     parser.add_argument("--guidance-map", default=None, metavar="SPEC",
                         help="per-class CFG weights for --conditional, "
                              "e.g. 'MEL=2.5,NV=2' (absent classes use "
-                             "--guidance)")
+                             "--guidance; weights <= 1 mean no guidance, "
+                             "same as the scalar flag)")
     parser.add_argument("--variant", default="best",
                         help="checkpoint variant (best/distill8/...)")
     parser.add_argument("--cpu", action="store_true",

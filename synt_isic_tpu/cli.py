@@ -261,7 +261,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--guidance-map", default=None, metavar="SPEC",
                    help="per-class guidance for --conditional, e.g. "
                         "'MEL=2.5,NV=2': each class samples at its own "
-                        "weight (absent classes use --guidance-scale); "
+                        "weight (absent classes use --guidance-scale; "
+                        "weights <= 1 mean no guidance — plain "
+                        "conditional, same as the scalar flag); "
                         "measured optima: scripts/e2e_conditional.py "
                         "per_class_best_guidance")
     p.add_argument("--guidance-scale", type=float, default=0.0, metavar="S",

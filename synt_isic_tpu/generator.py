@@ -242,17 +242,34 @@ class ImageGenerator:
 
     def _guidance_table(self) -> Optional[Tuple[float, ...]]:
         """Per-class-id guidance tuple for the conditional sampler, built
-        from `guidance_map` (classes absent from the map — and the null
-        row — fall back to the scalar guidance_scale); None when no map is
-        set, keeping the scalar fast path and its byte contract."""
+        from `guidance_map`; None when no map is set, keeping the scalar
+        fast path and its byte contract.
+
+        Weights follow the scalar `guidance_scale` convention everywhere
+        in this package: g <= 1 means NO guidance (plain conditional
+        forward), so such entries — including the default
+        guidance_scale=0.0 fallback for classes absent from the map —
+        normalize to an effective combine weight of 1.0 rather than
+        leaking raw 0.0 into `eps_null + g*(eps_cond - eps_null)`, which
+        would silently sample unlisted classes UNCONDITIONALLY. A table
+        whose every row normalizes to 1.0 collapses to None (the single-
+        forward scalar path — same prediction, half the compute). The
+        normalization is a pure function of (map, guidance_scale), so
+        sidecar `--reproduce` rebuilds the identical executable."""
         mm = self.model_manager
         if not (mm.conditional and self.guidance_map):
             return None
+
+        def effective(g: float) -> float:
+            return float(g) if float(g) > 1.0 else 1.0
+
         n = int(mm.model.config.num_class_embeds)
-        table = [self.guidance_scale] * n
+        table = [effective(self.guidance_scale)] * n
         for cname in mm.get_available_classes():
-            table[mm.class_id(cname)] = float(
+            table[mm.class_id(cname)] = effective(
                 self.guidance_map.get(cname, self.guidance_scale))
+        if all(g == 1.0 for g in table):
+            return None
         return tuple(table)
 
     # -- core generation --------------------------------------------------------------------

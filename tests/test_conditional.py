@@ -653,6 +653,37 @@ def test_generator_guidance_map_sidecar_and_reproduce(ckpt_dir, tmp_path):
             == (tmp_path / "run" / "MEL" / "ISIC_0000001.png").read_bytes())
 
 
+def test_guidance_map_unlisted_classes_stay_plain_conditional(ckpt_dir,
+                                                              tmp_path):
+    """Scalar-parity normalization: with a map and the DEFAULT
+    guidance_scale=0.0, classes absent from the map must sample exactly
+    as a no-map conditional run (g <= 1 means plain conditional
+    everywhere in the package) — a raw 0.0 table row would silently make
+    them UNCONDITIONAL (eps_null + 0*(cond - null))."""
+    from synt_isic_tpu.generator import ImageGenerator
+
+    def one_nv(**kwargs):
+        gen = ImageGenerator(checkpoints_dir=str(ckpt_dir), model_config=BASE,
+                             conditional=True, **kwargs)
+        gen.set_inference_steps(3)
+        gen.set_save_trajectory(False)
+        gen.set_generation_seed(77)
+        out = tmp_path / f"run{len(list(tmp_path.iterdir()))}"
+        res = gen.generate_images([("NV", 1)], str(out))
+        assert res["generated"] == 1
+        return (out / "NV" / "ISIC_0000001.png").read_bytes()
+
+    plain = one_nv()                               # no map, default scalar
+    mapped = one_nv(guidance_map={"MEL": 3.0})     # NV absent from the map
+    assert mapped == plain
+
+    # an all-<=1 map collapses to the scalar fast path entirely
+    gen = ImageGenerator(checkpoints_dir=str(ckpt_dir), model_config=BASE,
+                         conditional=True, guidance_map={"MEL": 1.0,
+                                                         "NV": 0.5})
+    assert gen._guidance_table() is None
+
+
 def test_parse_guidance_map():
     from synt_isic_tpu.generator import parse_guidance_map
 
