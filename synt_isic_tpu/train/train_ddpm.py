@@ -373,6 +373,15 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
     """Full per-class training loop with best-loss + periodic checkpoints
     and optional mid-run resume (params + optimizer state).
 
+    Resume semantics: the restored optimizer count drives the LR schedule,
+    so a resumed run completes the ORIGINAL cosine trajectory exactly; the
+    epoch LOOP however restarts at 1 and runs the full `config.epochs`
+    again, so a run interrupted at epoch E trains E extra epochs at the
+    post-cosine end LR (a low-LR fine-tune tail). Deterministic best-val
+    selection re-scores from scratch, so checkpoint quality is monotone —
+    the overshoot costs wall-clock, never quality (observed live on the
+    round-5 DF family class after a tunnel-wedge kill at epoch 498).
+
     `mesh`: optional `jax.sharding.Mesh` with a 'data' axis — batches are
     sharded over it (multi-chip dp; on a `multihost.hybrid_mesh` the data
     axis spans hosts over DCN) while params replicate; XLA inserts the
