@@ -165,6 +165,15 @@ def main() -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # the axon tunnel has been observed to wedge a long-lived client stream
+    # mid-class (chip healthy for new clients, trainer hung in a futex) —
+    # recovery is kill + --resume, so make restarts cheap: the persistent
+    # compile cache turns the ~8 min full-width epoch-scan recompile into
+    # a sub-minute cache hit (scripts/train_family_babysit.sh automates
+    # the watchdog loop)
+    from synt_isic_tpu.utils.compute import enable_compilation_cache
+
+    enable_compilation_cache()
     report = train_family(
         args.out, [c.strip() for c in args.classes.split(",") if c.strip()],
         size=args.size, train_images=args.train_images, epochs=args.epochs,
