@@ -373,14 +373,15 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
     """Full per-class training loop with best-loss + periodic checkpoints
     and optional mid-run resume (params + optimizer state).
 
-    Resume semantics: the restored optimizer count drives the LR schedule,
-    so a resumed run completes the ORIGINAL cosine trajectory exactly; the
-    epoch LOOP however restarts at 1 and runs the full `config.epochs`
-    again, so a run interrupted at epoch E trains E extra epochs at the
-    post-cosine end LR (a low-LR fine-tune tail). Deterministic best-val
-    selection re-scores from scratch, so checkpoint quality is monotone —
-    the overshoot costs wall-clock, never quality (observed live on the
-    round-5 DF family class after a tunnel-wedge kill at epoch 498).
+    Resume semantics: the restored optimizer count drives the LR schedule
+    AND the epoch loop — a run interrupted at epoch E continues at E+1 and
+    completes the ORIGINAL cosine trajectory with no overshoot (at least
+    one epoch always runs so history/best-selection stay well-formed).
+    The per-epoch data/rng streams restart from the seed rather than
+    fast-forwarding E splits, so a resumed run's batch order differs from
+    the uninterrupted run's — training quality is unaffected (random
+    batches are random), but crash-resumed runs are not step-for-step
+    reproductions of uninterrupted ones.
 
     `mesh`: optional `jax.sharding.Mesh` with a 'data' axis — batches are
     sharded over it (multi-chip dp; on a `multihost.hybrid_mesh` the data
@@ -419,10 +420,14 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
     ckpt_dir.mkdir(parents=True, exist_ok=True)
     best_path = ckpt_dir / f"unet_{class_name}_best.pth"
     resume_path = ckpt_dir / f"train_state_{class_name}.npz"
+    start_epoch = 1
     if resume and resume_path.exists():
         state = restore_train_state(state, str(resume_path))
+        epochs_done = int(state.step) // steps_per_epoch
+        start_epoch = max(1, min(epochs_done + 1, config.epochs))
         log(f"[train:{class_name}] resumed from {resume_path} "
-            f"(step {int(state.step)})")
+            f"(step {int(state.step)}, continuing at epoch "
+            f"{start_epoch}/{config.epochs})")
 
     key = jax.random.PRNGKey(config.seed)
     data_rng = np.random.default_rng(config.seed)
@@ -543,7 +548,7 @@ def train_class(class_name: str, dataset, checkpoint_dir: str,
 
     _loop_ok = False
     try:
-        for epoch in range(1, config.epochs + 1):
+        for epoch in range(start_epoch, config.epochs + 1):
             t0 = time.time()
             if use_epoch_scan:
                 key, sub = jax.random.split(key)
