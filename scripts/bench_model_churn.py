@@ -156,6 +156,9 @@ def main() -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from synt_isic_tpu.utils.compute import enable_compilation_cache
+
+    enable_compilation_cache()
     bench_churn(args.checkpoints, args.out, size=args.size, width=args.width,
                 rotations=args.rotations)
     return 0

@@ -110,6 +110,9 @@ def main() -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    from synt_isic_tpu.utils.compute import enable_compilation_cache
+
+    enable_compilation_cache()
 
     if args.images:
         images = load_images(args.images, args.limit)

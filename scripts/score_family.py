@@ -244,6 +244,11 @@ def main() -> int:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+    # fresh per-class processes (the wedge-recovery pattern) must not pay
+    # the multi-minute DDIM-50 sampler recompile every time
+    from synt_isic_tpu.utils.compute import enable_compilation_cache
+
+    enable_compilation_cache()
     classes = ([c.strip() for c in args.classes.split(",") if c.strip()]
                if args.classes else None)
     report = score_family(
