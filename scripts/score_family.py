@@ -99,7 +99,8 @@ def score_family(checkpoints: str, out_path: str, classes=None,
                  heldout: int = 128, steps: int = 50, seed: int = 0,
                  clf_per_class: int = 256, clf_epochs: int = 24,
                  hard: float = 0.6, skip_probe: bool = False,
-                 work_dir: str = None, log=print) -> dict:
+                 probe_classes=None, work_dir: str = None,
+                 log=print) -> dict:
     import jax.numpy as jnp
     import numpy as np
 
@@ -137,10 +138,17 @@ def score_family(checkpoints: str, out_path: str, classes=None,
         report["probe"] = {"reused": str(clf_path), "heldout_acc": held_acc,
                            "hard": hard}
     else:
-        report["probe"] = train_probe(ckpt_dir, classes, size, clf_per_class,
-                                      clf_epochs, hard, seed, log=log)
+        # the probe is SHARED across the family: train it over the full
+        # taxonomy (probe_classes, default: every checkpoint on disk) even
+        # when scoring a subset — a probe trained on one class is a
+        # degenerate always-that-class judge and its consistency numbers
+        # are meaningless (observed live when the round-5 wedge-recovery
+        # split ran the probe with classes=[MEL])
+        report["probe"] = train_probe(ckpt_dir, probe_classes or have, size,
+                                      clf_per_class, clf_epochs, hard, seed,
+                                      log=log)
         clf, _ = LesionClassifier.from_checkpoint(str(clf_path))
-        held_acc = report["probe"]["heldout_acc"]
+        held_acc = {c: report["probe"]["heldout_acc"][c] for c in classes}
 
     # --- 2. per-class sampling + metrics ------------------------------------
     pix = PixelFeatureExtractor()
@@ -235,6 +243,10 @@ def main() -> int:
     p.add_argument("--clf-per-class", type=int, default=256)
     p.add_argument("--clf-epochs", type=int, default=24)
     p.add_argument("--clf-hard", type=float, default=0.6)
+    p.add_argument("--probe-classes", default=None,
+                   help="classes the SHARED probe trains over (default: "
+                        "every checkpoint on disk) — keep this the full "
+                        "taxonomy even when --classes scores a subset")
     p.add_argument("--skip-probe", action="store_true",
                    help="reuse an existing classifier.pth instead of "
                         "retraining the probe")
@@ -256,7 +268,9 @@ def main() -> int:
         width=args.width, count=args.count, heldout=args.heldout,
         steps=args.steps, seed=args.seed, clf_per_class=args.clf_per_class,
         clf_epochs=args.clf_epochs, hard=args.clf_hard,
-        skip_probe=args.skip_probe)
+        skip_probe=args.skip_probe,
+        probe_classes=([c.strip() for c in args.probe_classes.split(",")
+                        if c.strip()] if args.probe_classes else None))
     return 0 if report["family_converged"] else 1
 
 
