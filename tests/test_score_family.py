@@ -71,3 +71,25 @@ def test_bench_model_churn_structure(family_ckpts, tmp_path):
     # an already-resident re-request is near-free
     assert data["resident_reload_s"] < 0.1
     assert report["swaps"] == 2
+
+
+@pytest.mark.slow
+def test_probe_trains_on_full_taxonomy_when_scoring_subset(family_ckpts,
+                                                           tmp_path):
+    """Scoring a SUBSET must still train the shared probe over every
+    checkpoint on disk — a probe trained on the scored class alone is a
+    degenerate always-that-class judge whose consistency numbers are
+    meaningless (observed live during the round-5 wedge-recovery split:
+    'MEL 1.00 consistency' from a single-class probe)."""
+    from score_family import score_family
+
+    out = tmp_path / "subset.json"
+    report = score_family(
+        str(family_ckpts), str(out), classes=["MEL"], size=32,
+        width="quarter", count=4, heldout=8, steps=4, clf_per_class=8,
+        clf_epochs=2, hard=0.6, work_dir=str(tmp_path / "samples"),
+        log=lambda *a: None)
+    # the probe reports held-out accuracy for BOTH classes on disk even
+    # though only MEL was scored
+    assert set(report["probe"]["heldout_acc"]) == {"MEL", "NV"}
+    assert set(report["per_class"]) == {"MEL"}
