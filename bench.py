@@ -327,6 +327,41 @@ def _probe_backend(timeout_s: float = 150.0, retries: int = 2) -> bool:
 
 
 def main() -> None:
+    # Watchdog shell (round 5): the tunnel wedges RUNNING client streams,
+    # not just backend init — a rung can block forever in a futex with the
+    # chip idle (observed live on this round's bench). SIGALRM cannot
+    # interrupt a futex-blocked C call, so the whole measurement pass runs
+    # in a SUBPROCESS with a hard timeout; on wedge/timeout the parent
+    # still prints the one bounded, strict-JSON error line the driver
+    # contract requires. BENCH_INNER=1 marks the measuring child.
+    if os.environ.get("BENCH_INNER") != "1":
+        import subprocess
+
+        budget = float(os.environ.get("BENCH_TIMEOUT_S", "2700"))
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env={**os.environ, "BENCH_INNER": "1"},
+                timeout=budget, capture_output=True, text=True)
+            lines = [ln for ln in (r.stdout or "").strip().splitlines() if ln]
+            if r.returncode == 0 and len(lines) == 1:
+                print(lines[0])
+                return
+            err = (f"bench subprocess exited rc={r.returncode} with "
+                   f"{len(lines)} output lines")
+            if lines:           # propagate the child's own error line
+                print(lines[-1])
+                sys.exit(r.returncode)
+        except subprocess.TimeoutExpired:
+            err = (f"bench subprocess exceeded {budget:.0f}s — axon tunnel "
+                   "wedged a rung mid-run (futex-blocked client, chip idle); "
+                   "see the round-5 wedge notes — rerun when it recovers")
+        print(json.dumps({
+            "metric": "images_per_sec_chip_ddim_128_T50_b128_bf16",
+            "value": None, "unit": "images/sec", "vs_baseline": None,
+            "error": err}, allow_nan=False))
+        sys.exit(1)
+
     if not _probe_backend():
         # one JSON line, same schema, value null + error — never hang the
         # round's bench step on a wedged device tunnel

@@ -107,7 +107,9 @@ def main() -> int:
     for c in classes:
         rp = Path(args.reports.replace("{C}", c))
         entry = json.loads(rp.read_text())["per_class"][c]
-        samples = load_generated_images(Path(args.samples) / c,
+        # score_family passes work/<C> as the run dir and the generator
+        # nests per-class subdirs, so samples land at work/<C>/<C>/
+        samples = load_generated_images(Path(args.samples) / c / c,
                                         entry.get("count", 64) or 64)
         pred = np.asarray(clf.predict(jnp.asarray(samples)))
         cons = float(np.mean(pred == CLASS_NAMES.index(c)))

@@ -22,6 +22,10 @@ import bench  # noqa: E402
 
 @pytest.fixture
 def patched(monkeypatch):
+    # run the measuring path in-process: the round-5 watchdog shell would
+    # otherwise re-exec bench.py in a subprocess that cannot see these
+    # monkeypatches
+    monkeypatch.setenv("BENCH_INNER", "1")
     monkeypatch.setattr(bench, "_probe_backend", lambda **kw: True)
     monkeypatch.setattr(bench, "bench_tpu", lambda **kw: 10.0)
     monkeypatch.setattr(bench, "bench_train_step", lambda *a, **kw: {
